@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/**
+ * E6 — kNN nearest place via k-ring cell expansion + haversine top-k.
+ *
+ * Candidate generation: each query point explodes its level-13 k-ring (all
+ * cells within Chebyshev radius `maxRing`) and equi-joins the broadcast
+ * gazetteer on cell13 — a pure hash join, no cross product, no theta join.
+ * Refinement: exact haversine, per-query row_number <= k.
+ *
+ * Scale note: a fixed maxRing bounds the candidate fan-out at (2r+1)^2 cells
+ * per query. For sparse regions where the ring yields < k candidates, the
+ * correct scale path is iterative doubling (re-run the residual queries at
+ * 2r — a driver loop over a shrinking Dataset). At gazetteer densities where
+ * kNN is meaningful (urban), ring 2 = 25 cells ~ 30 km^2 suffices; residual
+ * re-query is provided via `knnComplete`.
+ */
+object Knn {
+
+  /** queries: (query_id, lon, lat). Output: up to k nearest gazetteer places
+    * per query within maxRing rings, ordered by knn_rank. */
+  def knn(queries: DataFrame, gazetteer: DataFrame, k: Int, maxRing: Int = 2): DataFrame = {
+    val pts = queries
+      .withColumn("cell", cellId(col("lon"), col("lat"),
+        lit(graft.geo.CellIndex.FineLevel)))
+      .withColumn("cand_cell", explode(kRing(col("cell"), lit(maxRing))))
+
+    val gaz = broadcast(gazetteer.select(
+      col("cell13"), col("place_id"), col("name"), col("feature_class"),
+      col("country_code"), col("lon").as("g_lon"), col("lat").as("g_lat")))
+
+    val cand = pts.join(gaz, pts("cand_cell") === gaz("cell13"), "inner")
+      .withColumn("dist_m", haversineM(col("lon"), col("lat"), col("g_lon"), col("g_lat")))
+      // k-ring cells can be reached via multiple exploded rows after face
+      // re-encoding; dedup (query, place) before ranking
+      .dropDuplicates("query_id", "place_id")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("place_id"))
+    cand.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("knn_rank"), col("place_id"), col("name"),
+        col("g_lon").as("place_lon"), col("g_lat").as("place_lat"), col("dist_m"))
+  }
+
+  /** Iterative-expansion variant: queries still short of k matches re-run at
+    * doubled ring radius until satisfied or maxRingCap reached. Driver loop
+    * over a shrinking residual — each pass is a full Spark job, no collect of
+    * data rows. */
+  def knnComplete(queries: DataFrame, gazetteer: DataFrame, k: Int,
+                  startRing: Int = 1, maxRingCap: Int = 8): DataFrame = {
+    var ring = startRing
+    var residual = queries
+    var acc: DataFrame = null
+    while (ring <= maxRingCap && !residual.isEmpty) {
+      val got = knn(residual, gazetteer, k, ring)
+      val satisfied = got.groupBy("query_id").count().filter(col("count") >= k)
+        .select("query_id")
+      val done = got.join(satisfied, Seq("query_id"), "left_semi")
+      acc = if (acc == null) done else acc.unionByName(done)
+      residual = residual.join(satisfied, Seq("query_id"), "left_anti")
+      ring *= 2
+    }
+    // whatever the residual found at the final radius (may be < k results)
+    if (residual.isEmpty) acc
+    else {
+      val last = knn(residual, gazetteer, k, maxRingCap)
+      if (acc == null) last else acc.unionByName(last)
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.model.ReverseParams
+
+/**
+ * Reverse geocoding (R1-R5): point -> enclosing admin polygon -> formatted
+ * address. Cell-bucketed spatial join: points are encoded to level-13 cells
+ * (E3), equi-joined to the exploded cell->polygon covering index, then
+ * refined by exact even-odd ray casting on packed ring arrays (E5). The
+ * non-equi spatial predicate therefore never sees a cross product — only
+ * same-cell candidates.
+ *
+ * Scale shape: points (big) stay unshuffled when the cell index broadcasts
+ * (default); at world polygon scale pass broadcastIndex=false to shuffle both
+ * sides on `cell` instead — the join key is already salted by geography
+ * (cells), and AQE skew-join splits dense urban cells further (E9).
+ *
+ * Reference semantics preserved:
+ *  - single result per point, most-specific polygon
+ *    ("reverse geocoding only returns a single result",
+ *    /root/reference/src/opencage.rs:192)
+ *  - empty -> null formatted (GeoAdmin returns None,
+ *    /root/reference/src/geoadmin.rs:295-304; we do NOT replicate the OSM/OC
+ *    index-out-of-bounds panic, SURVEY.md §7.4) with geocode_status='no_result'
+ *  - GeoAdmin reverse = nearest building within toleranceM (50 m identify
+ *    radius, /root/reference/src/geoadmin.rs:271-281), formatted as
+ *    "{strname_deinr}, {dplz4} {dplzname}" (geoadmin.rs:297-300)
+ */
+object Reverse {
+
+  /**
+   * R1-R4 — PIP reverse. `points`: (query_id, lon, lat, ...).
+   * Output: one row per input point (left join semantics), formatted +
+   * components, geocode_status in {ok, no_result}.
+   */
+  def reverse(points: DataFrame, polygons: DataFrame, cellIndex: DataFrame,
+              params: ReverseParams = ReverseParams(),
+              broadcastIndex: Boolean = true): DataFrame = {
+    val pts = points.withColumn("cell", cellId(col("lon"), col("lat"),
+      lit(graft.geo.CellIndex.FineLevel)))
+
+    val idx = if (broadcastIndex) broadcast(cellIndex) else cellIndex
+    val polyMeta = broadcast(polygons)
+
+    val cand = pts.join(idx, Seq("cell"), "inner")
+      .join(polyMeta, Seq("polygon_id"), "inner")
+      .filter(rayCast(col("lon"), col("lat"),
+        col("ring_offsets"), col("ring_lons"), col("ring_lats")))
+
+    // most-specific polygon wins; deterministic tiebreak by polygon_id
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("admin_level").desc, col("polygon_id"))
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val lang = params.language.map(_.toLowerCase(java.util.Locale.ROOT))
+    val city = lang.map(l => coalesce(element_at(col("loc_city"), l), col("fmt_city")))
+      .getOrElse(col("fmt_city"))
+    val country = lang.map(l => coalesce(element_at(col("loc_country"), l), col("fmt_country")))
+      .getOrElse(col("fmt_country"))
+
+    var res = best
+      .withColumn("display_name", Format.osmDisplayName(col("fmt_road"),
+        col("fmt_house"), lit(null).cast("string"), col("fmt_suburb"), city,
+        col("fmt_county"), col("fmt_state"), col("fmt_region"),
+        col("fmt_postcode"), country))
+      .withColumn("formatted",
+        when(col("fmt_road").isNotNull, concat_ws(", ",
+          col("fmt_road"), col("fmt_house"),
+          concat_ws(" ", col("fmt_postcode"), city), country))
+          .otherwise(concat_ws(", ", col("name"), city, country)))
+    res =
+      if (params.annotations)
+        Annotate.withAnnotations(res, col("lon"), col("lat"), col("country_code"))
+      else res
+
+    val resultCols = Seq("polygon_id", "name", "admin_level", "country_code",
+      "display_name", "formatted") ++ (if (params.annotations) Seq("annotations") else Nil)
+    val keep = res.select(col("query_id") +: resultCols.map(col): _*)
+
+    points.join(keep, Seq("query_id"), "left")
+      .withColumn("geocode_status",
+        when(col("formatted").isNotNull, "ok").otherwise("no_result"))
+  }
+
+  /**
+   * R5 — GeoAdmin reverse: nearest address-register entry within toleranceM,
+   * via k-ring candidate expansion (level-13 cells are ~1.2 km across, so
+   * ring 1 always covers a 50 m radius) + haversine refinement.
+   */
+  def reverseGeoAdmin(points: DataFrame, gazetteer: DataFrame,
+                      params: ReverseParams = ReverseParams()): DataFrame = {
+    val pts = points
+      .withColumn("cell", cellId(col("lon"), col("lat"),
+        lit(graft.geo.CellIndex.FineLevel)))
+      .withColumn("cand_cell", explode(kRing(col("cell"), lit(1))))
+
+    val addr = broadcast(
+      gazetteer.filter(col("feature_class") === "address")
+        .select(col("cell13"), col("place_id"), col("road"), col("house_number"),
+          col("postcode"), col("city"),
+          col("lon").as("g_lon"), col("lat").as("g_lat")))
+
+    val cand = pts.join(addr, pts("cand_cell") === addr("cell13"), "inner")
+      .withColumn("dist_m", haversineM(col("lon"), col("lat"), col("g_lon"), col("g_lat")))
+      .filter(col("dist_m") <= params.toleranceM)
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("place_id"))
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("place_id"), col("dist_m"),
+        Format.geoAdminReverse(
+          concat_ws(" ", col("road"), col("house_number")),
+          col("postcode").cast("int"), col("city")).as("formatted"))
+
+    points.join(best, Seq("query_id"), "left")
+      .withColumn("geocode_status",
+        when(col("formatted").isNotNull, "ok").otherwise("no_result"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/**
+ * E7 — raster<->vector tiler: assign every geocoded hit to web-mercator
+ * slippy tiles (z/x/y) and aggregate per tile. Pure arithmetic expressions —
+ * whole-stage codegen end to end; the groupBy is the only shuffle and is
+ * map-side-combined by HashAggregateExec automatically.
+ */
+object Tiler {
+
+  /** Add tile_z/tile_x/tile_y for (lon, lat) at zoom z. */
+  def assign(hits: DataFrame, z: Int): DataFrame =
+    hits.withColumn("tile_z", lit(z))
+      .withColumn("tile_x", tileX(col("lon"), lit(z)))
+      .withColumn("tile_y", tileY(col("lat"), lit(z)))
+
+  /** Per-tile rollup: hit count + distinct-page estimate. `idCol` names the
+    * page/url column for the distinct estimate (HLL sketch, mergeable —
+    * exact distinct would force a second shuffle). */
+  def aggregate(hits: DataFrame, z: Int, idCol: String = "url"): DataFrame =
+    assign(hits, z)
+      .groupBy("tile_z", "tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_hits"),
+        approx_count_distinct(col(idCol)).as("approx_pages"))
+
+  /** Vector side: decode tile ids back to their lon/lat bounding box
+    * (raster->vector direction). Inverse of the assignment math. */
+  def tileBounds(tiles: DataFrame): DataFrame = {
+    val n = pow(lit(2.0), col("tile_z"))
+    val lonMin = col("tile_x") / n * 360.0 - 180.0
+    val lonMax = (col("tile_x") + 1) / n * 360.0 - 180.0
+    def lat(ty: org.apache.spark.sql.Column) =
+      degrees(atan(sinh(lit(math.Pi) * (lit(1.0) - lit(2.0) * ty / n))))
+    tiles.withColumn("min_lon", lonMin).withColumn("max_lon", lonMax)
+      .withColumn("max_lat", lat(col("tile_y")))
+      .withColumn("min_lat", lat(col("tile_y") + 1))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.etl
+
+import java.util.regex.Pattern
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.model.Mention
+
+/** Text normalization shared by extraction and the forward join key:
+  * lowercase, NFD diacritic fold, punctuation -> space, collapse whitespace.
+  * Deterministic and locale-independent (Locale.ROOT). */
+object Norm extends Serializable {
+  private val Combining = Pattern.compile("\\p{M}+")
+  private val NonWord = Pattern.compile("[^\\p{L}\\p{Nd}]+")
+
+  def normalize(s: String): String = {
+    val folded = Combining.matcher(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    ).replaceAll("")
+    NonWord.matcher(folded.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
+  }
+}
+
+/**
+ * Multi-pattern dictionary scanner over normalized text (Aho-Corasick-style
+ * role, implemented as a token-trie with longest-match-first semantics —
+ * SURVEY.md §2.7 E2). Built once on the driver from gazetteer name keys,
+ * broadcast to executors; match cost is O(tokens * max-key-depth) per page.
+ *
+ * Serializable so it can live inside a Broadcast.
+ */
+final class DictScanner(keys: Array[String]) extends Serializable {
+  /** token-trie: node = map token -> child index; terminal nodes store the key. */
+  private val children = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.HashMap.empty[String, Int])
+  private val terminal = scala.collection.mutable.ArrayBuffer[String](null)
+
+  keys.foreach { key =>
+    var node = 0
+    key.split(' ').foreach { tok =>
+      node = children(node).getOrElseUpdate(tok, {
+        children += scala.collection.mutable.HashMap.empty[String, Int]
+        terminal += null
+        children.size - 1
+      })
+    }
+    terminal(node) = key
+  }
+
+  /** Longest dictionary match starting at each token position; matched spans
+    * don't overlap (scan resumes after a match — deterministic). */
+  def scan(normText: String): Array[String] = {
+    if (normText.isEmpty) return Array.empty
+    val toks = normText.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      var node = 0
+      var j = i
+      var best: String = null
+      var bestEnd = i
+      var continue = true
+      while (continue && j < toks.length) {
+        children(node).get(toks(j)) match {
+          case Some(next) =>
+            node = next
+            j += 1
+            if (terminal(node) != null) { best = terminal(node); bestEnd = j }
+          case None => continue = false
+        }
+      }
+      if (best != null) { out += best; i = bestEnd } else i += 1
+    }
+    out.toArray
+  }
+}
+
+/**
+ * E2 — deterministic mention + coordinate-literal extraction.
+ *
+ * Two candidate kinds per page text:
+ *  - "coord": decimal lat-lon literals like "41.40139, 2.12870" (written
+ *    lat-first in prose, the order OpenCage reverse queries use —
+ *    /root/reference/src/opencage.rs:340-345); emitted as (lon, lat) per the
+ *    engine-wide lon-lat invariant (/root/reference/src/lib.rs:12-16).
+ *  - "name": gazetteer place-name mentions via broadcast DictScanner.
+ *
+ * The page `text` itself is never transcoded — the byte-identity invariant is
+ * carried as sha256(text) alongside every extraction output (input_hint).
+ */
+object Extract {
+
+  /** lat, lon decimal pair: needs >=3 decimals to avoid matching prose numbers. */
+  private val CoordRe = Pattern.compile(
+    "(-?\\d{1,2}\\.\\d{3,}),\\s*(-?\\d{1,3}\\.\\d{3,})")
+
+  def extractCoords(text: String): Array[Mention] = {
+    val m = CoordRe.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    while (m.find()) {
+      val lat = java.lang.Double.parseDouble(m.group(1))
+      val lon = java.lang.Double.parseDouble(m.group(2))
+      if (math.abs(lat) <= 90.0 && math.abs(lon) <= 180.0)
+        out += Mention("coord", m.group(0), null, lon, lat)
+    }
+    out.toArray
+  }
+
+  def extractAll(text: String, scanner: DictScanner): Array[Mention] = {
+    val coords = extractCoords(text)
+    val names = scanner.scan(Norm.normalize(text))
+      .map(k => Mention("name", k, k, null, null))
+    coords ++ names
+  }
+
+  /** Column UDF over a broadcast scanner. UDF (not codegen Expression) is the
+    * right tool here: variable-length Array[Struct] output with a broadcast
+    * dictionary closure — the per-row regex/trie work dominates, not SerDe. */
+  def mentionsUdf(bc: Broadcast[DictScanner]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      if (text == null) Array.empty[Mention] else extractAll(text, bc.value))
+
+  /**
+   * pages -> one row per extracted mention:
+   * (url, warc_ts, lang, text_sha256, kind, surface, norm, lon, lat).
+   * Column-pruned scan: only url/warc_ts/lang/text are read (never html).
+   */
+  def mentions(spark: SparkSession, pages: DataFrame, scanner: DictScanner): DataFrame = {
+    val bc = spark.sparkContext.broadcast(scanner)
+    val ex = mentionsUdf(bc)
+    pages
+      .select(col("url"), col("warc_ts"), col("lang"),
+        GeoFunctions.sha256Hex(col("text")).as("text_sha256"),
+        explode(ex(col("text"))).as("m"))
+      .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
+        col("m.kind").as("kind"), col("m.surface").as("surface"),
+        col("m.norm").as("norm"), col("m.lon").as("lon"), col("m.lat").as("lat"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.fixtures
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.Page
+
+/**
+ * Deterministic Common-Crawl-style pages synthesis (input_hint schema:
+ * url, warc_ts, html, text, lang). Pure function of row id (seed 42 folded
+ * into a splitmix-style mix), so the table is identical regardless of
+ * partitioning or parallelism — required for resumability tests and the
+ * two-parallelism scaling benchmark.
+ *
+ * The 12 reference fixture inputs appear verbatim in dedicated rows
+ * (i < fixtureTexts.size) so reference parity flows through the full
+ * pipeline (FIXTURES.md §1).
+ */
+object Synth {
+
+  /** Fixture query strings / coordinate literals from the reference's tests. */
+  val fixtureTexts: Seq[String] = Seq(
+    "Our office is in Schwabing, München near the park.",
+    "Visit the UCL Centre for Advanced Spatial Analysis on Tottenham Court Road.",
+    "The flat sits at 41.40139, 2.12870 uphill from the old town.",
+    "Deliveries go to Seftigenstrasse 264, 3084 Wabern every Tuesday.",
+    "Moabit, Berlin, Germany has excellent canals.",
+    "Measured position 46.92793655395508 at longitude — see 46.92793655395508, 7.451352119445801 for the marker.",
+    "Barcelona is lovely in October.",
+    "Meet me at Carrer de Calatrava 64, Barcelona at noon.",
+    "Waypoint logged: 48.1700887, 11.5884858 (north of the Isar).",
+    "Survey point 52.53000, 13.34000 lies in the west of the city.",
+    "Seftigenstrasse Bern is the search everyone tries first.",
+    "Control point 51.52150, -0.13610 checked against the plan."
+  )
+
+  private val words = Array("the", "quick", "analysis", "page", "crawl", "web",
+    "data", "spatial", "join", "index", "cell", "tile", "batch", "report",
+    "street", "city", "map", "river", "route", "survey")
+
+  private val langs = Array("de", "es", "en", "fr", "it")
+
+  /** splitmix64 — stable pseudo-random stream per (seed, id, k). */
+  private def mix(id: Long, k: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL + 42L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def positiveMod(x: Long, m: Int): Int = ((x % m + m) % m).toInt
+
+  /** Deterministic page for row id i. ~1 in 2 pages mentions a fixture place
+    * by name, ~1 in 4 carries a coordinate literal, rest is noise. */
+  def pageFor(i: Long): Page = {
+    val nFix = fixtureTexts.size
+    val text =
+      if (i < nFix) fixtureTexts(i.toInt)
+      else {
+        val sb = new StringBuilder(160)
+        val nWords = 8 + positiveMod(mix(i, 1), 12)
+        var w = 0
+        while (w < nWords) {
+          sb.append(words(positiveMod(mix(i, 10 + w), words.length))).append(' ')
+          w += 1
+        }
+        val r = positiveMod(mix(i, 2), 8)
+        if (r < 3) {
+          // name mention: cycle through fixture places + filler
+          val names = Array("Schwabing, München", "Moabit, Berlin",
+            "Barcelona", "Carrer de Calatrava 64, Barcelona",
+            "Seftigenstrasse 264, 3084 Wabern",
+            "UCL Centre for Advanced Spatial Analysis",
+            s"Fillerton ${positiveMod(mix(i, 3), 44)}")
+          sb.append("near ").append(names(positiveMod(mix(i, 4), names.length))).append(' ')
+        } else if (r < 5) {
+          // coordinate literal near a fixture centroid (stays inside polygons
+          // ~half the time)
+          val anchors = Array((2.12870, 41.40139), (7.451352119445801, 46.92793655395508),
+            (11.5884858, 48.1700887), (13.34, 52.53), (-0.1361, 51.5215))
+          val (alon, alat) = anchors(positiveMod(mix(i, 5), anchors.length))
+          val jLon = (positiveMod(mix(i, 6), 2001) - 1000) / 1000.0 * 0.002
+          val jLat = (positiveMod(mix(i, 7), 2001) - 1000) / 1000.0 * 0.002
+          sb.append(f"at ${alat + jLat}%.5f, ${alon + jLon}%.5f exactly ")
+        }
+        sb.append("end.")
+        sb.toString
+      }
+    val url = s"https://example.org/p/$i"
+    val ts = new Timestamp(1767225600000L + i * 1000L) // 2026-01-01T00:00:00Z + i s
+    val html = ("<html><body>" + text + "</body></html>")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Page(url, ts, html, text, langs(positiveMod(mix(i, 8), langs.length)))
+  }
+
+  /** n synthesized pages as a typed Dataset, `parts` input partitions. */
+  def pages(spark: SparkSession, n: Long, parts: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).map(i => pageFor(i))
+  }
+
+  /** Page count for a testdata sf directory (sf0.01 -> 10k pages etc.). */
+  def pagesForSf(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(1000L, (sf * 1000000).toLong)
+  }
+
+  def pagesDF(spark: SparkSession, sfDir: String): DataFrame =
+    pages(spark, pagesForSf(sfDir)).toDF()
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.{CellIndex, Geo}
+
+/**
+ * Spark-internal shims over the pure-Scala geo core. Each method takes/returns
+ * Catalyst *internal* types (UTF8String, ArrayData) so `StaticInvoke` can call
+ * it from whole-stage-generated code with zero SerDe — this is the
+ * "Catalyst-friendly codegen UDFs (no RDDs)" requirement of the north_star,
+ * implemented as native expressions rather than opaque Scala UDFs so Catalyst
+ * keeps null-propagation, constant-folding and pushdown.
+ */
+object GeoInternal {
+  def kRing(cell: Long, r: Int): ArrayData =
+    new GenericArrayData(CellIndex.kRing(cell, r))
+
+  def ringAt(cell: Long, r: Int): ArrayData =
+    new GenericArrayData(CellIndex.ring(cell, r))
+
+  def rayCast(lon: Double, lat: Double, offsets: ArrayData,
+              lons: ArrayData, lats: ArrayData): Boolean =
+    Geo.rayCast(lon, lat, offsets.toIntArray(), lons.toDoubleArray(), lats.toDoubleArray())
+
+  def geohash(lon: Double, lat: Double, precision: Int): UTF8String =
+    UTF8String.fromString(Geo.geohash(lon, lat, precision))
+
+  def dms(value: Double, isLat: Boolean): UTF8String =
+    UTF8String.fromString(Geo.dms(value, isLat))
+
+  def sha256Hex(s: UTF8String): UTF8String =
+    UTF8String.fromString(Geo.sha256Hex(s.toString))
+}
+
+/**
+ * Column-level API for the engine's scalar spatial functions.
+ *
+ * All functions are deterministic codegen-capable Catalyst expressions
+ * (`StaticInvoke` of static forwarders on [[graft.geo.CellIndex]] /
+ * [[graft.geo.Geo]] / [[GeoInternal]]), so they fold on literals, stay inside
+ * WholeStageCodegen spans, and never leave the internal row format.
+ */
+object GeoFunctions {
+
+  private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
+  private def ex(c: Column): Expression = org.apache.spark.sql.GraftBridge.expression(c)
+
+  private def invoke(clazz: Class[_], dt: DataType, name: String, args: Column*): Column =
+    col(StaticInvoke(clazz, dt, name, args.map(ex), returnNullable = false))
+
+  private val cellCls = CellIndex.getClass
+  private val geoCls = Geo.getClass
+  private val internCls = GeoInternal.getClass
+
+  /** Cell id of (lon, lat) at `level` — E3 in SURVEY.md §2.7. */
+  def cellId(lon: Column, lat: Column, level: Column): Column =
+    invoke(cellCls, LongType, "encode", lon, lat, level)
+
+  def cellParent(cell: Column, parentLevel: Column): Column =
+    invoke(cellCls, LongType, "parent", cell, parentLevel)
+
+  def cellCenterLon(cell: Column): Column = invoke(cellCls, DoubleType, "centerLon", cell)
+  def cellCenterLat(cell: Column): Column = invoke(cellCls, DoubleType, "centerLat", cell)
+
+  /** All cells within Chebyshev radius r (for kNN ring expansion, E6). */
+  def kRing(cell: Column, r: Column): Column =
+    invoke(internCls, ArrayType(LongType, containsNull = false), "kRing", cell, r)
+
+  /** Hollow ring at exactly radius r. */
+  def ringAt(cell: Column, r: Column): Column =
+    invoke(internCls, ArrayType(LongType, containsNull = false), "ringAt", cell, r)
+
+  /** Great-circle meters. */
+  def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    invoke(geoCls, DoubleType, "haversineM", lon1, lat1, lon2, lat2)
+
+  /** Even-odd ray-cast PIP on packed ring arrays — E5. */
+  def rayCast(lon: Column, lat: Column, ringOffsets: Column,
+              ringLons: Column, ringLats: Column): Column =
+    invoke(internCls, BooleanType, "rayCast", lon, lat, ringOffsets, ringLons, ringLats)
+
+  /** Web-mercator slippy tile coordinates — E7. */
+  def tileX(lon: Column, z: Column): Column = invoke(geoCls, LongType, "tileX", lon, z)
+  def tileY(lat: Column, z: Column): Column = invoke(geoCls, LongType, "tileY", lat, z)
+
+  /** EPSG:3857 meters (OpenCage Mercator annotation — E8). */
+  def mercatorX(lon: Column): Column = invoke(geoCls, DoubleType, "mercatorX", lon)
+  def mercatorY(lat: Column): Column = invoke(geoCls, DoubleType, "mercatorY", lat)
+
+  /** Swiss LV03 projection (reference /root/reference/src/geoadmin.rs:311-328). */
+  def lv03E(lon: Column, lat: Column): Column = invoke(geoCls, DoubleType, "wgs84ToLv03E", lon, lat)
+  def lv03N(lon: Column, lat: Column): Column = invoke(geoCls, DoubleType, "wgs84ToLv03N", lon, lat)
+
+  def geohash(lon: Column, lat: Column, precision: Column): Column =
+    invoke(internCls, StringType, "geohash", lon, lat, precision)
+
+  def dms(value: Column, isLat: Column): Column =
+    invoke(internCls, StringType, "dms", value, isLat)
+
+  /** SHA-256 hex of a string column (byte-identity invariant). */
+  def sha256Hex(s: Column): Column = invoke(internCls, StringType, "sha256Hex", s)
+}

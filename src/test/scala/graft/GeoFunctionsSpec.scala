@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoFunctions._
+import graft.geo.{CellIndex, Geo}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class GeoFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cellId expression matches pure-Scala encode, inside codegen") {
+    val df = Seq((11.5884858, 48.1700887), (2.12870, 41.40139), (-0.1361, 51.5215))
+      .toDF("lon", "lat")
+      .withColumn("c13", cellId($"lon", $"lat", lit(13)))
+      .withColumn("c7", cellParent(cellId($"lon", $"lat", lit(13)), lit(7)))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val expect = CellIndex.encode(r.getDouble(0), r.getDouble(1), 13)
+      assert(r.getLong(2) === expect)
+      assert(r.getLong(3) === CellIndex.parent(expect, 7))
+    }
+  }
+
+  test("haversine / tile / mercator / lv03 expressions evaluate") {
+    val row = Seq((7.451352119445801, 46.92793655395508)).toDF("lon", "lat")
+      .select(
+        haversineM(lit(0.0), lit(0.0), $"lon", $"lat").as("d"),
+        tileX($"lon", lit(12)).as("tx"),
+        tileY($"lat", lit(12)).as("ty"),
+        mercatorX(lit(2.12872)).as("mx"),
+        lv03E($"lon", $"lat").as("e"),
+        lv03N($"lon", $"lat").as("n"),
+        geohash($"lon", $"lat", lit(9)).as("gh"),
+        sha256Hex(lit("abc")).as("sha"))
+      .collect()(0)
+    assert(row.getAs[Double]("d") > 5e6 && row.getAs[Double]("d") < 6e6)
+    // known slippy anchors: lon 7.45 at z12 -> x = floor((7.45+180)/360*4096) = 2132
+    assert(row.getAs[Long]("tx") === 2132L)
+    // reference annotation sample: x=236968.295 for lng ~2.1287
+    // (/root/reference/src/opencage.rs:448-451); doc value is rounded
+    assert(math.abs(row.getAs[Double]("mx") - 236968.3) < 1.0)
+    // reference fixture expects LV95 (2600968.75, 1197427.0); the published
+    // approximate polynomial lands within a few meters
+    assert(math.abs(row.getAs[Double]("e") - 600968.75) < 5)
+    assert(math.abs(row.getAs[Double]("n") - 197427.0) < 5)
+    assert(row.getAs[String]("gh").length === 9)
+    assert(row.getAs[String]("sha") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("rayCast expression on packed rings: square with hole") {
+    // outer square (0,0)-(4,4), hole (1,1)-(3,3)
+    val offsets = Seq(0, 4, 8)
+    val lons = Seq(0.0, 4.0, 4.0, 0.0, 1.0, 3.0, 3.0, 1.0)
+    val lats = Seq(0.0, 0.0, 4.0, 4.0, 1.0, 1.0, 3.0, 3.0)
+    val df = Seq(
+      (0.5, 0.5, true),   // in outer, not in hole
+      (2.0, 2.0, false),  // in hole
+      (5.0, 2.0, false),  // outside
+      (3.5, 3.5, true)
+    ).toDF("lon", "lat", "expect")
+      .withColumn("off", typedLit(offsets))
+      .withColumn("lons", typedLit(lons))
+      .withColumn("lats", typedLit(lats))
+      .withColumn("inside", rayCast($"lon", $"lat", $"off", $"lons", $"lats"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Boolean]("inside") === r.getAs[Boolean]("expect"),
+        s"point (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
+  test("kRing expression: 3x3 block at r=1 away from face edges") {
+    val cell = CellIndex.encode(11.58, 48.17, 13)
+    val df = Seq(cell).toDF("cell").select(kRing($"cell", lit(1)).as("ring"))
+    val ring = df.collect()(0).getSeq[Long](0)
+    assert(ring.length === 9)
+    assert(ring.contains(cell))
+    // all ring cells decode to centers within ~3 cell widths
+    ring.foreach { c =>
+      val (lon, lat) = CellIndex.center(c)
+      assert(Geo.haversineM(11.58, 48.17, lon, lat) < 10000)
+    }
+  }
+}
