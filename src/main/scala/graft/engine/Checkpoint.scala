@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
  * store needed (north_rule: "resumable from checkpoint with per-partition
  * lineage + metrics").
  *
- * Checksums are order-insensitive (sum of per-row xxhash64 over all columns)
- * so they are stable across shuffle nondeterminism within a partition.
+ * Checksums are order-insensitive (bit_xor of per-row xxhash64 over all
+ * columns) so they are stable across shuffle nondeterminism within a
+ * partition and never overflow.
  */
 object Checkpoint {
 
@@ -32,7 +33,7 @@ object Checkpoint {
     val hashed = df.select(spark_partition_id().as("partition_id"),
       xxhash64(df.columns.map(col): _*).as("__h"))
     hashed.groupBy("partition_id")
-      .agg(count(lit(1)).as("rows"), sum(col("__h")).as("checksum"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
       .withColumn("stage", lit(stage))
       .withColumn("wall_ms", lit(wallMs))
       .withColumn("resumed", lit(resumed))

@@ -53,12 +53,27 @@ object Forward {
 
   private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
-  /** Per-query ranked top-k (L1-L3). */
+  /** Per-query ranked top-k (L1-L3). limit=1 (the reverse-cardinality and
+    * GeoAdmin-forward case, and the page-pipeline default) avoids the
+    * sort-window shuffle entirely: groupBy + max_by aggregates with map-side
+    * combine, so the exchange carries ~1 row per query instead of every
+    * candidate — the dominant shuffle saving at crawl scale (candidates for
+    * one query are always co-partitioned, having been exploded from a single
+    * input row against a broadcast side). */
   private def topK(joined: DataFrame, keyCols: Seq[String], limit: Option[Int]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("weight").desc, col("importance").desc, col("place_id"))
-    val ranked = joined.withColumn("result_rank", row_number().over(w))
-    limit.map(k => ranked.filter(col("result_rank") <= k)).getOrElse(ranked)
+    if (limit.contains(1)) {
+      val payload = joined.columns.filterNot(keyCols.contains)
+      val ord = struct(col("weight"), col("importance"), -col("place_id"))
+      joined.groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(payload.map(col): _*), ord).as("__best"))
+        .select(keyCols.map(col) ++ payload.map(c => col(s"__best.$c").as(c)): _*)
+        .withColumn("result_rank", lit(1))
+    } else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("weight").desc, col("importance").desc, col("place_id"))
+      val ranked = joined.withColumn("result_rank", row_number().over(w))
+      limit.map(k => ranked.filter(col("result_rank") <= k)).getOrElse(ranked)
+    }
   }
 
   /** CRS-projected output coordinates with GeoAdmin's axis swap (C3/C4):
@@ -121,11 +136,14 @@ object Forward {
    */
   def geocodePages(spark: SparkSession, pages: DataFrame, nameIndex: DataFrame,
                    scanner: DictScanner,
-                   params: ForwardParams = ForwardParams()): DataFrame = {
-    val mentions = Extract.mentions(spark, pages, scanner)
+                   params: ForwardParams = ForwardParams()): DataFrame =
+    geocodeMentions(Extract.mentions(spark, pages, scanner), nameIndex, params)
+
+  /** Forward-join pre-extracted name mentions (kind='name'). */
+  def geocodeMentions(mentions: DataFrame, nameIndex: DataFrame,
+                      params: ForwardParams = ForwardParams()): DataFrame = {
     val names = mentions.filter(col("kind") === "name").drop("lon", "lat")
-    val joined = candidates(names, nameIndex, params)
-      .drop("gaz_key")
+    val joined = candidates(names, nameIndex, params).drop("gaz_key")
     // rank per (url, mention) — one page can mention several places
     project(topK(joined, Seq("url", "surface"), params.limit), params)
   }

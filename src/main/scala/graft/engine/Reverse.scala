@@ -52,11 +52,15 @@ object Reverse {
       .filter(rayCast(col("lon"), col("lat"),
         col("ring_offsets"), col("ring_lons"), col("ring_lats")))
 
-    // most-specific polygon wins; deterministic tiebreak by polygon_id
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("admin_level").desc, col("polygon_id"))
-    val best = cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Most-specific polygon wins; deterministic tiebreak by polygon_id.
+    // Reverse returns exactly one row per point (opencage.rs:192), so this is
+    // a groupBy + max_by single-row aggregation, not a sort window: map-side
+    // combine collapses the co-partitioned PIP candidates before the exchange.
+    val payload = cand.columns.filterNot(_ == "query_id")
+    val best = cand.groupBy(col("query_id"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("admin_level"), -col("polygon_id"))).as("__best"))
+      .select(col("query_id") +: payload.map(c => col(s"__best.$c").as(c)): _*)
 
     val lang = params.language.map(_.toLowerCase(java.util.Locale.ROOT))
     val city = lang.map(l => coalesce(element_at(col("loc_city"), l), col("fmt_city")))
@@ -110,13 +114,16 @@ object Reverse {
       .withColumn("dist_m", haversineM(col("lon"), col("lat"), col("g_lon"), col("g_lat")))
       .filter(col("dist_m") <= params.toleranceM)
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("place_id"))
-    val best = cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), col("place_id"), col("dist_m"),
+    // nearest address = single-row max_by aggregation (min dist, then min id)
+    val best = cand.groupBy(col("query_id"))
+      .agg(max_by(struct(col("place_id"), col("dist_m"), col("road"),
+        col("house_number"), col("postcode"), col("city")),
+        struct(-col("dist_m"), -col("place_id"))).as("__b"))
+      .select(col("query_id"), col("__b.place_id").as("place_id"),
+        col("__b.dist_m").as("dist_m"),
         Format.geoAdminReverse(
-          concat_ws(" ", col("road"), col("house_number")),
-          col("postcode").cast("int"), col("city")).as("formatted"))
+          concat_ws(" ", col("__b.road"), col("__b.house_number")),
+          col("__b.postcode").cast("int"), col("__b.city")).as("formatted"))
 
     points.join(best, Seq("query_id"), "left")
       .withColumn("geocode_status",

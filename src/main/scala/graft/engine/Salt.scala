@@ -27,8 +27,7 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  bigId: Column, joinType: String = "inner"): DataFrame = {
     val b = big.withColumn("__salt", saltCol(bigId, salts))
-    val s = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))).cast("int"))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
   }
 

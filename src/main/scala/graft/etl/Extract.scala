@@ -17,9 +17,16 @@ object Norm extends Serializable {
   private val NonWord = Pattern.compile("[^\\p{L}\\p{Nd}]+")
 
   def normalize(s: String): String = {
-    val folded = Combining.matcher(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-    ).replaceAll("")
+    // ASCII fast path: crawl text is overwhelmingly ASCII; NFD allocation is
+    // only paid when a non-ASCII codepoint exists.
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    val folded =
+      if (ascii) s
+      else Combining.matcher(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      ).replaceAll("")
     NonWord.matcher(folded.toLowerCase(java.util.Locale.ROOT))
       .replaceAll(" ").trim
   }

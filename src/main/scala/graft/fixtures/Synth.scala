@@ -51,38 +51,47 @@ object Synth {
 
   private def positiveMod(x: Long, m: Int): Int = ((x % m + m) % m).toInt
 
-  /** Deterministic page for row id i. ~1 in 2 pages mentions a fixture place
-    * by name, ~1 in 4 carries a coordinate literal, rest is noise. */
+  /** Deterministic page for row id i: Common-Crawl-realistic ~0.5-1.5 KB of
+    * text in sentence blocks; each block has ~1/4 chance of a place-name
+    * mention and ~1/8 of a coordinate literal — several mentions per page on
+    * average, like real geo-bearing web pages. */
   def pageFor(i: Long): Page = {
     val nFix = fixtureTexts.size
     val text =
       if (i < nFix) fixtureTexts(i.toInt)
       else {
-        val sb = new StringBuilder(160)
-        val nWords = 8 + positiveMod(mix(i, 1), 12)
-        var w = 0
-        while (w < nWords) {
-          sb.append(words(positiveMod(mix(i, 10 + w), words.length))).append(' ')
-          w += 1
-        }
-        val r = positiveMod(mix(i, 2), 8)
-        if (r < 3) {
-          // name mention: cycle through fixture places + filler
-          val names = Array("Schwabing, München", "Moabit, Berlin",
-            "Barcelona", "Carrer de Calatrava 64, Barcelona",
-            "Seftigenstrasse 264, 3084 Wabern",
-            "UCL Centre for Advanced Spatial Analysis",
-            s"Fillerton ${positiveMod(mix(i, 3), 44)}")
-          sb.append("near ").append(names(positiveMod(mix(i, 4), names.length))).append(' ')
-        } else if (r < 5) {
-          // coordinate literal near a fixture centroid (stays inside polygons
-          // ~half the time)
-          val anchors = Array((2.12870, 41.40139), (7.451352119445801, 46.92793655395508),
-            (11.5884858, 48.1700887), (13.34, 52.53), (-0.1361, 51.5215))
-          val (alon, alat) = anchors(positiveMod(mix(i, 5), anchors.length))
-          val jLon = (positiveMod(mix(i, 6), 2001) - 1000) / 1000.0 * 0.002
-          val jLat = (positiveMod(mix(i, 7), 2001) - 1000) / 1000.0 * 0.002
-          sb.append(f"at ${alat + jLat}%.5f, ${alon + jLon}%.5f exactly ")
+        val sb = new StringBuilder(1200)
+        val nBlocks = 4 + positiveMod(mix(i, 1), 8)
+        var blk = 0
+        while (blk < nBlocks) {
+          val k = blk * 100
+          val nWords = 12 + positiveMod(mix(i, k + 9), 14)
+          var w = 0
+          while (w < nWords) {
+            sb.append(words(positiveMod(mix(i, k + 10 + w), words.length))).append(' ')
+            w += 1
+          }
+          val r = positiveMod(mix(i, k + 2), 8)
+          if (r < 2) {
+            // name mention: cycle through fixture places + filler
+            val names = Array("Schwabing, München", "Moabit, Berlin",
+              "Barcelona", "Carrer de Calatrava 64, Barcelona",
+              "Seftigenstrasse 264, 3084 Wabern",
+              "UCL Centre for Advanced Spatial Analysis",
+              s"Fillerton ${positiveMod(mix(i, k + 3), 44)}")
+            sb.append("near ").append(names(positiveMod(mix(i, k + 4), names.length)))
+          } else if (r < 3) {
+            // coordinate literal near a fixture centroid (stays inside
+            // polygons ~half the time)
+            val anchors = Array((2.12870, 41.40139), (7.451352119445801, 46.92793655395508),
+              (11.5884858, 48.1700887), (13.34, 52.53), (-0.1361, 51.5215))
+            val (alon, alat) = anchors(positiveMod(mix(i, k + 5), anchors.length))
+            val jLon = (positiveMod(mix(i, k + 6), 2001) - 1000) / 1000.0 * 0.002
+            val jLat = (positiveMod(mix(i, k + 7), 2001) - 1000) / 1000.0 * 0.002
+            sb.append(f"at ${alat + jLat}%.5f, ${alon + jLon}%.5f exactly")
+          }
+          sb.append(". ")
+          blk += 1
         }
         sb.append("end.")
         sb.toString

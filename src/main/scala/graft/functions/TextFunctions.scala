@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sim.VecCore
+import graft.text.TextCore
+
+/** Catalyst-internal shims for text sketching + vector math (same pattern as
+  * GeoInternal: internal types in/out, zero SerDe, codegen-capable). */
+object TextInternal {
+  def minhash(text: UTF8String, shingleN: Int, perms: Int): ArrayData =
+    new GenericArrayData(TextCore.minhash(if (text == null) "" else text.toString, shingleN, perms))
+
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData =
+    new GenericArrayData(TextCore.bandHashes(sig.toLongArray(), bands))
+
+  def sigOverlap(a: ArrayData, b: ArrayData): Double =
+    TextCore.sigOverlap(a.toLongArray(), b.toLongArray())
+
+  def simhash(text: UTF8String): Long =
+    TextCore.simhash(if (text == null) "" else text.toString)
+
+  def hamming(a: Long, b: Long): Int = TextCore.hamming(a, b)
+
+  def jaccard(a: UTF8String, b: UTF8String, shingleN: Int): Double =
+    TextCore.jaccard(a.toString, b.toString, shingleN)
+
+  def winnow(text: UTF8String, k: Int, w: Int): Long =
+    TextCore.winnowFingerprint(if (text == null) "" else text.toString, k, w)
+
+  def dot(a: ArrayData, b: ArrayData): Double =
+    VecCore.dot(a.toFloatArray(), b.toFloatArray())
+
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    VecCore.cosine(a.toFloatArray(), b.toFloatArray())
+
+  def vnorm(a: ArrayData): Double = VecCore.norm(a.toFloatArray())
+
+  def lshSig(v: ArrayData, bits: Int): Int =
+    VecCore.lshSignature(v.toFloatArray(), bits)
+
+  def multiProbe(sig: Int, bits: Int): ArrayData =
+    new GenericArrayData(VecCore.multiProbe(sig, bits))
+
+  /** Magic-byte mime sniff for opaque binary payloads (multimodal columns). */
+  def mimeSniff(bytes: Array[Byte]): UTF8String = {
+    def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    val mime =
+      if (bytes.length >= 3 && at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) "image/jpeg"
+      else if (bytes.length >= 4 && at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
+      else if (bytes.length >= 3 && at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
+      else if (bytes.length >= 4 && at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/wav"
+      else if (bytes.length >= 8 && at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "video/mp4"
+      else if (bytes.length >= 1 && at(0, '<')) "text/html"
+      else "application/octet-stream"
+    UTF8String.fromString(mime)
+  }
+
+  /** STUB decoder (documented): a real deployment calls an image/audio codec
+    * here; this container has none, so emit a deterministic fake feature
+    * vector seeded by content bytes — the Spark-side plumbing (schema, batch
+    * shape, partitioning) is real and tested, the codec call is the only
+    * substitution. */
+  def fakeEmbed(bytes: Array[Byte], dim: Int): ArrayData = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) {
+      out(i) = ((TextCore.mix(h + i) >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column API for text sketches + vector similarity. */
+object TextFunctions {
+  import org.apache.spark.sql.GraftBridge.{column => col_, expression => ex}
+
+  private val cls = TextInternal.getClass
+
+  private def invoke(dt: DataType, name: String, args: Column*): Column =
+    col_(StaticInvoke(cls, dt, name, args.map(ex), returnNullable = false))
+
+  def minhash(text: Column, shingleN: Column, perms: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhash", text, shingleN, perms)
+
+  def bandHashes(sig: Column, bands: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "bandHashes", sig, bands)
+
+  def sigOverlap(a: Column, b: Column): Column = invoke(DoubleType, "sigOverlap", a, b)
+  def simhash(text: Column): Column = invoke(LongType, "simhash", text)
+  def hamming(a: Column, b: Column): Column = invoke(IntegerType, "hamming", a, b)
+  def jaccard(a: Column, b: Column, shingleN: Column): Column =
+    invoke(DoubleType, "jaccard", a, b, shingleN)
+  def winnow(text: Column, k: Column, w: Column): Column =
+    invoke(LongType, "winnow", text, k, w)
+
+  def dot(a: Column, b: Column): Column = invoke(DoubleType, "dot", a, b)
+  def cosine(a: Column, b: Column): Column = invoke(DoubleType, "cosine", a, b)
+  def vnorm(a: Column): Column = invoke(DoubleType, "vnorm", a)
+  def lshSig(v: Column, bits: Column): Column = invoke(IntegerType, "lshSig", v, bits)
+  def multiProbe(sig: Column, bits: Column): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "multiProbe", sig, bits)
+
+  def mimeSniff(bytes: Column): Column = invoke(StringType, "mimeSniff", bytes)
+  def fakeEmbed(bytes: Column, dim: Column): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "fakeEmbed", bytes, dim)
+}

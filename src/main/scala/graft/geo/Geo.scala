@@ -165,14 +165,26 @@ object Geo {
 
   // ---- text hashing (byte-identity invariant, input_hint) ----------------------
 
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   /** SHA-256 hex of the UTF-8 bytes of `s` — carried from source to output to
-    * prove byte-identical extracted text per url. */
+    * prove byte-identical extracted text per url. Digest instance is
+    * thread-local (getInstance per row costs more than the hash itself). */
+  private final val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = sha256Local.get()
+    md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Char](64)
     var i = 0
-    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }

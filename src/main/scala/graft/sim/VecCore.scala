@@ -1,0 +1,54 @@
+package graft.sim
+
+/**
+ * Pure-Scala float-vector math for embedding similarity (ANN). Deterministic;
+ * exposed to Catalyst codegen via graft.functions shims. Accumulation order
+ * is fixed (left-to-right) so results are bit-stable across partitionings.
+ */
+object VecCore {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplane component r[bit][dim] — rademacher
+    * +-1 from a splitmix stream. Rademacher planes preserve angles well and
+    * avoid storing a projection matrix. */
+  @inline private def rade(bit: Int, dim: Int): Double =
+    if ((graft.text.TextCore.mix(bit.toLong * 0x9E3779B97F4A7C15L + dim) & 1L) == 0L) 1.0 else -1.0
+
+  /** `bits`-bit random-hyperplane LSH signature (sign of projections). */
+  def lshSignature(v: Array[Float], bits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * rade(b, i); i += 1 }
+      if (s >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Multi-probe buckets: the signature plus all 1-bit flips — recall boost
+    * without widening the join fan-out beyond bits+1 buckets per query. */
+  def multiProbe(sig: Int, bits: Int): Array[Int] = {
+    val out = new Array[Int](bits + 1)
+    out(0) = sig
+    var b = 0
+    while (b < bits) { out(b + 1) = sig ^ (1 << b); b += 1 }
+    out
+  }
+}

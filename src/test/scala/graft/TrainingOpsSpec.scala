@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.{Similarity, VecCore}
+import graft.text.{TextAnalysis, TextCore}
+
+/** Training-data pipeline operators: dedup, similarity, text analysis,
+  * multimodal plumbing. */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("exact dedup: survivors + counts reconcile") {
+    val base = docs.select($"doc_id", $"text")
+    // plant exact duplicates
+    val dup = base.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val all = base.unionByName(dup)
+    val groups = Dedup.exact(all)
+    assert(groups.agg(sum("dup_count")).as[Long].collect()(0) === all.count())
+    assert(groups.filter($"dup_count" >= 2).count() >= 10)
+    val survivors = Dedup.exactSurvivors(all)
+    assert(survivors.count() === groups.count())
+    // survivor of a planted dup is the original (min id)
+    assert(survivors.filter($"doc_id" >= 100000).count() === 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val base = docs.select($"doc_id", $"text").limit(100)
+    // near-dup: append two words to the end (high shingle overlap)
+    val near = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat($"text", lit(" extra tail")))
+    val pairs = Dedup.minhashLshPairs(base.unionByName(near), threshold = 0.5).cache()
+    val planted = pairs.filter($"doc_b" - $"doc_a" === 100000)
+    assert(planted.count() >= 4, s"found ${planted.count()} of 5 planted near-dups")
+    // estimates in range
+    pairs.collect().foreach(r => assert(r.getAs[Double]("jaccard_est") >= 0.5))
+    pairs.unpersist()
+  }
+
+  test("ngram jaccard verifies LSH candidates exactly") {
+    val base = docs.select($"doc_id", $"text").limit(60)
+    val near = base.filter($"doc_id" < 3)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat($"text", lit(" tail")))
+    val pairs = Dedup.ngramJaccardPairs(base.unionByName(near), threshold = 0.6)
+    val planted = pairs.filter($"doc_b" - $"doc_a" === 100000).collect()
+    assert(planted.length >= 2)
+    planted.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.6 && j < 1.0)
+    }
+  }
+
+  test("simhash blocking finds hamming<=3 pairs with full recall vs brute force") {
+    val base = docs.select($"doc_id", $"text").limit(150)
+    val near = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat($"text", lit(" x")))
+    val all = base.unionByName(near).cache()
+    val pairs = Dedup.simhashPairs(all, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force ground truth
+    val sigs = all.collect().map(r => r.getLong(0) -> TextCore.simhash(r.getString(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && TextCore.hamming(sa, sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs === brute)
+    assert(brute.nonEmpty) // planted pairs land within hamming 3
+    all.unpersist()
+  }
+
+  test("embedding near-dup pairs are symmetric-safe and above threshold") {
+    val base = embs.select($"vec_id", $"embedding").limit(120)
+    val near = base.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 100000) // identical vectors, cos=1
+    val pairs = Dedup.embeddingNearDupPairs(base.unionByName(near), threshold = 0.999)
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000)
+    assert(planted.count() === 5)
+  }
+
+  test("brute-force cosine kNN matches local ground truth") {
+    val queries = embs.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceKnn(queries, embs, k = 5)
+      .orderBy($"query_id", $"knn_rank").collect()
+    assert(got.length === 15)
+    // local ground truth for query 0
+    val all = embs.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q0 = all.find(_._1 === 0L).get._2
+    val expect = all.filter(_._1 !== 0L)
+      .map { case (id, v) => (id, VecCore.cosine(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got0 = got.filter(_.getAs[Long]("query_id") === 0L)
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Double]("cos")))
+    assert(got0.map(_._1).toSeq === expect.map(_._1).toSeq)
+    got0.zip(expect).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("LSH kNN achieves decent recall vs brute force") {
+    // uniform-random vectors are LSH's worst case (no cluster structure);
+    // bits trades recall for compute — 4 bits probes ~5/16 of the corpus
+    val queries = embs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(queries, embs, k = 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshKnn(queries, embs, k = 10, bits = 4)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the market and it was fun"),
+      (2L, "der hund und die katze sind nicht auf der straße"),
+      (3L, "el perro y la gata en la casa de los abuelos"),
+      (4L, "le chien et les chats dans la maison pour une semaine"),
+      (5L, "你好世界 这是中文文本")
+    ).toDF("doc_id", "text")
+      .withColumn("lang_pred", TextAnalysis.langId($"text"))
+    val got = df.select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "de")
+    assert(got(3L) === "es"); assert(got(4L) === "fr"); assert(got(5L) === "zh")
+  }
+
+  test("quality scoring: garbage scores below clean prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was entirely fine that day"),
+      (2L, "!!! ??? ;;; ### $$$ %%% 123 456 789 000 111"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L))
+    assert(q(1L) > q(3L))
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("token counts: whitespace and BPE-ish estimates") {
+    val df = Seq((1L, "hello world, this is 1 test!")).toDF("doc_id", "text")
+      .withColumn("ws", TextAnalysis.tokenCountWs($"text"))
+      .withColumn("bpe", TextAnalysis.tokenCountBpe($"text"))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("ws") === 6)
+    assert(r.getAs[Long]("bpe") >= 6L)
+  }
+
+  test("fingerprints are deterministic and edit-sensitive") {
+    val df = Seq((1L, "some document text body"), (2L, "some document text body"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprints(df)
+      .select("doc_id", "winnow_fp", "simhash").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("multimodal: binary meta, stub features, frame sampling, batched decode") {
+    val pages = graft.fixtures.Synth.pages(spark, 40, 2).toDF()
+    val meta = Multimodal.withBinaryMeta(pages)
+    assert(meta.filter($"mime" === "text/html").count() === 40)
+    assert(meta.filter($"bin_len" <= 0).count() === 0)
+
+    val feats = Multimodal.withFeatures(pages, dim = 32)
+    val v = feats.select("features").as[Array[Float]].collect()
+    assert(v.forall(_.length === 32))
+
+    val frames = Multimodal.sampleFrames(pages, frames = 4)
+    assert(frames.count() === 160)
+    assert(frames.filter(length($"frame") === 0).count() === 0)
+
+    val batched = Multimodal.batchedDecode(spark, pages, batchSize = 16, dim = 8)
+    assert(batched.count() === 40)
+    assert(batched.select(max("n_in_batch")).as[Int].collect()(0) <= 16)
+  }
+}
