@@ -38,9 +38,11 @@ object Forward {
   val normalizeUdf = udf((s: String) => if (s == null) null else Norm.normalize(s))
 
   /** Candidate join: rows with `norm` column joined to the gazetteer name
-    * index with params-driven pre-filters on the broadcast side. */
-  private def candidates(withNorm: DataFrame, nameIndex: DataFrame,
-                         params: ForwardParams): DataFrame = {
+    * index with params-driven pre-filters on the broadcast side. Public for
+    * the streaming surface, which replaces the batch top-k with a
+    * watermarked windowed aggregation. */
+  def candidates(withNorm: DataFrame, nameIndex: DataFrame,
+                 params: ForwardParams): DataFrame = {
     var gaz = nameIndex
     params.viewbox.foreach { b =>
       gaz = gaz.filter(col("lon").between(b.minLon, b.maxLon) &&
@@ -85,8 +87,9 @@ object Forward {
     case _ => (lon, lat)
   }
 
-  /** Full result projection shared by the query-verb and page-pipeline paths. */
-  private def project(df: DataFrame, params: ForwardParams): DataFrame = {
+  /** Full result projection shared by the query-verb, page-pipeline and
+    * streaming paths. */
+  def project(df: DataFrame, params: ForwardParams): DataFrame = {
     val lang = params.language.map(lc)
     val locName = lang.map(l => coalesce(element_at(col("altnames"), l), col("name")))
       .getOrElse(col("name"))
