@@ -95,6 +95,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(lin.agg(sum("rows")).as[Long].collect()(0) > 0)
   }
 
+  test("reverse shuffle-join path (world-scale polygons) matches broadcast path") {
+    val pts = Synth.pages(spark, 400, 4).toDF()
+      .select($"url".as("query_id"))
+      .withColumn("lon", lit(2.1287) + (xxhash64($"query_id") % 1000) / lit(500000.0))
+      .withColumn("lat", lit(41.40139) + (xxhash64($"query_id") % 997) / lit(500000.0))
+    val viaBroadcast = Reverse.reverse(pts, polys, polyCells, broadcastIndex = true)
+      .select("query_id", "polygon_id", "formatted").orderBy("query_id").collect()
+    val viaShuffle = Reverse.reverse(pts, polys, polyCells, broadcastIndex = false)
+      .select("query_id", "polygon_id", "formatted").orderBy("query_id").collect()
+    assert(viaBroadcast.toSeq === viaShuffle.toSeq)
+    assert(viaBroadcast.exists(_.getAs[String]("formatted") != null))
+  }
+
   test("salted join produces identical results to plain join") {
     val big = Synth.pages(spark, 200, 4).toDF()
       .select($"url", substring($"lang", 0, 2).as("key"))
