@@ -93,8 +93,8 @@ object Bench {
     // `cycles` rounds and take the best throughput of each: both levels get
     // to sample the same quiet windows.
     val nLow = math.max(2, cpus / 4)
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "500000").toLong
-    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "2").toInt
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "3").toInt
     var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
     var cyc = 0
     while (cyc < cycles) {

@@ -37,12 +37,9 @@ object Forward {
 
   val normalizeUdf = udf((s: String) => if (s == null) null else Norm.normalize(s))
 
-  /** Candidate join: rows with `norm` column joined to the gazetteer name
-    * index with params-driven pre-filters on the broadcast side. Public for
-    * the streaming surface, which replaces the batch top-k with a
-    * watermarked windowed aggregation. */
-  def candidates(withNorm: DataFrame, nameIndex: DataFrame,
-                 params: ForwardParams): DataFrame = {
+  /** Params-driven pre-filters applied to the (broadcast-sized) name index
+    * BEFORE any join — shrinks both broadcast payload and join output. */
+  def filterIndex(nameIndex: DataFrame, params: ForwardParams): DataFrame = {
     var gaz = nameIndex
     params.viewbox.foreach { b =>
       gaz = gaz.filter(col("lon").between(b.minLon, b.maxLon) &&
@@ -50,7 +47,30 @@ object Forward {
     }
     params.countrycode.foreach(cc => gaz = gaz.filter(col("country_code") === lc(cc)))
     params.origins.foreach(o => gaz = gaz.filter(col("feature_class").isin(o: _*)))
+    gaz
+  }
+
+  /** Candidate join: rows with `norm` column joined to the gazetteer name
+    * index with params-driven pre-filters on the broadcast side. Public for
+    * the streaming surface, which replaces the batch top-k with a
+    * watermarked windowed aggregation. */
+  def candidates(withNorm: DataFrame, nameIndex: DataFrame,
+                 params: ForwardParams): DataFrame = {
+    val gaz = filterIndex(nameIndex, params)
     withNorm.join(broadcast(gaz), withNorm("norm") === gaz("gaz_key"), "inner")
+  }
+
+  /** limit=1 scale path: the per-key best place is resolved ON THE BROADCAST
+    * SIDE (a tiny aggregation over the name index), so the big-side join is
+    * 1:<=1 and the query plan needs NO shuffle at all for top-1 forward
+    * geocoding — the whole verb is a map over the input. */
+  def top1Index(nameIndex: DataFrame, params: ForwardParams): DataFrame = {
+    val gaz = filterIndex(nameIndex, params)
+    val payload = gaz.columns.filterNot(_ == "gaz_key")
+    gaz.groupBy(col("gaz_key"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("weight"), col("importance"), -col("place_id"))).as("__b"))
+      .select(col("gaz_key") +: payload.map(c => col(s"__b.$c").as(c)): _*)
   }
 
   private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -142,12 +162,20 @@ object Forward {
                    params: ForwardParams = ForwardParams()): DataFrame =
     geocodeMentions(Extract.mentions(spark, pages, scanner), nameIndex, params)
 
-  /** Forward-join pre-extracted name mentions (kind='name'). */
+  /** Forward-join pre-extracted name mentions (kind='name'). limit=1 uses
+    * the shuffle-free top1Index join; general k ranks per (url, mention). */
   def geocodeMentions(mentions: DataFrame, nameIndex: DataFrame,
                       params: ForwardParams = ForwardParams()): DataFrame = {
     val names = mentions.filter(col("kind") === "name").drop("lon", "lat")
-    val joined = candidates(names, nameIndex, params).drop("gaz_key")
-    // rank per (url, mention) — one page can mention several places
-    project(topK(joined, Seq("url", "surface"), params.limit), params)
+    if (params.limit.contains(1)) {
+      val idx = top1Index(nameIndex, params)
+      val joined = names.join(broadcast(idx), names("norm") === idx("gaz_key"), "inner")
+        .drop("gaz_key").withColumn("result_rank", lit(1))
+      project(joined, params)
+    } else {
+      val joined = candidates(names, nameIndex, params).drop("gaz_key")
+      // rank per (url, mention) — one page can mention several places
+      project(topK(joined, Seq("url", "surface"), params.limit), params)
+    }
   }
 }

@@ -35,49 +35,77 @@ object Pipeline {
 
   /** Geocoded hits: one row per (url, mention) with resolved coordinates.
     * verb='forward' rows resolve name mentions to gazetteer places;
-    * verb='reverse' rows resolve coordinate literals to admin polygons. */
+    * verb='reverse' rows resolve coordinate literals to admin polygons.
+    *
+    * FUSED single-pass plan (the 100 TB shape): one scan of pages ->
+    * extraction -> two broadcast LEFT joins (top-1 name index on `norm`;
+    * packed polygon cell index on `cell`) -> conditional projection -> tile
+    * assignment. The big side never shuffles, never aggregates, and is
+    * scanned exactly once; the only exchange in the whole job is the
+    * optional per-tile rollup. Skew needs no salting here because there is
+    * no shuffle key at all — hot cells cost only broadcast-probe time.
+    */
   def geocode(spark: SparkSession, pages: DataFrame, nameIndex: DataFrame,
               polygons: DataFrame, polyCells: DataFrame, scanner: DictScanner,
               cfg: Config = Config()): DataFrame = {
 
-    // Both the forward and reverse branches consume mentions. Checkpointed
-    // runs re-read the stage Parquet; un-checkpointed runs persist the
-    // extraction so pages are scanned (and the extraction UDF run) exactly
-    // once — at 10^12-page scale this is the checkpoint path anyway.
-    val mentions = cfg.ckptDir match {
-      case Some(_) => maybeStage(spark, cfg, "mentions") {
-        Extract.mentions(spark, pages, scanner)
-      }
-      case None if sys.env.contains("GRAFT_NO_MENTION_CACHE") =>
-        Extract.mentions(spark, pages, scanner)
-      case None => Extract.mentions(spark, pages, scanner)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    }
-
-    val fwd = maybeStage(spark, cfg, "forward") {
-      Forward.geocodeMentions(mentions, nameIndex, cfg.fwdParams)
-        .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
-          col("surface"), lit("forward").as("verb"),
-          col("name"), col("place_id").as("ref_id"),
-          col("lon"), col("lat"), col("formatted"))
-    }
-
-    val rev = maybeStage(spark, cfg, "reverse") {
-      val coords = mentions.filter(col("kind") === "coord")
-        // query_id = the (url, literal) pair; keep page context alongside
-        .select(concat_ws("|", col("url"), col("surface")).as("query_id"),
-          col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
-          col("surface"), col("lon"), col("lat"))
-      Reverse.reverse(coords, polygons, polyCells, cfg.revParams)
-        .filter(col("geocode_status") === "ok")
-        .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
-          col("surface"), lit("reverse").as("verb"),
-          col("name"), col("polygon_id").as("ref_id"),
-          col("lon"), col("lat"), col("formatted"))
+    val mentions = maybeStage(spark, cfg, "mentions") {
+      Extract.mentions(spark, pages, scanner)
     }
 
     maybeStage(spark, cfg, "hits") {
-      Tiler.assign(fwd.unionByName(rev), cfg.tileZ)
+      // broadcast sides, built once per job
+      val top1 = Forward.top1Index(nameIndex, cfg.fwdParams)
+        .select(col("gaz_key"), col("place_id").as("g_place_id"),
+          col("name").as("g_name"), col("lon").as("g_lon"), col("lat").as("g_lat"),
+          col("country_code").as("g_cc"), col("city").as("g_city"),
+          col("road").as("g_road"), col("house_number").as("g_house"),
+          col("postcode").as("g_postcode"))
+      val packed = Reverse.packedCellIndex(polygons, polyCells)
+
+      val lang = cfg.revParams.language.map(_.toLowerCase(java.util.Locale.ROOT))
+      val fwdCountry = Format.countryNameCol(col("g_cc"), lang)
+
+      val joined = mentions
+        .withColumn("cell", when(col("kind") === "coord",
+          graft.functions.GeoFunctions.cellId(col("lon"), col("lat"),
+            lit(graft.geo.CellIndex.FineLevel))))
+        .join(broadcast(top1), mentions("norm") === top1("gaz_key"), "left")
+        .join(broadcast(packed), Seq("cell"), "left")
+        .withColumn("__rev", Reverse.bestPolygon(col("cands"), col("lon"), col("lat")))
+        .drop("cands")
+
+      def rv(f: String) = col("__rev").getField(f)
+      val revCity = lang.map(l => coalesce(element_at(rv("loc_city"), l), rv("fmt_city")))
+        .getOrElse(rv("fmt_city"))
+      val revCountry = lang.map(l => coalesce(element_at(rv("loc_country"), l), rv("fmt_country")))
+        .getOrElse(rv("fmt_country"))
+
+      val hits = joined
+        .withColumn("verb",
+          when(col("kind") === "name" && col("g_place_id").isNotNull, "forward")
+            .when(col("kind") === "coord" && rv("polygon_id").isNotNull, "reverse"))
+        .filter(col("verb").isNotNull)
+        .withColumn("name", when(col("verb") === "forward", col("g_name"))
+          .otherwise(rv("name")))
+        .withColumn("ref_id", when(col("verb") === "forward", col("g_place_id"))
+          .otherwise(rv("polygon_id")))
+        .withColumn("lon", when(col("verb") === "forward", col("g_lon"))
+          .otherwise(col("lon")))
+        .withColumn("lat", when(col("verb") === "forward", col("g_lat"))
+          .otherwise(col("lat")))
+        .withColumn("formatted", when(col("verb") === "forward",
+          Format.opencageFormatted(col("g_name"), col("g_house"), col("g_road"),
+            col("g_postcode"), col("g_city"), fwdCountry))
+          .otherwise(
+            when(rv("fmt_road").isNotNull, concat_ws(", ",
+              rv("fmt_road"), rv("fmt_house"),
+              concat_ws(" ", rv("fmt_postcode"), revCity), revCountry))
+              .otherwise(concat_ws(", ", rv("name"), revCity, revCountry))))
+        .select("url", "warc_ts", "lang", "text_sha256", "surface", "verb",
+          "name", "ref_id", "lon", "lat", "formatted")
+
+      Tiler.assign(hits, cfg.tileZ)
     }
   }
 

@@ -33,10 +33,48 @@ import graft.model.ReverseParams
  */
 object Reverse {
 
+  /** Fields carried per candidate polygon in the packed cell index. */
+  private val packedFields = Seq("polygon_id", "name", "admin_level",
+    "country_code", "ring_offsets", "ring_lons", "ring_lats",
+    "fmt_house", "fmt_road", "fmt_suburb", "fmt_city", "fmt_county",
+    "fmt_state", "fmt_region", "fmt_postcode", "fmt_country",
+    "loc_city", "loc_country")
+
+  /** Packed cell index: one row per covering cell, all candidate polygons as
+    * an array. Built once per job on the broadcast side. */
+  def packedCellIndex(polygons: DataFrame, cellIndex: DataFrame): DataFrame =
+    cellIndex.join(polygons, Seq("polygon_id"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(packedFields.map(col): _*)).as("cands"))
+
+  /** Ray-cast refinement + most-specific selection as pure array expressions
+    * over the packed candidates — no shuffle, no window, no aggregation on
+    * the big side. array_sort with an explicit (admin_level desc,
+    * polygon_id asc) comparator because structs holding MapType columns are
+    * not natively orderable; get(_, 0) is the null-safe head under ANSI. */
+  def bestPolygon(cands: Column, lon: Column, lat: Column): Column = {
+    val hits = filter(cands, p => rayCast(lon, lat,
+      p.getField("ring_offsets"), p.getField("ring_lons"), p.getField("ring_lats")))
+    val sorted = array_sort(hits, (l, r) =>
+      when(l.getField("admin_level") > r.getField("admin_level"), -1)
+        .when(l.getField("admin_level") < r.getField("admin_level"), 1)
+        .when(l.getField("polygon_id") < r.getField("polygon_id"), -1)
+        .when(l.getField("polygon_id") > r.getField("polygon_id"), 1)
+        .otherwise(0))
+    get(sorted, lit(0))
+  }
+
   /**
    * R1-R4 — PIP reverse. `points`: (query_id, lon, lat, ...).
-   * Output: one row per input point (left join semantics), formatted +
-   * components, geocode_status in {ok, no_result}.
+   * Output: one row per input point, formatted + components,
+   * geocode_status in {ok, no_result}.
+   *
+   * Default (broadcastIndex=true) is MAP-ONLY: broadcast hash join on the
+   * level-13 cell against the packed cell index, then ray-cast + best-pick
+   * as array expressions. The points side never shuffles and never
+   * aggregates — reverse geocoding 10^12 points is a single map stage.
+   * broadcastIndex=false is the world-polygon fallback: shuffle join on
+   * `cell` (geography-salted key) + groupBy/max_by selection.
    */
   def reverse(points: DataFrame, polygons: DataFrame, cellIndex: DataFrame,
               params: ReverseParams = ReverseParams(),
@@ -44,23 +82,27 @@ object Reverse {
     val pts = points.withColumn("cell", cellId(col("lon"), col("lat"),
       lit(graft.geo.CellIndex.FineLevel)))
 
-    val idx = if (broadcastIndex) broadcast(cellIndex) else cellIndex
-    val polyMeta = broadcast(polygons)
-
-    val cand = pts.join(idx, Seq("cell"), "inner")
-      .join(polyMeta, Seq("polygon_id"), "inner")
-      .filter(rayCast(col("lon"), col("lat"),
-        col("ring_offsets"), col("ring_lons"), col("ring_lats")))
-
-    // Most-specific polygon wins; deterministic tiebreak by polygon_id.
-    // Reverse returns exactly one row per point (opencage.rs:192), so this is
-    // a groupBy + max_by single-row aggregation, not a sort window: map-side
-    // combine collapses the co-partitioned PIP candidates before the exchange.
-    val payload = cand.columns.filterNot(_ == "query_id")
-    val best = cand.groupBy(col("query_id"))
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(col("admin_level"), -col("polygon_id"))).as("__best"))
-      .select(col("query_id") +: payload.map(c => col(s"__best.$c").as(c)): _*)
+    val best =
+      if (broadcastIndex) {
+        val packed = packedCellIndex(polygons, cellIndex)
+        pts.join(broadcast(packed), Seq("cell"), "left")
+          .withColumn("__best", bestPolygon(col("cands"), col("lon"), col("lat")))
+          .drop("cands")
+          .select(col("*") +: packedFields.map(c => col(s"__best.$c").as(c)): _*)
+          .drop("__best")
+      } else {
+        val cand = pts.join(cellIndex, Seq("cell"), "inner")
+          .join(broadcast(polygons), Seq("polygon_id"), "inner")
+          .filter(rayCast(col("lon"), col("lat"),
+            col("ring_offsets"), col("ring_lons"), col("ring_lats")))
+        val payload = (Seq("lon", "lat") ++ packedFields).distinct
+        val agg = cand.groupBy(col("query_id"))
+          .agg(max_by(struct(payload.map(col): _*),
+            struct(col("admin_level"), -col("polygon_id"))).as("__best"))
+          .select(col("query_id") +: payload.map(c => col(s"__best.$c").as(c)): _*)
+        // restore non-matching points (left semantics) and any extra columns
+        points.join(agg.drop("lon", "lat"), Seq("query_id"), "left")
+      }
 
     val lang = params.language.map(_.toLowerCase(java.util.Locale.ROOT))
     val city = lang.map(l => coalesce(element_at(col("loc_city"), l), col("fmt_city")))
@@ -69,27 +111,26 @@ object Reverse {
       .getOrElse(col("fmt_country"))
 
     var res = best
-      .withColumn("display_name", Format.osmDisplayName(col("fmt_road"),
-        col("fmt_house"), lit(null).cast("string"), col("fmt_suburb"), city,
-        col("fmt_county"), col("fmt_state"), col("fmt_region"),
-        col("fmt_postcode"), country))
-      .withColumn("formatted",
+      .withColumn("display_name", when(col("polygon_id").isNotNull,
+        Format.osmDisplayName(col("fmt_road"),
+          col("fmt_house"), lit(null).cast("string"), col("fmt_suburb"), city,
+          col("fmt_county"), col("fmt_state"), col("fmt_region"),
+          col("fmt_postcode"), country)))
+      .withColumn("formatted", when(col("polygon_id").isNotNull,
         when(col("fmt_road").isNotNull, concat_ws(", ",
           col("fmt_road"), col("fmt_house"),
           concat_ws(" ", col("fmt_postcode"), city), country))
-          .otherwise(concat_ws(", ", col("name"), city, country)))
+          .otherwise(concat_ws(", ", col("name"), city, country))))
     res =
       if (params.annotations)
         Annotate.withAnnotations(res, col("lon"), col("lat"), col("country_code"))
       else res
 
-    val resultCols = Seq("polygon_id", "name", "admin_level", "country_code",
-      "display_name", "formatted") ++ (if (params.annotations) Seq("annotations") else Nil)
-    val keep = res.select(col("query_id") +: resultCols.map(col): _*)
-
-    points.join(keep, Seq("query_id"), "left")
-      .withColumn("geocode_status",
+    res.withColumn("geocode_status",
         when(col("formatted").isNotNull, "ok").otherwise("no_result"))
+      .drop("ring_offsets", "ring_lons", "ring_lats", "fmt_house", "fmt_road",
+        "fmt_suburb", "fmt_city", "fmt_county", "fmt_state", "fmt_region",
+        "fmt_postcode", "fmt_country", "loc_city", "loc_country", "cell")
   }
 
   /**

@@ -14,22 +14,39 @@ import graft.model.Mention
   * Deterministic and locale-independent (Locale.ROOT). */
 object Norm extends Serializable {
   private val Combining = Pattern.compile("\\p{M}+")
-  private val NonWord = Pattern.compile("[^\\p{L}\\p{Nd}]+")
 
-  def normalize(s: String): String = {
-    // ASCII fast path: crawl text is overwhelmingly ASCII; NFD allocation is
-    // only paid when a non-ASCII codepoint exists.
+  /** Diacritic fold for non-ASCII text (slow path only). */
+  private def fold(s: String): String =
+    Combining.matcher(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    ).replaceAll("")
+
+  /** Single-pass tokenizer: lowercase + diacritic-fold + split on non-alnum.
+    * The extraction hot path — hand-rolled (no regex, no full-string copies)
+    * because it runs once per crawled page; ASCII text never leaves the
+    * fast path. */
+  def tokens(s: String): Array[String] = {
     var ascii = true
     var i = 0
     while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
-    val folded =
-      if (ascii) s
-      else Combining.matcher(
-        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      ).replaceAll("")
-    NonWord.matcher(folded.toLowerCase(java.util.Locale.ROOT))
-      .replaceAll(" ").trim
+    val src = if (ascii) s else fold(s)
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    val buf = new java.lang.StringBuilder(24)
+    i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      val isWord =
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'Z') || (c >= 0x80 && Character.isLetterOrDigit(c))
+      if (isWord) buf.append(Character.toLowerCase(c))
+      else if (buf.length > 0) { out += buf.toString; buf.setLength(0) }
+      i += 1
+    }
+    if (buf.length > 0) out += buf.toString
+    out.toArray
   }
+
+  def normalize(s: String): String = String.join(" ", tokens(s): _*)
 }
 
 /**
@@ -60,9 +77,10 @@ final class DictScanner(keys: Array[String]) extends Serializable {
 
   /** Longest dictionary match starting at each token position; matched spans
     * don't overlap (scan resumes after a match — deterministic). */
-  def scan(normText: String): Array[String] = {
-    if (normText.isEmpty) return Array.empty
-    val toks = normText.split(' ')
+  def scan(normText: String): Array[String] = scanTokens(normText.split(' '))
+
+  def scanTokens(toks: Array[String]): Array[String] = {
+    if (toks.isEmpty) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < toks.length) {
@@ -119,7 +137,7 @@ object Extract {
 
   def extractAll(text: String, scanner: DictScanner): Array[Mention] = {
     val coords = extractCoords(text)
-    val names = scanner.scan(Norm.normalize(text))
+    val names = scanner.scanTokens(Norm.tokens(text))
       .map(k => Mention("name", k, k, null, null))
     coords ++ names
   }

@@ -51,6 +51,24 @@ object Synth {
 
   private def positiveMod(x: Long, m: Int): Int = ((x % m + m) % m).toInt
 
+  /** "%.5f" without java.util.Formatter (hot path: one Formatter alloc per
+    * call costs more than the rest of the page build). */
+  private def fmt5(v: Double): String = {
+    val neg = v < 0
+    val scaled = math.round(math.abs(v) * 100000.0)
+    val ip = scaled / 100000L
+    val fp = (scaled % 100000L).toInt
+    val sb = new java.lang.StringBuilder(12)
+    if (neg) sb.append('-')
+    sb.append(ip).append('.')
+    if (fp < 10000) sb.append('0')
+    if (fp < 1000) sb.append('0')
+    if (fp < 100) sb.append('0')
+    if (fp < 10) sb.append('0')
+    sb.append(fp)
+    sb.toString
+  }
+
   /** Deterministic page for row id i: Common-Crawl-realistic ~0.5-1.5 KB of
     * text in sentence blocks; each block has ~1/4 chance of a place-name
     * mention and ~1/8 of a coordinate literal — several mentions per page on
@@ -88,7 +106,8 @@ object Synth {
             val (alon, alat) = anchors(positiveMod(mix(i, k + 5), anchors.length))
             val jLon = (positiveMod(mix(i, k + 6), 2001) - 1000) / 1000.0 * 0.002
             val jLat = (positiveMod(mix(i, k + 7), 2001) - 1000) / 1000.0 * 0.002
-            sb.append(f"at ${alat + jLat}%.5f, ${alon + jLon}%.5f exactly")
+            sb.append("at ").append(fmt5(alat + jLat)).append(", ")
+              .append(fmt5(alon + jLon)).append(" exactly")
           }
           sb.append(". ")
           blk += 1

@@ -87,7 +87,7 @@ class PipelineSpec extends AnyFunSuite {
 
     val lin = Checkpoint.metrics(spark, dir)
     val stages = lin.select("stage").distinct().as[String].collect().toSet
-    assert(stages === Set("mentions", "forward", "reverse", "hits"))
+    assert(stages === Set("mentions", "hits"))
     // second run resumed every stage
     assert(lin.filter($"run_id" === "r2" && !$"resumed").count() === 0)
     assert(lin.filter($"run_id" === "r1" && $"resumed").count() === 0)
