@@ -61,7 +61,11 @@ case class AdminPolygon(
 
 /** Bounding box; min = SW corner, max = NE corner
   * (/root/reference/src/lib.rs:138-147). */
-case class Bounds(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)
+case class Bounds(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double) {
+  /** S1 — wire format "minLon,minLat,maxLon,maxLat"
+    * (/root/reference/src/lib.rs:168-182). Used for lineage strings. */
+  def wire: String = s"$minLon,$minLat,$maxLon,$maxLat"
+}
 
 /** Forward-geocode parameter surface — union of the three providers' params
   * (SURVEY.md §1.2): OpenstreetmapParams (/root/reference/src/openstreetmap.rs:36-93),

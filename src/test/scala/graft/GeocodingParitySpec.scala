@@ -171,6 +171,26 @@ class GeocodingParitySpec extends AnyFunSuite {
     assert(r.head.getAs[String]("formatted").contains("Barcelone"))
   }
 
+  // S1 — InputBounds wire format (lib.rs:168-182)
+  test("bounds wire format matches the reference's Display impl") {
+    val b = Bounds(-0.13806939125061035, 51.51989264641164,
+      -0.13427138328552246, 51.52319711775629)
+    assert(b.wire ===
+      "-0.13806939125061035,51.51989264641164,-0.13427138328552246,51.52319711775629")
+  }
+
+  // E6 iterative expansion: kNN keeps widening rings until k found
+  test("knnComplete finds k places even when ring 1 is empty") {
+    // point ~15 km from the nearest fixture place: ring 1 at level 13
+    // (~1.2 km cells) cannot reach it, iterative doubling must
+    val q = Seq((1L, 2.32, 41.50)).toDF("query_id", "lon", "lat")
+    assert(Knn.knn(q, gaz, k = 1, maxRing = 1).count() === 0)
+    val r = Knn.knnComplete(q, gaz, k = 1, startRing = 1, maxRingCap = 16)
+      .orderBy($"knn_rank").collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[String]("name") === "Barcelona")
+  }
+
   // kNN (E6)
   test("kNN: nearest place to a point just off Calatrava 64 is Calatrava 64") {
     val q = Seq((1L, 2.1289, 41.4015)).toDF("query_id", "lon", "lat")
