@@ -105,6 +105,15 @@ object Bench {
     }
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
 
+    // Second N->4N pair at small N (2 -> 8 cores): below the one-socket
+    // memory-bandwidth saturation point this isolates plan scalability from
+    // the shared memory controller (string-heavy workloads cap ~2.3x from
+    // 8->32 threads on one socket regardless of plan shape).
+    val nTiny = math.max(1, nLow / 4)
+    val (thrTiny, _) = throughputAt(nTiny, scalePages / 4)
+    val (thrMid, _) = throughputAt(nLow, scalePages / 4)
+    val effSmall = (thrMid / thrTiny) / (nLow.toDouble / nTiny)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -112,6 +121,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pipeline_pages":$scalePages,"pipeline_hits":$hits,""" +
       f""""pages_per_sec_n$nLow":$thrLow%.1f,"pages_per_sec_n$cpus":$thrHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f}""")
+      f""""scaling_efficiency":$eff%.3f,""" +
+      f""""pages_per_sec_n$nTiny":$thrTiny%.1f,""" +
+      f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f}""")
   }
 }

@@ -32,7 +32,7 @@ object BenchOne {
     // an Iceberg-shaped TABLE of pages — the measured job must read a table
     // (with parquet column pruning: html is never read by the pipeline),
     // not pay page synthesis per run.
-    val pagesDir = s"${sys.env.getOrElse("GRAFT_BENCH_TMP", "/tmp")}/graft_bench_pages_$cpus"
+    val pagesDir = s"${sys.env.getOrElse("GRAFT_BENCH_TMP", "/tmp")}/graft_bench_pages_$n"
     if (sys.env.contains("GRAFT_BENCH_STAGES")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -52,9 +52,12 @@ object BenchOne {
       })
     }
     try {
-      val parts = sys.env.getOrElse("GRAFT_BENCH_PARTS_FACTOR", "2").toInt * cpus
-      Synth.pages(spark, n, parts).toDF()
-        .write.mode("overwrite").parquet(pagesDir)
+      // reuse across sequential child JVMs (same n => identical table);
+      // partition count fixed so the table is byte-identical either way
+      if (!new java.io.File(s"$pagesDir/_SUCCESS").exists()) {
+        Synth.pages(spark, n, 64).toDF()
+          .write.mode("overwrite").parquet(pagesDir)
+      }
       def pipeline(pagesDf: org.apache.spark.sql.DataFrame): Long = {
         import org.apache.spark.sql.functions.{col, length, sum}
         benchMode match {
