@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{DictScanner, Extract}
+
+/**
+ * E2 as a native Catalyst expression: text -> array<struct<kind, surface,
+ * norm, lon, lat>> of extracted mentions. Replaces the ScalaUDF variant —
+ * the output rows are built directly as InternalRows, skipping the encoder
+ * converter layer a UDF pays per row. The broadcast dictionary handle is a
+ * constructor field, so the expression serializes into the physical plan and
+ * executors fetch the dictionary blocks once (standard Broadcast semantics).
+ *
+ * CodegenFallback is deliberate: the per-row cost is the regex/trie scan,
+ * not expression dispatch, and fallback keeps the surrounding operators
+ * inside WholeStageCodegen.
+ */
+case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ExtractMentionsExpr.schema
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val ms = Extract.extractAll(text, scanner.value)
+    val out = new Array[Any](ms.length)
+    var i = 0
+    while (i < ms.length) {
+      val m = ms(i)
+      out(i) = InternalRow(
+        UTF8String.fromString(m.kind),
+        UTF8String.fromString(m.surface),
+        if (m.norm == null) null else UTF8String.fromString(m.norm),
+        if (m.lon == null) null else m.lon.doubleValue(),
+        if (m.lat == null) null else m.lat.doubleValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractMentionsExpr =
+    copy(child = newChild)
+}
+
+object ExtractMentionsExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("surface", StringType, nullable = false),
+    StructField("norm", StringType, nullable = true),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true))), containsNull = false)
+}
