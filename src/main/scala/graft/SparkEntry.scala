@@ -205,8 +205,19 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         length(col("text")).as("len"),
         (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
-          .as("n_tokens_ws"),
+          .as("n_tokens_ws"))),
+    "doc_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+    "q9_running_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
     "emb_neardup_cosine" -> ((s, dir) => {
       val base = embs(s, dir).select(col("vec_id"), col("embedding"))
       val withDups = base.unionByName(base.filter(col("vec_id") % 50 === 0)
@@ -312,7 +323,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS dup_count
-        |FROM all_docs GROUP BY text""".stripMargin
+        |FROM all_docs GROUP BY text""".stripMargin,
+    "doc_token_stats" ->
+      """SELECT doc_id, length(text) AS len,
+        |length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens_ws
+        |FROM documents""".stripMargin,
+    "q9_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin
   )
   // The sketch/ANN/geocoding queries (minhash, simhash, LSH, cell ids,
   // BPE-ish token count, pipeline) are intentionally oracle-less: their
