@@ -219,19 +219,29 @@ object Extract {
    * Column-pruned scan: only url/warc_ts/lang/text are read (never html).
    */
   def mentions(spark: SparkSession, pages: DataFrame, scanner: DictScanner): DataFrame = {
-    val ex =
-      if (sys.env.contains("GRAFT_EXTRACT_UDF"))
-        mentionsUdf(broadcastOnce(spark, scanner))(col("text"))
-      else org.apache.spark.sql.GraftBridge.column(
+    if (sys.env.contains("GRAFT_EXTRACT_UDF")) {
+      val ex = mentionsUdf(broadcastOnce(spark, scanner))(col("text"))
+      pages
+        .select(col("url"), col("warc_ts"), col("lang"),
+          GeoFunctions.sha256Hex(col("text")).as("text_sha256"),
+          explode(ex).as("m"))
+        .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
+          col("m.kind").as("kind"), col("m.surface").as("surface"),
+          col("m.norm").as("norm"), col("m.lon").as("lon"), col("m.lat").as("lat"))
+    } else {
+      // native expression: sha + mentions from one pass over the page text
+      val ex = org.apache.spark.sql.GraftBridge.column(
         graft.functions.ExtractMentionsExpr(
           org.apache.spark.sql.GraftBridge.expression(col("text")),
           broadcastOnce(spark, scanner)))
-    pages
-      .select(col("url"), col("warc_ts"), col("lang"),
-        GeoFunctions.sha256Hex(col("text")).as("text_sha256"),
-        explode(ex).as("m"))
-      .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
-        col("m.kind").as("kind"), col("m.surface").as("surface"),
-        col("m.norm").as("norm"), col("m.lon").as("lon"), col("m.lat").as("lat"))
+      pages
+        .select(col("url"), col("warc_ts"), col("lang"), ex.as("x"))
+        .select(col("url"), col("warc_ts"), col("lang"),
+          col("x.text_sha256").as("text_sha256"),
+          explode(col("x.mentions")).as("m"))
+        .select(col("url"), col("warc_ts"), col("lang"), col("text_sha256"),
+          col("m.kind").as("kind"), col("m.surface").as("surface"),
+          col("m.norm").as("norm"), col("m.lon").as("lon"), col("m.lat").as("lat"))
+    }
   }
 }

@@ -29,13 +29,14 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
   override def nullable: Boolean = false
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    val u = input.asInstanceOf[UTF8String]
+    val text = u.toString
     val ms = Extract.extractAll(text, scanner.value)
-    val out = new Array[Any](ms.length)
+    val arr = new Array[Any](ms.length)
     var i = 0
     while (i < ms.length) {
       val m = ms(i)
-      out(i) = InternalRow(
+      arr(i) = InternalRow(
         UTF8String.fromString(m.kind),
         UTF8String.fromString(m.surface),
         if (m.norm == null) null else UTF8String.fromString(m.norm),
@@ -43,12 +44,18 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
         if (m.lat == null) null else m.lat.doubleValue())
       i += 1
     }
-    new GenericArrayData(out)
+    // sha over the SAME UTF8String bytes (byte-identity invariant) — fused
+    // here so the page text is materialized exactly once per page
+    InternalRow(
+      UTF8String.fromString(graft.geo.Geo.sha256HexBytes(u.getBytes)),
+      new GenericArrayData(arr))
   }
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+    if (v == null)
+      InternalRow(null, new GenericArrayData(Array.empty[Any]))
+    else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ExtractMentionsExpr =
@@ -56,10 +63,14 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
 }
 
 object ExtractMentionsExpr {
-  val schema: DataType = ArrayType(StructType(Seq(
+  val mentionsSchema: DataType = ArrayType(StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("surface", StringType, nullable = false),
     StructField("norm", StringType, nullable = true),
     StructField("lon", DoubleType, nullable = true),
     StructField("lat", DoubleType, nullable = true))), containsNull = false)
+
+  val schema: DataType = StructType(Seq(
+    StructField("text_sha256", StringType, nullable = true),
+    StructField("mentions", mentionsSchema, nullable = false)))
 }

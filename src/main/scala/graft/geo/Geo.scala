@@ -174,10 +174,13 @@ object Geo {
     * thread-local (getInstance per row costs more than the hash itself). */
   private final val HexChars = "0123456789abcdef".toCharArray
 
-  def sha256Hex(s: String): String = {
+  def sha256Hex(s: String): String =
+    sha256HexBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def sha256HexBytes(bytes: Array[Byte]): String = {
     val md = sha256Local.get()
     md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest(bytes)
     val out = new Array[Char](64)
     var i = 0
     while (i < d.length) {
