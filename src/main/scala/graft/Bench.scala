@@ -74,13 +74,19 @@ object Bench {
 
     // 1. per-query timings on the sf dir at the driver-requested parallelism
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
+    // A failing query must NOT masquerade as a fast one: failures are
+    // recorded by name and surfaced in the JSON artifact.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else {
         val spark = session(cpus)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              errors(name) = e.getClass.getSimpleName
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
         spark.stop()
@@ -126,9 +132,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_errors":$errJson,"sf":"$sfDir",""" +
       s""""pipeline_pages":$scalePages,"pipeline_hits":$hits,""" +
       f""""pages_per_sec_n$nLow":$thrLow%.1f,"pages_per_sec_n$cpus":$thrHigh%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +

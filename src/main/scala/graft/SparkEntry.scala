@@ -55,12 +55,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core over TPC-H-ish tables (oracle-backed) ----------
+    // Revenue sums go through DECIMAL(30,6): the per-row double product is
+    // bit-identical in Spark and DuckDB, and the decimal SUM is exact and
+    // order-insensitive — immune to partial-agg summation-order drift that
+    // can exceed the 4dp rounding grain on ~1e10 sums.
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .as("sum_disc_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6))), 4)
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
     }),
     "q2_join_topk" -> ((s, dir) => {
@@ -70,8 +75,9 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6))), 4)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
     "q3_window" -> ((s, dir) => {
@@ -247,10 +253,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |  AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q2_join_topk" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      """SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice
+        |  * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'

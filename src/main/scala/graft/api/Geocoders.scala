@@ -102,8 +102,12 @@ class Opencage(spark: SparkSession, language: Option[String] = None,
  */
 class GeoAdmin(spark: SparkSession, sr: String = "4326")
     extends EngineGeocoder(spark) {
+  /** The reference pins BOTH limit=1 and origins=address in GeoAdmin::forward
+    * (geoadmin.rs:236-237) — without the origins pin, gazetteer/zipcode
+    * features would leak through where the reference returns no result. */
   def forward(queries: DataFrame): DataFrame =
-    fwd(queries, ForwardParams(limit = Some(1), sr = sr))
+    fwd(queries, ForwardParams(limit = Some(1), sr = sr,
+      origins = Some(Seq("address"))))
       .select(col("query_id"), col("result_rank"), col("x"), col("y"))
 
   def forwardFull(queries: DataFrame, params: ForwardParams): DataFrame =

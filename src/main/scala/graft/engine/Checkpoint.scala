@@ -40,17 +40,46 @@ object Checkpoint {
       .withColumn("run_id", lit(runId))
   }
 
+  /** Read the stored fingerprint of a stage checkpoint, if any. */
+  private def storedFingerprint(spark: SparkSession, outPath: String): Option[String] = {
+    val f = fs(spark, outPath)
+    val p = new Path(outPath, "_GRAFT_FINGERPRINT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeFingerprint(spark: SparkSession, outPath: String, fp: String): Unit = {
+    val out = fs(spark, outPath).create(new Path(outPath, "_GRAFT_FINGERPRINT"), true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /**
    * Run (or resume) one stage. On a cold run: materialize `build` to Parquet,
    * then write lineage from the *persisted* output (so checksums describe
    * exactly the bytes a resume will read). On resume: read the checkpoint,
    * append a lineage record marking resumed=true.
+   *
+   * `fingerprint` guards against stale resumes: it is stored next to the
+   * checkpoint on a cold run, and a resume whose fingerprint differs (input
+   * schema or job params changed since the checkpoint was written) recomputes
+   * instead of silently returning stale output. Callers derive it from the
+   * input schema + config (see Pipeline); content changes under an identical
+   * schema+config are the caller's contract (documented limitation — a full
+   * content scan would defeat the point of resuming).
    */
-  def stage(spark: SparkSession, ckptDir: String, name: String, runId: String = "run")
+  def stage(spark: SparkSession, ckptDir: String, name: String, runId: String = "run",
+            fingerprint: String = "")
            (build: => DataFrame): DataFrame = {
     val outPath = s"$ckptDir/$name"
     val linPath = s"$ckptDir/_lineage/$name"
-    if (exists(spark, outPath)) {
+    val fpOk = fingerprint.isEmpty ||
+      storedFingerprint(spark, outPath).forall(_ == fingerprint)
+    if (exists(spark, outPath) && fpOk) {
       val df = spark.read.parquet(outPath)
       lineage(df, name, 0L, resumed = true, runId)
         .write.mode("append").parquet(linPath)
@@ -59,6 +88,7 @@ object Checkpoint {
       val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(outPath)
       val wallMs = (System.nanoTime() - t0) / 1000000
+      if (fingerprint.nonEmpty) writeFingerprint(spark, outPath, fingerprint)
       val persisted = spark.read.parquet(outPath)
       lineage(persisted, name, wallMs, resumed = false, runId)
         .write.mode("append").parquet(linPath)

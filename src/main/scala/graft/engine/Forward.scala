@@ -162,20 +162,35 @@ object Forward {
                    params: ForwardParams = ForwardParams()): DataFrame =
     geocodeMentions(Extract.mentions(spark, pages, scanner), nameIndex, params)
 
-  /** Forward-join pre-extracted name mentions (kind='name'). limit=1 uses
-    * the shuffle-free top1Index join; general k ranks per (url, mention). */
+  /** Forward-join pre-extracted mentions. Name mentions (kind='name') resolve
+    * against the gazetteer index — limit=1 uses the shuffle-free top1Index
+    * join; general k ranks per (url, mention). Coordinate-literal mentions
+    * (kind='coord') pass through with their parsed (lon, lat) and null
+    * gazetteer fields, in the SAME single-pass plan (a left broadcast join —
+    * coord rows have null `norm`, so they never match; no second scan of the
+    * mentions/extraction subtree). */
   def geocodeMentions(mentions: DataFrame, nameIndex: DataFrame,
                       params: ForwardParams = ForwardParams()): DataFrame = {
-    val names = mentions.filter(col("kind") === "name").drop("lon", "lat")
-    if (params.limit.contains(1)) {
-      val idx = top1Index(nameIndex, params)
-      val joined = names.join(broadcast(idx), names("norm") === idx("gaz_key"), "inner")
-        .drop("gaz_key").withColumn("result_rank", lit(1))
-      project(joined, params)
-    } else {
-      val joined = candidates(names, nameIndex, params).drop("gaz_key")
-      // rank per (url, mention) — one page can mention several places
-      project(topK(joined, Seq("url", "surface"), params.limit), params)
+    val idx0 = if (params.limit.contains(1)) top1Index(nameIndex, params)
+               else filterIndex(nameIndex, params)
+    // gazetteer lon/lat must not clobber the coord mentions' parsed lon/lat
+    val idx = idx0.withColumnRenamed("lon", "__g_lon").withColumnRenamed("lat", "__g_lat")
+    val joined = mentions
+      .join(broadcast(idx), mentions("norm") === idx("gaz_key"), "left")
+      .filter(col("kind") === "coord" || col("gaz_key").isNotNull)
+      .withColumn("lon", when(col("kind") === "name", col("__g_lon")).otherwise(col("lon")))
+      .withColumn("lat", when(col("kind") === "name", col("__g_lat")).otherwise(col("lat")))
+      .drop("__g_lon", "__g_lat", "gaz_key")
+    val ranked =
+      if (params.limit.contains(1)) joined.withColumn("result_rank", lit(1))
+      // rank per (url, mention) — one page can mention several places; coord
+      // rows are singletons per (url, surface) and rank 1 by construction
+      else topK(joined, Seq("url", "surface"), params.limit)
+    val out = project(ranked, params)
+    // provider-style formatted strings are meaningless for raw coordinate
+    // literals (they format on reverse paths instead) — null them out
+    Seq("display_name", "formatted", "label").foldLeft(out) { (d, c) =>
+      d.withColumn(c, when(col("kind") === "name", col(c)))
     }
   }
 }

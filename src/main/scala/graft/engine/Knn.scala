@@ -48,25 +48,40 @@ object Knn {
         col("g_lon").as("place_lon"), col("g_lat").as("place_lat"), col("dist_m"))
   }
 
-  /** Iterative-expansion variant: queries still short of k matches re-run at
-    * doubled ring radius until satisfied or maxRingCap reached. Driver loop
-    * over a shrinking residual — each pass is a full Spark job, no collect of
-    * data rows. */
+  /** Iterative-expansion variant: queries re-run at doubled ring radius until
+    * their k-th nearest candidate is PROVABLY the true k-th nearest, or
+    * maxRingCap is reached. Driver loop over a shrinking residual — each pass
+    * is a full Spark job, no collect of data rows.
+    *
+    * Correctness: having >= k candidates inside ring r is NOT sufficient — a
+    * strictly nearer place can sit one ring further out when the query is
+    * near a cell boundary. A query is only satisfied when its k-th candidate
+    * distance <= r * CellIndex.minEdgeMeters(level), the guaranteed coverage
+    * radius of ring r (every unexplored point is farther than that bound), so
+    * no point outside the ring can displace the returned top-k. At the cap,
+    * results are returned as-is (documented approximation beyond
+    * maxRingCap * minEdge meters). */
   def knnComplete(queries: DataFrame, gazetteer: DataFrame, k: Int,
                   startRing: Int = 1, maxRingCap: Int = 8): DataFrame = {
     var ring = startRing
-    var residual = queries
+    var residual = queries.cache()
     var acc: DataFrame = null
     while (ring <= maxRingCap && !residual.isEmpty) {
-      val got = knn(residual, gazetteer, k, ring)
-      val satisfied = got.groupBy("query_id").count().filter(col("count") >= k)
+      val coverageM = ring * graft.geo.CellIndex.minEdgeMeters(graft.geo.CellIndex.FineLevel)
+      val got = knn(residual, gazetteer, k, ring).cache()
+      val satisfied = got.groupBy("query_id")
+        .agg(count(lit(1)).as("__n"), max(col("dist_m")).as("__kdist"))
+        .filter(col("__n") >= k && col("__kdist") <= coverageM)
         .select("query_id")
       val done = got.join(satisfied, Seq("query_id"), "left_semi")
       acc = if (acc == null) done else acc.unionByName(done)
-      residual = residual.join(satisfied, Seq("query_id"), "left_anti")
+      val next = residual.join(satisfied, Seq("query_id"), "left_anti").cache()
+      residual.unpersist()
+      residual = next
       ring *= 2
     }
-    // whatever the residual found at the final radius (may be < k results)
+    // whatever the residual found at the final radius (may be < k results,
+    // and beyond the coverage guarantee — best effort at the cap)
     if (residual.isEmpty) acc
     else {
       val last = knn(residual, gazetteer, k, maxRingCap)

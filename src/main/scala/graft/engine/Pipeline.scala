@@ -26,12 +26,22 @@ object Pipeline {
       fwdParams: ForwardParams = ForwardParams(limit = Some(1)),
       revParams: ReverseParams = ReverseParams())
 
-  private def maybeStage(spark: SparkSession, cfg: Config, name: String)
+  private def maybeStage(spark: SparkSession, cfg: Config, name: String,
+                         fingerprint: String)
                         (build: => DataFrame): DataFrame =
     cfg.ckptDir match {
-      case Some(dir) => Checkpoint.stage(spark, dir, name, cfg.runId)(build)
+      case Some(dir) =>
+        Checkpoint.stage(spark, dir, name, cfg.runId, fingerprint)(build)
       case None => build
     }
+
+  /** Stage fingerprint: input schema + job params. A resume against the same
+    * ckptDir with a different input shape or different Config recomputes
+    * instead of returning stale output (Checkpoint.stage validates). */
+  private def fingerprintOf(pages: DataFrame, cfg: Config): String = {
+    val s = pages.schema.json + "|" + cfg.tileZ + "|" + cfg.fwdParams + "|" + cfg.revParams
+    java.lang.Long.toHexString(graft.text.TextCore.fnv64(s))
+  }
 
   /** Geocoded hits: one row per (url, mention) with resolved coordinates.
     * verb='forward' rows resolve name mentions to gazetteer places;
@@ -49,11 +59,12 @@ object Pipeline {
               polygons: DataFrame, polyCells: DataFrame, scanner: DictScanner,
               cfg: Config = Config()): DataFrame = {
 
-    val mentions = maybeStage(spark, cfg, "mentions") {
+    val fp = fingerprintOf(pages, cfg)
+    val mentions = maybeStage(spark, cfg, "mentions", fp) {
       Extract.mentions(spark, pages, scanner)
     }
 
-    maybeStage(spark, cfg, "hits") {
+    maybeStage(spark, cfg, "hits", fp) {
       // broadcast sides, built once per job
       val top1 = Forward.top1Index(nameIndex, cfg.fwdParams)
         .select(col("gaz_key"), col("place_id").as("g_place_id"),

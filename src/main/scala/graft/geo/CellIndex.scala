@@ -123,6 +123,25 @@ object CellIndex {
     (lon, lat)
   }
 
+  /**
+   * Conservative LOWER bound on the ground length of one cell step at `level`,
+   * in meters. Derivation: one (s,t) grid step is 2^-level; the quadratic
+   * st->uv transform has |d(uv)/d(st)| >= 4/3 (minimum at s=0.5); and the
+   * angular rate of the face projection |d(theta)/du| = sqrt(1+v^2) /
+   * (1+u^2+v^2) >= sqrt(2)/3 > 1/3 over the face (minimum at the corners).
+   * So one step subtends >= (4/3)*(1/3)*2^-level radians — ~346 m at level 13
+   * versus the ~1.2 km typical edge, i.e. ~3.5x conservative, which is the
+   * correct direction for a coverage guarantee.
+   *
+   * Guarantee used by kNN (E6): every point strictly outside kRing(cell, r)
+   * of a query point inside `cell` is at ground distance > r *
+   * minEdgeMeters(level) (the r full cells between them each span at least
+   * one grid step). Near cube-face corners rings are approximate (see kRing);
+   * the bound stays safe because re-encoded neighbours only ever ADD cells.
+   */
+  def minEdgeMeters(level: Int): Double =
+    Geo.EarthRadiusM * (4.0 / 9.0) / (1L << level).toDouble
+
   /** Parent cell at a coarser level. */
   def parent(cell: Long, parentLevel: Int): Long = {
     val lv = level(cell)

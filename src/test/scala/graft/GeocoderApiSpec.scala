@@ -61,6 +61,16 @@ class GeocoderApiSpec extends AnyFunSuite {
     assert(r.head.getAs[String]("formatted") === null)
   }
 
+  test("GeoAdmin.forward pins origins=address (geoadmin.rs:236): " +
+      "gazetteer-only names return 0 rows") {
+    // "Schwabing" resolves through OSM/OpenCage facades but is feature_class
+    // 'gazetteer' — the reference's GeoAdmin::forward hardcodes
+    // origins=address, so it must return no result here.
+    val q = Seq((1L, "Schwabing, München")).toDF("query_id", "query")
+    assert(ga.forward(q).count() === 0)
+    assert(osm.forward(q).count() === 1)
+  }
+
   test("unknown names return 0 rows, not an error") {
     assert(osm.forward(Seq((1L, "Atlantis Prime")).toDF("query_id", "query"))
       .count() === 0)

@@ -191,6 +191,38 @@ class GeocodingParitySpec extends AnyFunSuite {
     assert(r.head.getAs[String]("name") === "Barcelona")
   }
 
+  // E6 coverage guarantee: >=k candidates in ring r is NOT enough — a nearer
+  // place can sit one ring further out when the query hugs a cell boundary.
+  // knnComplete must match brute-force haversine top-k exactly, membership
+  // AND order, over a dense random field (50 queries x 60 places).
+  test("knnComplete equals brute-force top-k (ring-boundary correctness)") {
+    def mix(i: Long) = { // splitmix-ish, deterministic
+      var z = i * 0x9E3779B97F4A7C15L + 7L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0xfffffffL
+    }
+    val places = (0 until 60).map { i =>
+      graft.model.GazetteerRow(9000L + i, s"P$i", Seq(s"p$i"), Map.empty,
+        2.10 + mix(i) % 10000 / 100000.0, 41.40 + mix(i + 999) % 10000 / 100000.0,
+        "gazetteer", "es", null, null, null, null, null, null, null, 20, 0.5, 100)
+    }
+    val gazDf = Gazetteer.gazetteerDF(spark, places)
+    val queries = (0 until 50).map { i =>
+      (i.toLong, 2.10 + mix(i + 5555) % 10000 / 100000.0,
+        41.40 + mix(i + 7777) % 10000 / 100000.0)
+    }
+    val q = queries.toDF("query_id", "lon", "lat")
+    val got = Knn.knnComplete(q, gazDf, k = 3, startRing = 1, maxRingCap = 64)
+      .orderBy($"query_id", $"knn_rank")
+      .select($"query_id", $"place_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    queries.foreach { case (qid, qlon, qlat) =>
+      val want = places.map(p => (graft.geo.Geo.haversineM(qlon, qlat, p.lon, p.lat),
+        p.place_id)).sorted.take(3).map(_._2)
+      assert(got(qid) === want, s"query $qid at ($qlon, $qlat)")
+    }
+  }
+
   // kNN (E6)
   test("kNN: nearest place to a point just off Calatrava 64 is Calatrava 64") {
     val q = Seq((1L, 2.1289, 41.4015)).toDF("query_id", "lon", "lat")
