@@ -238,7 +238,7 @@ object SparkEntry {
     }),
     "emb_knn_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.lshKnn(e.filter(col("vec_id") < 8), e, k = 5, bits = 4)
+      Similarity.lshKnn(e.filter(col("vec_id") < 8), e, k = 5, bits = 12, tables = 6)
         .withColumn("cos", round(col("cos"), 6))
     }),
     "mm_binary_meta" -> ((s, dir) =>

@@ -43,6 +43,9 @@ object TextInternal {
   def lshSig(v: ArrayData, bits: Int): Int =
     VecCore.lshSignature(v.toFloatArray(), bits)
 
+  def lshSigBand(v: ArrayData, bits: Int, band: Int): Int =
+    VecCore.lshSignatureBand(v.toFloatArray(), bits, band)
+
   def multiProbe(sig: Int, bits: Int): ArrayData =
     new GenericArrayData(VecCore.multiProbe(sig, bits))
 
@@ -106,6 +109,8 @@ object TextFunctions {
   def cosine(a: Column, b: Column): Column = invoke(DoubleType, "cosine", a, b)
   def vnorm(a: Column): Column = invoke(DoubleType, "vnorm", a)
   def lshSig(v: Column, bits: Column): Column = invoke(IntegerType, "lshSig", v, bits)
+  def lshSigBand(v: Column, bits: Column, band: Column): Column =
+    invoke(IntegerType, "lshSigBand", v, bits, band)
   def multiProbe(sig: Column, bits: Column): Column =
     invoke(ArrayType(IntegerType, containsNull = false), "multiProbe", sig, bits)
 

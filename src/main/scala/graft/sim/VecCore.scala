@@ -29,13 +29,19 @@ object VecCore {
     if ((graft.text.TextCore.mix(bit.toLong * 0x9E3779B97F4A7C15L + dim) & 1L) == 0L) 1.0 else -1.0
 
   /** `bits`-bit random-hyperplane LSH signature (sign of projections). */
-  def lshSignature(v: Array[Float], bits: Int): Int = {
+  def lshSignature(v: Array[Float], bits: Int): Int = lshSignatureBand(v, bits, 0)
+
+  /** Signature from the `band`-th independent hyperplane set — multi-band
+    * (multi-table) LSH: a near-dup pair is a candidate if ANY band collides.
+    * band 0 reproduces lshSignature. */
+  def lshSignatureBand(v: Array[Float], bits: Int, band: Int): Int = {
+    val base = band * bits
     var sig = 0
     var b = 0
     while (b < bits) {
       var s = 0.0
       var i = 0
-      while (i < v.length) { s += v(i) * rade(b, i); i += 1 }
+      while (i < v.length) { s += v(i) * rade(base + b, i); i += 1 }
       if (s >= 0) sig |= (1 << b)
       b += 1
     }
