@@ -247,7 +247,132 @@ object SparkEntry {
     "mm_features" -> ((s, dir) =>
       Multimodal.withFeatures(Synth.pagesDF(s, dir).limit(1000), dim = 16)
         .select(col("url"), round(graft.functions.TextFunctions.vnorm(col("features")), 6)
-          .as("feat_norm")))
+          .as("feat_norm"))),
+
+    // ---- oracle-backed ENGINE-VERB queries over arithmetic-derived worlds:
+    // the geocoding verbs run through the real engine operators (knnComplete
+    // ring expansion, Reverse cell-join + ray-cast, Forward normalize + join
+    // + rank, projectCrs) while DuckDB independently recomputes the same
+    // world with ANSI SQL — the hard correctness signal for E4/E5/E6/C3-C5.
+    "geo_knn_oracle" -> ((s, dir) => {
+      val q = s.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey").as("query_id"),
+        (lit(2.0) + col("n_nationkey") * 0.03).as("lon"),
+        (lit(41.0) + col("n_nationkey") * 0.02).as("lat"))
+      val gaz = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey").as("place_id"),
+          concat(lit("P"), col("o_orderkey")).as("name"),
+          lit("gazetteer").as("feature_class"), lit("xx").as("country_code"),
+          ((col("o_orderkey") * 7919 % 1000) / lit(1000.0) + 2.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 1000) / lit(1000.0) + 41.0).as("lat"))
+        .withColumn("cell13", GeoFunctions.cellId(col("lon"), col("lat"),
+          lit(graft.geo.CellIndex.FineLevel)))
+      // the REAL iterative-ring operator; its coverage guarantee makes it
+      // provably equal to the DuckDB brute-force haversine top-k
+      Knn.knnComplete(q, gaz, k = 5, startRing = 4, maxRingCap = 64)
+        .select(col("query_id"), col("knn_rank"), col("place_id"),
+          round(col("dist_m"), 0).cast("long").as("dist_m_round"))
+    }),
+    "geo_reverse_bbox" -> ((s, dir) => {
+      val nullS = (n: String) => lit(null).cast("string").as(n)
+      val nullM = (n: String) => lit(null).cast("map<string,string>").as(n)
+      val base = s.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey").as("polygon_id"),
+        ((col("n_nationkey") * 7 % 40) / lit(4.0) - 2.0).as("c_lon"),
+        (lit(41.0) + (col("n_nationkey") * 11 % 12) / lit(4.0)).as("c_lat"),
+        ((col("n_nationkey") % 5) / lit(10.0) + 0.3005).as("d_lon"),
+        ((col("n_nationkey") % 3) / lit(10.0) + 0.2505).as("d_lat"),
+        (lit(4) + col("n_nationkey") % 6).cast("int").as("admin_level"))
+      val polys = base.select(col("polygon_id"),
+        concat(lit("R"), col("polygon_id")).as("name"),
+        col("admin_level"), lit("xx").as("country_code"),
+        array(lit(0), lit(4)).as("ring_offsets"),
+        array(col("c_lon") - col("d_lon"), col("c_lon") + col("d_lon"),
+          col("c_lon") + col("d_lon"), col("c_lon") - col("d_lon")).as("ring_lons"),
+        array(col("c_lat") - col("d_lat"), col("c_lat") - col("d_lat"),
+          col("c_lat") + col("d_lat"), col("c_lat") + col("d_lat")).as("ring_lats"),
+        nullS("fmt_house"), nullS("fmt_road"), nullS("fmt_suburb"), nullS("fmt_city"),
+        nullS("fmt_county"), nullS("fmt_state"), nullS("fmt_region"),
+        nullS("fmt_postcode"), nullS("fmt_country"), nullM("loc_city"), nullM("loc_country"))
+      val cells = base.select(col("polygon_id"),
+        explode(GeoFunctions.coverBbox(
+          col("c_lon") - col("d_lon"), col("c_lat") - col("d_lat"),
+          col("c_lon") + col("d_lon"), col("c_lat") + col("d_lat"),
+          lit(graft.geo.CellIndex.FineLevel))).as("cell"))
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("query_id"),
+          ((col("o_orderkey") * 7919 % 10000) / lit(1000.0) - 4.0).as("lon"),
+          (lit(40.5) + (col("o_orderkey") * 104729 % 4000) / lit(1000.0)).as("lat"))
+      Reverse.reverse(pts, polys, cells, ReverseParams())
+        .select("query_id", "polygon_id", "geocode_status")
+    }),
+    "geo_forward_names" -> ((s, dir) => {
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val nullS = (n: String) => lit(null).cast("string").as(n)
+      def gazHalf(idOff: Int, wMul: Int) = nat.select(
+        Forward.normalizeUdf(col("n_name")).as("gaz_key"),
+        (col("n_nationkey") + idOff).as("place_id"), col("n_name").as("name"),
+        lit(null).cast("map<string,string>").as("altnames"),
+        (col("n_nationkey") * 2.0 - 20.0 + idOff).as("lon"),
+        (col("n_nationkey") * 1.5 - 10.0 + idOff).as("lat"),
+        lit("gazetteer").as("feature_class"), lit("xx").as("country_code"),
+        nullS("admin1"), nullS("admin2"), nullS("city"), nullS("suburb"),
+        nullS("road"), nullS("house_number"), nullS("postcode"),
+        lit(20).as("place_rank"), lit(0.5).as("importance"),
+        ((col("n_nationkey") * wMul) % 50 + 1).cast("int").as("weight"))
+      val idx = gazHalf(0, 13).unionByName(gazHalf(100, 29))
+      val q = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("query_id"), (col("o_orderkey") % 25).as("nk"))
+        .join(broadcast(nat), col("nk") === col("n_nationkey"))
+        .select(col("query_id"), concat(lit("  "),
+          when(col("query_id") % 2 === 0, lower(col("n_name"))).otherwise(col("n_name")),
+          lit("?!")).as("query"))
+      Forward.forward(q, idx, graft.model.ForwardParams())
+        .select("query_id", "result_rank", "place_id", "name", "x", "y")
+    }),
+    "geo_axis_swap" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey"),
+        (lit(7.0) + col("n_nationkey") * 0.02).as("lon"),
+        (lit(46.2) + col("n_nationkey") * 0.015).as("lat"))
+      Seq("4326", "21781", "2056", "3857").map { sr =>
+        val (x, y) = Forward.projectCrs(col("lon"), col("lat"), sr)
+        pts.select(col("n_nationkey"), lit(sr).as("sr"),
+          round(x, 4).as("x"), round(y, 4).as("y"))
+      }.reduce(_.unionByName(_))
+    }),
+    "geo_bounds_wire" -> ((s, dir) =>
+      // S1 — InputBounds wire strings (lib.rs:168-182) on a .25 grid so the
+      // double->string render is the exact shortest form in both engines
+      s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey"),
+        concat_ws(",",
+          (col("n_nationkey") * 0.5 - 10.25).cast("string"),
+          (col("n_nationkey") * 0.25 - 3.25).cast("string"),
+          (col("n_nationkey") * 0.5 - 7.75).cast("string"),
+          (col("n_nationkey") * 0.25 - 1.5).cast("string")).as("wire"))),
+    "geo_dms" -> ((s, dir) =>
+      s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey"),
+        GeoFunctions.dms(col("n_nationkey") * 0.025 - 0.2, lit(false)).as("dms_lon"),
+        GeoFunctions.dms(col("n_nationkey") * 0.015 - 0.06, lit(true)).as("dms_lat"))),
+    "sim_band_join" -> ((s, dir) => {
+      // the LSH band-bucket candidate plan (band self-join + pair rollup)
+      // over integer-derived signatures — the relational scaffolding of
+      // Dedup.minhashLshPairs, oracle-checkable end to end
+      val bands = docs(s, dir).select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          j => pmod(col("doc_id"), j.cast("long") + 20)))
+          .as(Seq("band_idx", "band_hash")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 2)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,10 +466,207 @@ object SparkEntry {
         |sum(l_quantity) OVER (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "geo_knn_oracle" ->
+      """WITH q AS (SELECT n_nationkey AS query_id,
+        |  CAST(2.0 AS DOUBLE) + n_nationkey * CAST(0.03 AS DOUBLE) AS qlon,
+        |  CAST(41.0 AS DOUBLE) + n_nationkey * CAST(0.02 AS DOUBLE) AS qlat FROM nation),
+        |p AS (SELECT o_orderkey AS place_id,
+        |  (o_orderkey * 7919 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) AS plon,
+        |  (o_orderkey * 104729 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(41.0 AS DOUBLE) AS plat
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |d0 AS (SELECT query_id, place_id,
+        |  sin((plat - qlat) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slat,
+        |  sin((plon - qlon) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slon,
+        |  cos(qlat * (pi() / CAST(180.0 AS DOUBLE))) AS c1,
+        |  cos(plat * (pi() / CAST(180.0 AS DOUBLE))) AS c2 FROM q, p),
+        |d AS (SELECT query_id, place_id, CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE)
+        |  * asin(least(CAST(1.0 AS DOUBLE), sqrt(slat * slat + c1 * c2 * slon * slon))) AS dist_m
+        |  FROM d0),
+        |r AS (SELECT query_id, place_id, dist_m,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist_m, place_id) AS rn FROM d)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, place_id,
+        |  CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round FROM r WHERE rn <= 5""".stripMargin,
+    "geo_reverse_bbox" ->
+      """WITH polys AS (SELECT n_nationkey AS polygon_id,
+        |  (n_nationkey * 7 % 40) / CAST(4.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) AS c_lon,
+        |  CAST(41.0 AS DOUBLE) + (n_nationkey * 11 % 12) / CAST(4.0 AS DOUBLE) AS c_lat,
+        |  (n_nationkey % 5) / CAST(10.0 AS DOUBLE) + CAST(0.3005 AS DOUBLE) AS d_lon,
+        |  (n_nationkey % 3) / CAST(10.0 AS DOUBLE) + CAST(0.2505 AS DOUBLE) AS d_lat,
+        |  4 + n_nationkey % 6 AS admin_level FROM nation),
+        |pts AS (SELECT o_orderkey AS query_id,
+        |  (o_orderkey * 7919 % 10000) / CAST(1000.0 AS DOUBLE) - CAST(4.0 AS DOUBLE) AS lon,
+        |  CAST(40.5 AS DOUBLE) + (o_orderkey * 104729 % 4000) / CAST(1000.0 AS DOUBLE) AS lat
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |hit AS (SELECT query_id, polygon_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY admin_level DESC, polygon_id) AS rn
+        |  FROM pts JOIN polys ON lon > c_lon - d_lon AND lon < c_lon + d_lon
+        |    AND lat > c_lat - d_lat AND lat < c_lat + d_lat)
+        |SELECT p.query_id, h.polygon_id,
+        |  CASE WHEN h.polygon_id IS NULL THEN 'no_result' ELSE 'ok' END AS geocode_status
+        |FROM pts p LEFT JOIN (SELECT query_id, polygon_id FROM hit WHERE rn = 1) h
+        |  ON p.query_id = h.query_id""".stripMargin,
+    "geo_forward_names" ->
+      """WITH gaz AS (
+        |  SELECT trim(regexp_replace(lower(n_name), '[^a-z0-9]+', ' ', 'g')) AS gaz_key,
+        |    n_nationkey AS place_id, n_name AS name,
+        |    n_nationkey * CAST(2.0 AS DOUBLE) - CAST(20.0 AS DOUBLE) + 0 AS lon,
+        |    n_nationkey * CAST(1.5 AS DOUBLE) - CAST(10.0 AS DOUBLE) + 0 AS lat,
+        |    (n_nationkey * 13) % 50 + 1 AS weight FROM nation
+        |  UNION ALL
+        |  SELECT trim(regexp_replace(lower(n_name), '[^a-z0-9]+', ' ', 'g')),
+        |    n_nationkey + 100, n_name,
+        |    n_nationkey * CAST(2.0 AS DOUBLE) - CAST(20.0 AS DOUBLE) + 100,
+        |    n_nationkey * CAST(1.5 AS DOUBLE) - CAST(10.0 AS DOUBLE) + 100,
+        |    (n_nationkey * 29) % 50 + 1 FROM nation),
+        |q AS (SELECT o_orderkey AS query_id,
+        |    '  ' || CASE WHEN o_orderkey % 2 = 0 THEN lower(n_name) ELSE n_name END
+        |    || '?!' AS query
+        |  FROM orders JOIN nation ON n_nationkey = o_orderkey % 25
+        |  WHERE o_orderkey % 13 = 0),
+        |j AS (SELECT query_id, place_id, name, lon, lat, weight FROM q JOIN gaz
+        |  ON trim(regexp_replace(lower(query), '[^a-z0-9]+', ' ', 'g')) = gaz_key)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY weight DESC, place_id) AS INT) AS result_rank,
+        |  place_id, name, lon AS x, lat AS y FROM j""".stripMargin,
+    "geo_axis_swap" ->
+      """WITH pts AS (SELECT n_nationkey,
+        |  CAST(7.0 AS DOUBLE) + n_nationkey * CAST(0.02 AS DOUBLE) AS lon,
+        |  CAST(46.2 AS DOUBLE) + n_nationkey * CAST(0.015 AS DOUBLE) AS lat FROM nation),
+        |lp AS (SELECT n_nationkey, lon, lat,
+        |  (lon * CAST(3600.0 AS DOUBLE) - CAST(26782.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE) AS l,
+        |  (lat * CAST(3600.0 AS DOUBLE) - CAST(169028.66 AS DOUBLE)) / CAST(10000.0 AS DOUBLE) AS p FROM pts),
+        |lv AS (SELECT n_nationkey, lon, lat,
+        |  CAST(2600072.37 AS DOUBLE) + CAST(211455.93 AS DOUBLE) * l
+        |    - CAST(10938.51 AS DOUBLE) * l * p - CAST(0.36 AS DOUBLE) * l * p * p
+        |    - CAST(44.54 AS DOUBLE) * l * l * l - CAST(2000000.0 AS DOUBLE) AS e03,
+        |  CAST(1200147.07 AS DOUBLE) + CAST(308807.95 AS DOUBLE) * p
+        |    + CAST(3745.25 AS DOUBLE) * l * l + CAST(76.63 AS DOUBLE) * p * p
+        |    - CAST(194.56 AS DOUBLE) * l * l * p + CAST(119.79 AS DOUBLE) * p * p * p
+        |    - CAST(1000000.0 AS DOUBLE) AS n03 FROM lp)
+        |SELECT n_nationkey, '4326' AS sr, round(lon, 4) AS x, round(lat, 4) AS y FROM lv
+        |UNION ALL SELECT n_nationkey, '21781', round(e03, 4), round(n03, 4) FROM lv
+        |UNION ALL SELECT n_nationkey, '2056',
+        |  round(e03 + CAST(2000000.0 AS DOUBLE), 4), round(n03 + CAST(1000000.0 AS DOUBLE), 4) FROM lv
+        |UNION ALL SELECT n_nationkey, '3857',
+        |  round(lon * CAST(20037508.342789244 AS DOUBLE) / CAST(180.0 AS DOUBLE), 4),
+        |  round(ln(tan((CAST(90.0 AS DOUBLE) + lat) * pi() / CAST(360.0 AS DOUBLE)))
+        |    / pi() * CAST(20037508.342789244 AS DOUBLE), 4) FROM lv""".stripMargin,
+    "geo_bounds_wire" ->
+      """SELECT n_nationkey, concat_ws(',',
+        |  CAST(n_nationkey * CAST(0.5 AS DOUBLE) - CAST(10.25 AS DOUBLE) AS VARCHAR),
+        |  CAST(n_nationkey * CAST(0.25 AS DOUBLE) - CAST(3.25 AS DOUBLE) AS VARCHAR),
+        |  CAST(n_nationkey * CAST(0.5 AS DOUBLE) - CAST(7.75 AS DOUBLE) AS VARCHAR),
+        |  CAST(n_nationkey * CAST(0.25 AS DOUBLE) - CAST(1.5 AS DOUBLE) AS VARCHAR)) AS wire
+        |FROM nation""".stripMargin,
+    "geo_dms" ->
+      """WITH pts AS (SELECT n_nationkey,
+        |  n_nationkey * CAST(0.025 AS DOUBLE) - CAST(0.2 AS DOUBLE) AS lon,
+        |  n_nationkey * CAST(0.015 AS DOUBLE) - CAST(0.06 AS DOUBLE) AS lat FROM nation),
+        |g AS (SELECT n_nationkey, lon, lat,
+        |  CAST(trunc(abs(lon)) AS INT) AS dlon,
+        |  (abs(lon) - trunc(abs(lon))) * CAST(60.0 AS DOUBLE) AS mflon,
+        |  CAST(trunc(abs(lat)) AS INT) AS dlat,
+        |  (abs(lat) - trunc(abs(lat))) * CAST(60.0 AS DOUBLE) AS mflat FROM pts),
+        |h AS (SELECT n_nationkey, lon, lat, dlon, dlat,
+        |  CAST(trunc(mflon) AS INT) AS mlon, (mflon - trunc(mflon)) * CAST(60.0 AS DOUBLE) AS slon,
+        |  CAST(trunc(mflat) AS INT) AS mlat, (mflat - trunc(mflat)) * CAST(60.0 AS DOUBLE) AS slat
+        |  FROM g)
+        |SELECT n_nationkey,
+        |  dlon || '° ' || mlon || ''' ' || rtrim(rtrim(printf('%.5f', slon), '0'), '.')
+        |    || ''''' ' || CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END AS dms_lon,
+        |  dlat || '° ' || mlat || ''' ' || rtrim(rtrim(printf('%.5f', slat), '0'), '.')
+        |    || ''''' ' || CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS dms_lat
+        |FROM h""".stripMargin,
+    // exactness note: DuckDB list_sum over the CAST-to-DOUBLE elements
+    // accumulates left-to-right like VecCore.dot, so the cosine is
+    // bit-identical (validated empirically) and rank order matches exactly
+    "emb_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, item_id,
+        |  list_sum(list_transform(list_zip(qv, cv),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM q, c WHERE item_id <> query_id),
+        |r AS (SELECT query_id, item_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "sim_band_join" ->
+      """WITH bands AS (SELECT doc_id, j, doc_id % (j + 20) AS h
+        |  FROM documents, range(16) t(j)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        |  FROM bands a JOIN bands b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_bands FROM p WHERE n_bands >= 2""".stripMargin,
+    "doc_quality" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  length(regexp_replace(text, '\s+', '', 'g'))
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+        |  (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / CAST(greatest(len, 1) AS DOUBLE) AS punct_ratio,
+        |  (len - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |    / CAST(greatest(len, 1) AS DOUBLE) AS digit_ratio,
+        |  len(list_filter(toks, x -> x IN
+        |    ('the','and','of','to','in','is','that','it','was','for')))
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio FROM t)
+        |SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
+        |  round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+        |    least(n_tokens / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |    + (CASE WHEN mean_token_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(5.0 AS DOUBLE),
+        |       CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+        |    + (CAST(1.0 AS DOUBLE) - least(digit_ratio * CAST(5.0 AS DOUBLE),
+        |       CAST(1.0 AS DOUBLE))) * CAST(0.1 AS DOUBLE)
+        |    + least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |      * CAST(0.1 AS DOUBLE))), 6) AS quality_score
+        |FROM m""".stripMargin,
+    "doc_token_bpe" ->
+      """SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |  regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]'),
+        |  x -> CASE WHEN regexp_full_match(x, '[\p{L}]+')
+        |    THEN CAST(ceil(length(x) / CAST(4.0 AS DOUBLE)) AS BIGINT)
+        |    ELSE 1 END)), 0) AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "doc_lang_id" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |s AS (SELECT doc_id, text, list_max([
+        |  {'score': len(list_filter(toks, x -> x IN
+        |     ('der','die','das','und','ist','nicht','ein','mit','auf','für')))
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'de'},
+        |  {'score': len(list_filter(toks, x -> x IN
+        |     ('the','and','of','to','in','is','that','it','was','for')))
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'en'},
+        |  {'score': len(list_filter(toks, x -> x IN
+        |     ('el','la','de','que','y','en','los','del','las','por')))
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'es'},
+        |  {'score': len(list_filter(toks, x -> x IN
+        |     ('le','la','et','les','des','est','dans','que','pour','une')))
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'fr'},
+        |  {'score': len(list_filter(toks, x -> x IN
+        |     ('il','la','di','che','e','per','con','del','una','sono')))
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'it'}]) AS best FROM t)
+        |SELECT doc_id, CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |  WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM s""".stripMargin
   )
-  // The sketch/ANN/geocoding queries (minhash, simhash, LSH, cell ids,
-  // BPE-ish token count, pipeline) are intentionally oracle-less: their
-  // values come from engine-native functions with no ANSI-SQL equivalent.
-  // They remain fully deterministic for the driver's rows-only check.
+  // Remaining oracle-less queries (rows-only): the fixture-world pipeline
+  // queries (geo_forward_pages, geo_reverse_points, geo_reverse_geoadmin,
+  // geo_knn, geo_pipeline_tiles — their inputs are engine-synthesized pages /
+  // the fixture gazetteer, not parquet DuckDB can read) and the non-ANSI
+  // sketches (minhash/simhash/xxhash64 signatures, LSH ANN, multimodal
+  // stubs). Each HAS an oracle-backed twin exercising the same operator over
+  // arithmetic-derived inputs: geo_forward_names (forward verb),
+  // geo_reverse_bbox (cell-join + ray-cast reverse), geo_knn_oracle
+  // (knnComplete ring expansion vs SQL haversine), sim_band_join (LSH band
+  // candidate plan), emb_knn_brute (exact cosine top-k), doc_quality /
+  // doc_token_bpe / doc_lang_id (text analysis). All stay deterministic.
 }

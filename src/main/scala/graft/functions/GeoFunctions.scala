@@ -28,6 +28,10 @@ object GeoInternal {
               lons: ArrayData, lats: ArrayData): Boolean =
     Geo.rayCast(lon, lat, offsets.toIntArray(), lons.toDoubleArray(), lats.toDoubleArray())
 
+  def coverBbox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                level: Int): ArrayData =
+    new GenericArrayData(CellIndex.coverBbox(minLon, minLat, maxLon, maxLat, level))
+
   def geohash(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geo.geohash(lon, lat, precision))
 
@@ -84,6 +88,12 @@ object GeoFunctions {
   def rayCast(lon: Column, lat: Column, ringOffsets: Column,
               ringLons: Column, ringLats: Column): Column =
     invoke(internCls, BooleanType, "rayCast", lon, lat, ringOffsets, ringLons, ringLats)
+
+  /** Level-`level` covering cells of a bbox (polygon index construction). */
+  def coverBbox(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column,
+                level: Column): Column =
+    invoke(internCls, ArrayType(LongType, containsNull = false), "coverBbox",
+      minLon, minLat, maxLon, maxLat, level)
 
   /** Web-mercator slippy tile coordinates — E7. */
   def tileX(lon: Column, z: Column): Column = invoke(geoCls, LongType, "tileX", lon, z)
