@@ -43,7 +43,8 @@ object Bench {
     * taskset, when available) to exactly `cpus` cores — the honest proxy for
     * an N-executor cluster on one box. Heap scales with cores so per-core
     * memory is constant across cluster sizes, as it would be on a cluster. */
-  private def throughputAt(cpus: Int, n: Long): (Double, Long) = {
+  private def throughputAt(cpus: Int, n: Long, mode: String = "full",
+                           reps: Int = 3): (Double, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val pin =
@@ -56,8 +57,9 @@ object Bench {
     val cmd = pin ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx${math.min(16, math.max(8, cpus / 2))}g",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp, "graft.BenchOne", cpus.toString, n.toString)
+      "-cp", cp, "graft.BenchOne", cpus.toString, n.toString, reps.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    pb.environment().put("GRAFT_BENCH_MODE", mode)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
@@ -100,11 +102,11 @@ object Bench {
     // to sample the same quiet windows.
     val nLow = math.max(2, cpus / 4)
     val scalePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "500000").toLong
-    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "2").toInt
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_BENCH_CYCLES", "3").toInt
     // stop starting new cycles once this much wall time is spent on scaling
     // measurements (the shared host is unpredictably noisy; one full cycle
     // fits comfortably, extra cycles only sharpen best-of)
-    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toLong * 1000
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong * 1000
     val tScaling = System.currentTimeMillis()
     // Two pairs per cycle, all interleaved so every measurement samples the
     // same ambient-load windows; best-of across cycles. The small pair
@@ -113,8 +115,15 @@ object Bench {
     // (string-heavy workloads cap ~2.3x from 8->32 threads on one socket
     // regardless of plan shape).
     val nTiny = math.max(1, nLow / 4)
+    // register-only CPU probe at the upper pair's two levels, interleaved
+    // with the pipeline measurements: quantifies IN THE ARTIFACT that pure
+    // compute scales on this host while the string-bound pipeline saturates
+    // the single socket's memory bandwidth — the attribution for the 8->32
+    // pipeline efficiency number.
+    val probeN = 4000000L
     var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
     var thrTiny = 0.0
+    var probeLow = 0.0; var probeHigh = 0.0
     var cyc = 0
     while (cyc < cycles &&
         (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
@@ -125,10 +134,14 @@ object Bench {
       val (th, h) = throughputAt(cpus, scalePages)
       thrLow = math.max(thrLow, tl); thrHigh = math.max(thrHigh, th); hits = h
       thrTiny = math.max(thrTiny, tt)
+      val (pl, _) = throughputAt(nLow, probeN, mode = "cpuprobe", reps = 2)
+      val (ph, _) = throughputAt(cpus, probeN, mode = "cpuprobe", reps = 2)
+      probeLow = math.max(probeLow, pl); probeHigh = math.max(probeHigh, ph)
       cyc += 1
     }
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
     val effSmall = (thrLow / thrTiny) / (nLow.toDouble / nTiny)
+    val probeEff = (probeHigh / probeLow) / (cpus.toDouble / nLow)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -142,6 +155,7 @@ object Bench {
       f""""pages_per_sec_n$nLow":$thrLow%.1f,"pages_per_sec_n$cpus":$thrHigh%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""pages_per_sec_n$nTiny":$thrTiny%.1f,""" +
-      f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f}""")
+      f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f,""" +
+      f""""cpu_probe_scaling_n${nLow}_n$cpus":$probeEff%.3f}""")
   }
 }

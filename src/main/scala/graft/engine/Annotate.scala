@@ -47,8 +47,36 @@ object Annotate {
     concat(f1, f2, s1, s2, t1, t2)
   }
 
-  /** Append the annotations struct column. Expects lon/lat/country_code. */
-  def withAnnotations(df: DataFrame, lon: Column, lat: Column, cc: Column): DataFrame =
+  /** Per-location timezone: coarse-cell index lookup first (resolves
+    * multi-zone countries like US/BR/AU correctly), country-level zone as
+    * fallback. The cell index is a literal map at fixture scale; at world
+    * scale the same lookup is a broadcast join keyed by cell7. */
+  def timezoneAt(lon: Column, lat: Column, cc: Column,
+                 tzByCell: Map[Long, String]): Column = {
+    val cellLookup =
+      if (tzByCell.isEmpty) lit(null).cast("string")
+      else {
+        val pairs = tzByCell.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        element_at(map(pairs: _*),
+          cellId(lon, lat, lit(graft.geo.CellIndex.CoarseLevel)))
+      }
+    coalesce(cellLookup, Format.timezoneCol(cc))
+  }
+
+  /** Append the annotations struct column. Expects lon/lat/country_code.
+    * `ts` (e.g. the page's warc_ts) keys the Sun rise/set annotation
+    * (opencage.rs:592-598) — deterministic, never the wall clock; omitted =
+    * null sun with the schema slot preserved. */
+  def withAnnotations(df: DataFrame, lon: Column, lat: Column, cc: Column,
+                      ts: Option[Column] = None,
+                      tzByCell: Map[Long, String] = graft.fixtures.World.timezoneByCell7()): DataFrame = {
+    val sun = ts match {
+      case Some(t) => struct(
+        sunrise(lon, lat, t).as("rise"), sunset(lon, lat, t).as("set"))
+      case None => struct(
+        lit(null).cast("timestamp").as("rise"), lit(null).cast("timestamp").as("set"))
+    }
     df.withColumn("annotations", struct(
       struct(dms(lat, lit(true)).as("lat"), dms(lon, lit(false)).as("lng")).as("DMS"),
       struct(mercatorX(lon).as("x"), mercatorY(lat).as("y")).as("Mercator"),
@@ -60,10 +88,12 @@ object Annotate {
       geohash(lon, lat, lit(9)).as("geohash"),
       qibla(lon, lat).as("qibla"),
       maidenhead(lon, lat).as("Maidenhead"),
+      sun.as("sun"),
       Format.callingCodeCol(cc).as("callingcode"),
       Format.currencyCol(cc).as("currency"),
       Format.flagCol(cc).as("flag"),
-      Format.timezoneCol(cc).as("timezone"),
+      timezoneAt(lon, lat, cc, tzByCell).as("timezone"),
       lit(null).cast("string").as("what3words"),
       lit(null).cast("string").as("MGRS")))
+  }
 }

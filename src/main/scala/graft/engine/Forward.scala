@@ -123,6 +123,15 @@ object Forward {
         col("road"), col("postcode"),
         lang.map(l => col("city")).getOrElse(col("city")), country))
       .withColumn("label", Format.geoAdminLabel(locName, col("postcode"), col("city")))
+      // OpenCage's open-world `components` map (opencage.rs:571; the tests
+      // index it by key, opencage.rs:800) — every result carries it
+      .withColumn("components", map_filter(map(
+        lit("_type"), col("feature_class"),
+        lit("road"), col("road"), lit("house_number"), col("house_number"),
+        lit("suburb"), col("suburb"), lit("city"), col("city"),
+        lit("county"), col("admin2"), lit("state"), col("admin1"),
+        lit("postcode"), col("postcode"), lit("country"), country,
+        lit("country_code"), col("country_code")), (_, v) => v.isNotNull))
       .withColumn("x", x).withColumn("y", y)
       .withColumn("confidence",
         (lit(10) - least(lit(9), floor(col("place_rank") / lit(4)))).cast("int"))
@@ -134,7 +143,8 @@ object Forward {
           col("postcode"), country.as("country"), col("country_code")))
       else out
     if (params.annotations)
-      Annotate.withAnnotations(out, col("lon"), col("lat"), col("country_code"))
+      Annotate.withAnnotations(out, col("lon"), col("lat"), col("country_code"),
+        ts = if (df.columns.contains("warc_ts")) Some(col("warc_ts")) else None)
     else out
   }
 

@@ -121,13 +121,28 @@ object Reverse {
           col("fmt_road"), col("fmt_house"),
           concat_ws(" ", col("fmt_postcode"), city), country))
           .otherwise(concat_ws(", ", col("name"), city, country))))
+      // OpenCage `components` (opencage.rs:571; fr test indexes
+      // components("road"), opencage.rs:800) — built before fmt_* are dropped
+      .withColumn("components", when(col("polygon_id").isNotNull, map_filter(map(
+        lit("road"), col("fmt_road"), lit("house_number"), col("fmt_house"),
+        lit("suburb"), col("fmt_suburb"), lit("city"), city,
+        lit("county"), col("fmt_county"), lit("state"), col("fmt_state"),
+        lit("postcode"), col("fmt_postcode"), lit("country"), country,
+        lit("country_code"), col("country_code")), (_, v) => v.isNotNull)))
     res =
       if (params.annotations)
-        Annotate.withAnnotations(res, col("lon"), col("lat"), col("country_code"))
+        Annotate.withAnnotations(res, col("lon"), col("lat"), col("country_code"),
+          ts = if (points.columns.contains("warc_ts")) Some(col("warc_ts")) else None)
       else res
 
+    // status taxonomy (GeocodingError, lib.rs:54-66, mapped to per-row
+    // statuses): invalid_input for out-of-domain coordinates, else ok /
+    // no_result; parse errors never reach here (extraction simply does not
+    // produce a coord mention for malformed literals)
     res.withColumn("geocode_status",
-        when(col("formatted").isNotNull, "ok").otherwise("no_result"))
+        when(col("lon").isNull || col("lat").isNull ||
+          abs(col("lon")) > 180.0 || abs(col("lat")) > 90.0, "invalid_input")
+        .when(col("formatted").isNotNull, "ok").otherwise("no_result"))
       .drop("ring_offsets", "ring_lons", "ring_lats", "fmt_house", "fmt_road",
         "fmt_suburb", "fmt_city", "fmt_county", "fmt_state", "fmt_region",
         "fmt_postcode", "fmt_country", "loc_city", "loc_country", "cell")

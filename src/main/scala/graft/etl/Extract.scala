@@ -22,9 +22,9 @@ object Norm extends Serializable {
     ).replaceAll("")
 
   /** Single-pass tokenizer: lowercase + diacritic-fold + split on non-alnum.
-    * The extraction hot path — hand-rolled (no regex, no full-string copies)
-    * because it runs once per crawled page; ASCII text never leaves the
-    * fast path. */
+    * String-input path (query verbs, non-ASCII pages); the crawl hot path is
+    * the byte-level scan in Extract.extractAllBytes, which must produce the
+    * same token hashes for pure-ASCII text (asserted by ExtractParitySpec). */
   def tokens(s: String): Array[String] = {
     var ascii = true
     var i = 0
@@ -55,29 +55,36 @@ object Norm extends Serializable {
  * SURVEY.md §2.7 E2). Built once on the driver from gazetteer name keys,
  * broadcast to executors; match cost is O(tokens * max-key-depth) per page.
  *
- * Serializable so it can live inside a Broadcast.
+ * The trie is keyed by 64-bit FNV-1a token hashes, NOT token strings — the
+ * byte-level extraction path never materializes a String per token (the
+ * dominant allocation on a string-bound crawl workload). A 64-bit collision
+ * between a page token and a dictionary token would cause a spurious match;
+ * at ~10^6 dictionary tokens the birthday bound puts that at ~10^-7 per
+ * corpus, and the emitted key is always the terminal's stored string, never
+ * page text. Serializable so it can live inside a Broadcast.
  */
 final class DictScanner(keys: Array[String]) extends Serializable {
   /** Only `keys` is serialized (compact); the trie rebuilds lazily once per
     * deserialized instance (per executor). Shipping the built trie would
     * Java-serialize one HashMap per node — seconds per broadcast at
     * production dictionary sizes. */
-  @transient private lazy val trie: (java.util.ArrayList[java.util.HashMap[String, Integer]],
+  @transient private lazy val trie: (java.util.ArrayList[java.util.HashMap[java.lang.Long, Integer]],
       java.util.ArrayList[String]) = {
-    val children = new java.util.ArrayList[java.util.HashMap[String, Integer]]()
+    val children = new java.util.ArrayList[java.util.HashMap[java.lang.Long, Integer]]()
     val terminal = new java.util.ArrayList[String]()
-    children.add(new java.util.HashMap[String, Integer]())
+    children.add(new java.util.HashMap[java.lang.Long, Integer]())
     terminal.add(null)
     keys.foreach { key =>
       var node = 0
       key.split(' ').foreach { tok =>
+        val h = java.lang.Long.valueOf(graft.text.TextCore.fnv64(tok))
         val m = children.get(node)
-        var next = m.get(tok)
+        var next = m.get(h)
         if (next == null) {
-          children.add(new java.util.HashMap[String, Integer]())
+          children.add(new java.util.HashMap[java.lang.Long, Integer]())
           terminal.add(null)
           next = children.size - 1
-          m.put(tok, next)
+          m.put(h, next)
         }
         node = next
       }
@@ -90,8 +97,8 @@ final class DictScanner(keys: Array[String]) extends Serializable {
 
   /** Open-addressed set of root-token hashes: rejects the ~95% of page
     * tokens that start no dictionary key in ~1 cache miss, before paying the
-    * (String-keyed, multi-miss) HashMap probe. False positives just fall
-    * through to the map. */
+    * (boxed, multi-miss) HashMap probe. False positives just fall through to
+    * the map. */
   @transient private lazy val rootFilter: Array[Long] = {
     val rootKeys = children.get(0).keySet()
     var cap = 16
@@ -99,7 +106,7 @@ final class DictScanner(keys: Array[String]) extends Serializable {
     val t = new Array[Long](cap)
     val it = rootKeys.iterator()
     while (it.hasNext) {
-      var h = graft.text.TextCore.fnv64(it.next())
+      var h = it.next().longValue()
       if (h == 0L) h = 1L
       var slot = (h & (cap - 1)).toInt
       while (t(slot) != 0L && t(slot) != h) slot = (slot + 1) & (cap - 1)
@@ -108,9 +115,9 @@ final class DictScanner(keys: Array[String]) extends Serializable {
     t
   }
 
-  @inline private def mayStartKey(tok: String): Boolean = {
+  @inline private def mayStartKey(h0: Long): Boolean = {
     val t = rootFilter
-    var h = graft.text.TextCore.fnv64(tok)
+    var h = h0
     if (h == 0L) h = 1L
     val mask = t.length - 1
     var slot = (h & mask).toInt
@@ -127,18 +134,27 @@ final class DictScanner(keys: Array[String]) extends Serializable {
 
   def scanTokens(toks: Array[String]): Array[String] = {
     if (toks.isEmpty) return Array.empty
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { hs(i) = graft.text.TextCore.fnv64(toks(i)); i += 1 }
+    scanHashes(hs, hs.length)
+  }
+
+  /** Hash-input scan — the byte-level hot path (no per-token Strings). */
+  def scanHashes(hs: Array[Long], nTok: Int): Array[String] = {
+    if (nTok == 0) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    while (i < toks.length) {
-      if (!mayStartKey(toks(i))) i += 1
+    while (i < nTok) {
+      if (!mayStartKey(hs(i))) i += 1
       else {
         var node = 0
         var j = i
         var best: String = null
         var bestEnd = i
         var continue = true
-        while (continue && j < toks.length) {
-          val next = children.get(node).get(toks(j))
+        while (continue && j < nTok) {
+          val next = children.get(node).get(hs(j))
           if (next != null) {
             node = next
             j += 1
@@ -156,21 +172,36 @@ final class DictScanner(keys: Array[String]) extends Serializable {
 /**
  * E2 — deterministic mention + coordinate-literal extraction.
  *
- * Two candidate kinds per page text:
+ * Three candidate kinds per page text:
  *  - "coord": decimal lat-lon literals like "41.40139, 2.12870" (written
  *    lat-first in prose, the order OpenCage reverse queries use —
  *    /root/reference/src/opencage.rs:340-345); emitted as (lon, lat) per the
  *    engine-wide lon-lat invariant (/root/reference/src/lib.rs:12-16).
+ *  - "coord" from DMS literals like "41° 24' 5.06'' N 2° 7' 43.3'' E" (the
+ *    OpenCage DMS annotation format, /root/reference/src/opencage.rs:442-445;
+ *    SURVEY.md §2.7 E2 "lat-lon literals ... DMS").
  *  - "name": gazetteer place-name mentions via broadcast DictScanner.
  *
  * The page `text` itself is never transcoded — the byte-identity invariant is
  * carried as sha256(text) alongside every extraction output (input_hint).
+ *
+ * Hot path: pure-ASCII pages (the overwhelming crawl majority) are scanned
+ * at the BYTE level — no String materialization, no per-token allocation;
+ * token FNV hashes feed the hash-keyed trie directly. Non-ASCII pages fall
+ * back to the string path (diacritic folding needs real decoding). The two
+ * paths are asserted equivalent on ASCII input by ExtractParitySpec.
  */
 object Extract {
 
   /** lat, lon decimal pair: needs >=3 decimals to avoid matching prose numbers. */
   private val CoordRe = Pattern.compile(
     "(-?\\d{1,2}\\.\\d{3,}),\\s*(-?\\d{1,3}\\.\\d{3,})")
+
+  /** DMS pair, lat-hemisphere first (the prose order the reference's DMS
+    * annotation uses): 41° 24' 5.06'' N 2° 7' 43.3'' E */
+  private val DmsRe = Pattern.compile(
+    "(\\d{1,2})°\\s*(\\d{1,2})'\\s*(\\d{1,2}(?:\\.\\d+)?)''\\s*([NS])[,;\\s]+" +
+    "(\\d{1,3})°\\s*(\\d{1,2})'\\s*(\\d{1,2}(?:\\.\\d+)?)''\\s*([EW])")
 
   def extractCoords(text: String): Array[Mention] = {
     val m = CoordRe.matcher(text)
@@ -184,11 +215,143 @@ object Extract {
     out.toArray
   }
 
+  /** DMS literal extraction: degrees + minutes/60 + seconds/3600, negated
+    * for S/W. Only called when the text contains '°' (cheap pre-check). */
+  def extractDms(text: String): Array[Mention] = {
+    val m = DmsRe.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    while (m.find()) {
+      def v(d: String, mi: String, se: String): Double =
+        d.toDouble + mi.toDouble / 60.0 + java.lang.Double.parseDouble(se) / 3600.0
+      val lat = v(m.group(1), m.group(2), m.group(3)) *
+        (if (m.group(4) == "S") -1.0 else 1.0)
+      val lon = v(m.group(5), m.group(6), m.group(7)) *
+        (if (m.group(8) == "W") -1.0 else 1.0)
+      if (math.abs(lat) <= 90.0 && math.abs(lon) <= 180.0)
+        out += Mention("coord", m.group(0), null, lon, lat)
+    }
+    out.toArray
+  }
+
+  /** String-input extraction (non-ASCII pages, query strings, tests). */
   def extractAll(text: String, scanner: DictScanner): Array[Mention] = {
     val coords = extractCoords(text)
+    val dms = if (text.indexOf('°') >= 0) extractDms(text) else Array.empty[Mention]
     val names = scanner.scanTokens(Norm.tokens(text))
       .map(k => Mention("name", k, k, null, null))
-    coords ++ names
+    coords ++ dms ++ names
+  }
+
+  // ---- byte-level hot path ---------------------------------------------------
+
+  @inline private def isDigit(b: Int): Boolean = b >= '0' && b <= '9'
+  @inline private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Replicates CoordRe's match at position `i`: optional '-', 1..maxInt
+    * digits, '.', >=3 digits. Returns end index (exclusive) or -1. Digits are
+    * contiguous, so the regex's int-width backtracking reduces to "the digit
+    * run before '.' must be 1..maxInt long". */
+  private def numEnd(bytes: Array[Byte], i: Int, maxInt: Int): Int = {
+    val n = bytes.length
+    var p = i
+    if (p < n && bytes(p) == '-') p += 1
+    val d0 = p
+    while (p < n && isDigit(bytes(p) & 0xff)) p += 1
+    val intLen = p - d0
+    if (intLen < 1 || intLen > maxInt) return -1
+    if (p >= n || bytes(p) != '.') return -1
+    p += 1
+    val f0 = p
+    while (p < n && isDigit(bytes(p) & 0xff)) p += 1
+    if (p - f0 < 3) -1 else p
+  }
+
+  /** Byte-level scan for decimal lat-lon literals — exact semantics of
+    * CoordRe.find() over the same ASCII bytes. */
+  def scanCoordBytes(bytes: Array[Byte],
+                     out: scala.collection.mutable.ArrayBuffer[Mention]): Unit = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      var end = -1
+      var latEnd = -1
+      var mid = -1
+      if (b == '-' || isDigit(b)) {
+        val e1 = numEnd(bytes, i, 2)
+        if (e1 >= 0 && e1 < n && bytes(e1) == ',') {
+          var p = e1 + 1
+          while (p < n && isWs(bytes(p) & 0xff)) p += 1
+          val e2 = numEnd(bytes, p, 3)
+          if (e2 >= 0) { latEnd = e1; mid = p; end = e2 }
+        }
+      }
+      if (end >= 0) {
+        val lat = java.lang.Double.parseDouble(new String(bytes, i, latEnd - i, ascii))
+        val lon = java.lang.Double.parseDouble(new String(bytes, mid, end - mid, ascii))
+        if (math.abs(lat) <= 90.0 && math.abs(lon) <= 180.0)
+          out += Mention("coord", new String(bytes, i, end - i, ascii), null, lon, lat)
+        i = end
+      } else i += 1
+    }
+  }
+
+  private final val FnvInit = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Byte-level tokenize (lowercase a-z0-9 runs) + hash-trie name scan.
+    * Produces exactly the matches of scanner.scanTokens(Norm.tokens(text))
+    * for pure-ASCII text: ASCII lowercase bytes ARE the UTF-8 bytes TextCore
+    * .fnv64 hashes, so the per-token hashes agree with the string path. */
+  def scanNamesAscii(bytes: Array[Byte], scanner: DictScanner,
+                     out: scala.collection.mutable.ArrayBuffer[Mention]): Unit = {
+    val n = bytes.length
+    var hashes = new Array[Long](math.max(16, n / 6))
+    var nTok = 0
+    var h = FnvInit
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) bytes(i) & 0xff else ' '
+      val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
+      if ((lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')) {
+        h = (h ^ lower) * FnvPrime
+        inTok = true
+      } else if (inTok) {
+        if (nTok == hashes.length) hashes = java.util.Arrays.copyOf(hashes, nTok * 2)
+        hashes(nTok) = h
+        nTok += 1
+        h = FnvInit
+        inTok = false
+      }
+      i += 1
+    }
+    val keys = scanner.scanHashes(hashes, nTok)
+    var k = 0
+    while (k < keys.length) {
+      out += Mention("name", keys(k), keys(k), null, null)
+      k += 1
+    }
+  }
+
+  /** Byte-input extraction — the per-page hot path. Pure-ASCII bytes never
+    * materialize the page as a String; non-ASCII pages (which may need
+    * diacritic folding and can carry DMS '°' literals) decode once and take
+    * the string path. */
+  def extractAllBytes(bytes: Array[Byte], scanner: DictScanner): Array[Mention] = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (!ascii)
+      extractAll(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), scanner)
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Mention](8)
+      scanCoordBytes(bytes, out)
+      scanNamesAscii(bytes, scanner, out)
+      out.toArray
+    }
   }
 
   /** Column UDF over a broadcast scanner. UDF (not codegen Expression) is the

@@ -32,7 +32,10 @@ object Synth {
     "Waypoint logged: 48.1700887, 11.5884858 (north of the Isar).",
     "Survey point 52.53000, 13.34000 lies in the west of the city.",
     "Seftigenstrasse Bern is the search everyone tries first.",
-    "Control point 51.52150, -0.13610 checked against the plan."
+    "Control point 51.52150, -0.13610 checked against the plan.",
+    // DMS literal (SURVEY §2.7 E2; format per opencage.rs:442-445) that
+    // resolves inside the Calatrava 64 building polygon
+    "Surveyors marked 41° 24' 5.006'' N 2° 7' 43.332'' E on the door frame."
   )
 
   private val words = Array("the", "quick", "analysis", "page", "crawl", "web",

@@ -22,9 +22,11 @@ object World {
                   city: String = null, suburb: String = null, road: String = null,
                   house: String = null, postcode: String = null, rank: Int = 20,
                   importance: Double = 0.5, weight: Int = 100,
-                  alt: Map[String, String] = Map.empty): GazetteerRow =
+                  alt: Map[String, String] = Map.empty, tz: String = null): GazetteerRow =
     GazetteerRow(id, name, keys, alt, lon, lat, fc, cc, admin1, admin2, city,
-      suburb, road, house, postcode, rank, importance, weight)
+      suburb, road, house, postcode, rank, importance, weight,
+      if (tz != null) tz
+      else graft.engine.Format.countries.get(cc).map(_.timezone).orNull)
 
   val fixturePlaces: Seq[GazetteerRow] = Seq(
     gaz(1001, "Schwabing", Seq("schwabing munchen", "schwabing"),
@@ -57,7 +59,15 @@ object World {
       2.12870, 41.40139, "address", "es",
       admin1 = "Catalunya", admin2 = "Barcelona", city = "Barcelona",
       suburb = "Sarrià - Sant Gervasi", road = "Carrer de Calatrava",
-      house = "64", postcode = "08017", rank = 30, importance = 0.2, weight = 500)
+      house = "64", postcode = "08017", rank = 30, importance = 0.2, weight = 500),
+    // multi-timezone-country pair: country-level tz lookup gets one of these
+    // WRONG; the cell->tz index must resolve both (TimezoneSpec)
+    gaz(1007, "Los Angeles", Seq("los angeles"), -118.2437, 34.0522,
+      "gazetteer", "us", admin1 = "California", city = "Los Angeles",
+      rank = 12, importance = 0.9, weight = 900, tz = "America/Los_Angeles"),
+    gaz(1008, "New York", Seq("new york", "new york city"), -74.0060, 40.7128,
+      "gazetteer", "us", admin1 = "New York", city = "New York",
+      rank = 12, importance = 0.95, weight = 950, tz = "America/New_York")
   )
 
   /** Seeded filler places for join volume; deterministic (no RNG state shared
@@ -73,6 +83,19 @@ object World {
   }
 
   def gazetteer(filler: Int = 44): Seq[GazetteerRow] = fixturePlaces ++ fillerPlaces(filler)
+
+  /** Coarse-cell -> IANA timezone index from the gazetteer's per-place zones
+    * (GeoNames carries one per place). Deterministic: lowest place_id wins a
+    * contested cell. At world scale this is a broadcast table keyed by cell7
+    * (~100k populated coarse cells globally — well under broadcast budget);
+    * at fixture scale it folds into a literal map column. */
+  def timezoneByCell7(rows: Seq[GazetteerRow] = gazetteer()): Map[Long, String] =
+    rows.filter(_.timezone != null)
+      .sortBy(_.place_id)
+      .map(r => CellIndex.parent(
+        CellIndex.encode(r.lon, r.lat, CellIndex.FineLevel), CellIndex.CoarseLevel) -> r.timezone)
+      .foldLeft(Map.empty[Long, String]) { (m, kv) =>
+        if (m.contains(kv._1)) m else m + kv }
 
   // ---- polygons --------------------------------------------------------------
 

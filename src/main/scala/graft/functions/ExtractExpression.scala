@@ -30,8 +30,11 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
-    val text = u.toString
-    val ms = Extract.extractAll(text, scanner.value)
+    // byte-level scan: pure-ASCII pages (the crawl majority) never
+    // materialize a String or per-token garbage — this is the memory-traffic
+    // lever on the string-bound extraction workload
+    val bytes = u.getBytes
+    val ms = Extract.extractAllBytes(bytes, scanner.value)
     val arr = new Array[Any](ms.length)
     var i = 0
     while (i < ms.length) {
@@ -44,10 +47,10 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
         if (m.lat == null) null else m.lat.doubleValue())
       i += 1
     }
-    // sha over the SAME UTF8String bytes (byte-identity invariant) — fused
-    // here so the page text is materialized exactly once per page
+    // sha over the SAME bytes (byte-identity invariant) — fused here so the
+    // page text bytes are touched exactly once per page
     InternalRow(
-      UTF8String.fromString(graft.geo.Geo.sha256HexBytes(u.getBytes)),
+      UTF8String.fromString(graft.geo.Geo.sha256HexBytes(bytes)),
       new GenericArrayData(arr))
   }
 

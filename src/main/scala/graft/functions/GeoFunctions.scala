@@ -40,6 +40,14 @@ object GeoInternal {
 
   def sha256Hex(s: UTF8String): UTF8String =
     UTF8String.fromString(Geo.sha256Hex(s.toString))
+
+  /** Sunrise/sunset for the UTC day of `tsMicros`, as timestamp micros
+    * (null = polar day/night). */
+  def sunEventMicros(lon: Double, lat: Double, tsMicros: Long, rise: Boolean): java.lang.Long = {
+    val epochDay = Math.floorDiv(tsMicros, 86400000000L)
+    val s = Geo.sunEventEpoch(lon, lat, epochDay, rise)
+    if (s == null) null else java.lang.Long.valueOf(s.longValue() * 1000000L)
+  }
 }
 
 /**
@@ -51,12 +59,16 @@ object GeoInternal {
  * WholeStageCodegen spans, and never leave the internal row format.
  */
 object GeoFunctions {
+  import org.apache.spark.sql.functions.lit
 
   private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
   private def ex(c: Column): Expression = org.apache.spark.sql.GraftBridge.expression(c)
 
   private def invoke(clazz: Class[_], dt: DataType, name: String, args: Column*): Column =
     col(StaticInvoke(clazz, dt, name, args.map(ex), returnNullable = false))
+
+  private def invokeNullable(clazz: Class[_], dt: DataType, name: String, args: Column*): Column =
+    col(StaticInvoke(clazz, dt, name, args.map(ex), returnNullable = true))
 
   private val cellCls = CellIndex.getClass
   private val geoCls = Geo.getClass
@@ -115,4 +127,11 @@ object GeoFunctions {
 
   /** SHA-256 hex of a string column (byte-identity invariant). */
   def sha256Hex(s: Column): Column = invoke(internCls, StringType, "sha256Hex", s)
+
+  /** Apparent sunrise/sunset timestamps for the UTC day of `ts` (OpenCage
+    * Sun annotation, opencage.rs:592-598); null at polar day/night. */
+  def sunrise(lon: Column, lat: Column, ts: Column): Column =
+    invokeNullable(internCls, TimestampType, "sunEventMicros", lon, lat, ts, lit(true))
+  def sunset(lon: Column, lat: Column, ts: Column): Column =
+    invokeNullable(internCls, TimestampType, "sunEventMicros", lon, lat, ts, lit(false))
 }

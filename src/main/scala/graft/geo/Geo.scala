@@ -163,6 +163,43 @@ object Geo {
     s"$d° $m' $sStr'' $hemi"
   }
 
+  // ---- sun rise/set (OpenCage Sun annotation, opencage.rs:592-598) -------------
+
+  private final val SunZenithCos = math.cos(90.833 * DegToRad) // official zenith
+
+  /**
+   * Apparent sunrise/sunset as epoch seconds for the UTC day containing
+   * `epochDay` (days since 1970-01-01), via the "Almanac for Computers"
+   * algorithm (the standard offline approximation, ±2-3 min). Returns null
+   * (boxed) for polar day/night — the reference's Sun annotation carries 0
+   * there; callers map null as they need. Deterministic: date comes from the
+   * row (warc_ts), never the wall clock.
+   */
+  def sunEventEpoch(lon: Double, lat: Double, epochDay: Long, rise: Boolean): java.lang.Long = {
+    val dayOfYear = java.time.LocalDate.ofEpochDay(epochDay).getDayOfYear
+    val lngHour = lon / 15.0
+    val t = dayOfYear + (((if (rise) 6.0 else 18.0) - lngHour) / 24.0)
+    val m = 0.9856 * t - 3.289
+    var l = m + 1.916 * math.sin(m * DegToRad) + 0.020 * math.sin(2.0 * m * DegToRad) + 282.634
+    l = ((l % 360.0) + 360.0) % 360.0
+    var ra = math.atan(0.91764 * math.tan(l * DegToRad)) / DegToRad
+    ra = ((ra % 360.0) + 360.0) % 360.0
+    // RA into the same quadrant as L
+    ra += (math.floor(l / 90.0) * 90.0) - (math.floor(ra / 90.0) * 90.0)
+    ra /= 15.0
+    val sinDec = 0.39782 * math.sin(l * DegToRad)
+    val cosDec = math.cos(math.asin(sinDec))
+    val cosH = (SunZenithCos - sinDec * math.sin(lat * DegToRad)) /
+      (cosDec * math.cos(lat * DegToRad))
+    if (cosH > 1.0 || cosH < -1.0) return null // polar night / polar day
+    val hDeg = if (rise) 360.0 - math.acos(cosH) / DegToRad else math.acos(cosH) / DegToRad
+    val h = hDeg / 15.0
+    val tLocal = h + ra - 0.06571 * t - 6.622
+    var ut = tLocal - lngHour
+    ut = ((ut % 24.0) + 24.0) % 24.0
+    java.lang.Long.valueOf(epochDay * 86400L + math.round(ut * 3600.0))
+  }
+
   // ---- text hashing (byte-identity invariant, input_hint) ----------------------
 
   private val sha256Local = new ThreadLocal[java.security.MessageDigest] {

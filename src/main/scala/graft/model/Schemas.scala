@@ -35,7 +35,9 @@ case class GazetteerRow(
     country_code: String,               // ISO-3166 alpha2 lower
     admin1: String, admin2: String, city: String, suburb: String,
     road: String, house_number: String, postcode: String,
-    place_rank: Int, importance: Double, weight: Int)
+    place_rank: Int, importance: Double, weight: Int,
+    timezone: String = null)                // IANA zone (GeoNames-style); the
+                                            // cell->tz annotation source
 
 /** Admin polygon with packed rings (reverse side, E5). Ring r = point indices
   * [ring_offsets(r), ring_offsets(r+1)); even-odd rule => holes supported.
