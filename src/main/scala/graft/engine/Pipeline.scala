@@ -65,24 +65,63 @@ object Pipeline {
     }
 
     maybeStage(spark, cfg, "hits", fp) {
-      // broadcast sides, built once per job
+      val packed = Reverse.packedCellIndex(polygons, polyCells)
+      val withCell = withCoordCell(mentions)
+      fuseHits(withCell, nameIndex,
+        df => df.join(broadcast(packed), Seq("cell"), "left"), cfg)
+    }
+  }
+
+  /**
+   * World-polygon-scale variant (the flagship shape when admin polygons
+   * outgrow the broadcast budget): the packed cell index lives as a
+   * cell-BUCKETED table (written once via Reverse.writePackedBucketed —
+   * amortized over every batch), and the extraction output is written
+   * bucketed by the same key at its stage boundary, so the reverse join is a
+   * ZERO-EXCHANGE sort-merge join. The forward side stays a broadcast hash
+   * join (the top-1 name index is always small). The only price vs the
+   * broadcast path is the bucketed write of the mentions — which a
+   * checkpointing pipeline pays anyway (E10 stages materialize).
+   */
+  def geocodeWorldScale(spark: SparkSession, pages: DataFrame, nameIndex: DataFrame,
+                        polygons: DataFrame, polyCells: DataFrame, scanner: DictScanner,
+                        warehouseDir: String, buckets: Int = 32,
+                        cfg: Config = Config()): DataFrame = {
+    Reverse.writePackedBucketed(spark, polygons, polyCells,
+      "graft_polycells_bucketed", s"$warehouseDir/polycells_bucketed", buckets)
+    val mentions = withCoordCell(Extract.mentions(spark, pages, scanner))
+    spark.sql("DROP TABLE IF EXISTS graft_mentions_bucketed")
+    mentions.write.bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$warehouseDir/mentions_bucketed")
+      .mode("overwrite").saveAsTable("graft_mentions_bucketed")
+    fuseHits(spark.table("graft_mentions_bucketed"), nameIndex,
+      df => df.hint("merge")
+        .join(spark.table("graft_polycells_bucketed"), Seq("cell"), "left"),
+      cfg)
+  }
+
+  private def withCoordCell(mentions: DataFrame): DataFrame =
+    mentions.withColumn("cell", when(col("kind") === "coord",
+      graft.functions.GeoFunctions.cellId(col("lon"), col("lat"),
+        lit(graft.geo.CellIndex.FineLevel))))
+
+  /** The fused single-pass projection shared by the broadcast and bucketed
+    * paths; `revJoin` supplies the packed-index join strategy. */
+  private def fuseHits(mentions: DataFrame, nameIndex: DataFrame,
+                       revJoin: DataFrame => DataFrame, cfg: Config): DataFrame = {
+      // broadcast side, built once per job
       val top1 = Forward.top1Index(nameIndex, cfg.fwdParams)
         .select(col("gaz_key"), col("place_id").as("g_place_id"),
           col("name").as("g_name"), col("lon").as("g_lon"), col("lat").as("g_lat"),
           col("country_code").as("g_cc"), col("city").as("g_city"),
           col("road").as("g_road"), col("house_number").as("g_house"),
           col("postcode").as("g_postcode"))
-      val packed = Reverse.packedCellIndex(polygons, polyCells)
 
       val lang = cfg.revParams.language.map(_.toLowerCase(java.util.Locale.ROOT))
       val fwdCountry = Format.countryNameCol(col("g_cc"), lang)
 
-      val joined = mentions
-        .withColumn("cell", when(col("kind") === "coord",
-          graft.functions.GeoFunctions.cellId(col("lon"), col("lat"),
-            lit(graft.geo.CellIndex.FineLevel))))
-        .join(broadcast(top1), mentions("norm") === top1("gaz_key"), "left")
-        .join(broadcast(packed), Seq("cell"), "left")
+      val joined = revJoin(
+          mentions.join(broadcast(top1), mentions("norm") === top1("gaz_key"), "left"))
         .withColumn("__rev", Reverse.bestPolygon(col("cands"), col("lon"), col("lat")))
         .drop("cands")
 
@@ -117,7 +156,6 @@ object Pipeline {
           "name", "ref_id", "lon", "lat", "formatted")
 
       Tiler.assign(hits, cfg.tileZ)
-    }
   }
 
   /** Per-tile rollup of the geocoded hits (E7 aggregation). */

@@ -85,11 +85,7 @@ object Reverse {
     val best =
       if (broadcastIndex) {
         val packed = packedCellIndex(polygons, cellIndex)
-        pts.join(broadcast(packed), Seq("cell"), "left")
-          .withColumn("__best", bestPolygon(col("cands"), col("lon"), col("lat")))
-          .drop("cands")
-          .select(col("*") +: packedFields.map(c => col(s"__best.$c").as(c)): _*)
-          .drop("__best")
+        bestFromPacked(pts.join(broadcast(packed), Seq("cell"), "left"))
       } else {
         val cand = pts.join(cellIndex, Seq("cell"), "inner")
           .join(broadcast(polygons), Seq("polygon_id"), "inner")
@@ -103,7 +99,51 @@ object Reverse {
         // restore non-matching points (left semantics) and any extra columns
         points.join(agg.drop("lon", "lat"), Seq("query_id"), "left")
       }
+    finish(best, points, params)
+  }
 
+  /** Ray-cast + best-pick over a (points LEFT JOIN packed-index) frame —
+    * shared by the broadcast path and the bucketed-SMJ world-scale path. */
+  private def bestFromPacked(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("__best", bestPolygon(col("cands"), col("lon"), col("lat")))
+      .drop("cands")
+      .select(col("*") +: packedFields.map(c => col(s"__best.$c").as(c)): _*)
+      .drop("__best")
+
+  /**
+   * World-polygon-scale reverse: both sides are cell-bucketed tables, so the
+   * join is a ZERO-EXCHANGE sort-merge join — the bucketed layout IS the
+   * shuffle, paid once at write time (and the packed-index write amortizes
+   * over every batch that reads it). Selection stays an array expression;
+   * nothing aggregates after the join.
+   *
+   * `pointsTable` must contain a `cell` column (level-13) and be bucketed by
+   * it; `packedTable` is the packedCellIndex written with the same bucket
+   * count (see writePackedBucketed).
+   */
+  def reverseBucketed(spark: org.apache.spark.sql.SparkSession,
+                      pointsTable: String, packedTable: String,
+                      params: ReverseParams = ReverseParams()): DataFrame = {
+    val pts = spark.table(pointsTable)
+    val joined = pts.hint("merge")
+      .join(spark.table(packedTable), Seq("cell"), "left")
+    finish(bestFromPacked(joined), pts, params)
+  }
+
+  /** Materialize the packed cell->candidates index as a cell-bucketed table
+    * (the world-scale layout). One shuffle at build time; zero at query time. */
+  def writePackedBucketed(spark: org.apache.spark.sql.SparkSession,
+                          polygons: DataFrame, cellIndex: DataFrame,
+                          table: String, path: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    packedCellIndex(polygons, cellIndex).write
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  private def finish(best: DataFrame, points: DataFrame,
+                     params: ReverseParams): DataFrame = {
     val lang = params.language.map(_.toLowerCase(java.util.Locale.ROOT))
     val city = lang.map(l => coalesce(element_at(col("loc_city"), l), col("fmt_city")))
       .getOrElse(col("fmt_city"))

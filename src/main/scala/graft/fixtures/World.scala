@@ -152,11 +152,42 @@ object World {
       country = "United Kingdom")
   )
 
+  /** Multi-ring polygon from explicit rings (first = outer boundary, rest =
+    * holes or islands under the even-odd rule). Covering cells from the
+    * outer ring's bbox. */
+  def ringsPoly(id: Long, name: String, level: Int, cc: String,
+                rings: Seq[(Seq[Double], Seq[Double])],
+                city: String = null, country: String = null): AdminPolygon = {
+    val offsets = rings.scanLeft(0)((acc, r) => acc + r._1.size)
+    val lons = rings.flatMap(_._1)
+    val lats = rings.flatMap(_._2)
+    val (oLons, oLats) = rings.head
+    val cells = CellIndex.coverBbox(oLons.min, oLats.min, oLons.max, oLats.max,
+      CellIndex.FineLevel).toSeq
+    AdminPolygon(id, name, level, cc, offsets, lons, lats,
+      oLons.min, oLats.min, oLons.max, oLats.max, cells,
+      null, null, null, city, null, null, null, null, country,
+      Map.empty, Map.empty, 0, null, null)
+  }
+
+  /** Filler polygons for volume; every third is a MULTI-RING donut (outer
+    * quad + hole) so the world-scale bench and the reverse path exercise the
+    * even-odd holes branch, like real admin boundaries (enclaves). */
   def fillerPolygons(n: Int): Seq[AdminPolygon] = (0 until n).map { i =>
     val lon = -160.0 + (i * 37 % 320) + 0.5
     val lat = -70.0 + (i * 23 % 140) + 0.5
-    quad(6000L + i, s"Fillerland $i", 4, "us", lon, lat, 0.3, 0.2,
-      city = s"Fillerland $i", country = "United States")
+    if (i % 3 == 2) {
+      val (dLon, dLat) = (0.3, 0.2)
+      val (hLon, hLat) = (0.1, 0.07)
+      ringsPoly(6000L + i, s"Fillerland $i", 4, "us", Seq(
+        (Seq(lon - dLon, lon + dLon, lon + dLon, lon - dLon),
+         Seq(lat - dLat, lat - dLat, lat + dLat, lat + dLat)),
+        (Seq(lon - hLon, lon + hLon, lon + hLon, lon - hLon),
+         Seq(lat - hLat, lat - hLat, lat + hLat, lat + hLat))),
+        city = s"Fillerland $i", country = "United States")
+    } else
+      quad(6000L + i, s"Fillerland $i", 4, "us", lon, lat, 0.3, 0.2,
+        city = s"Fillerland $i", country = "United States")
   }
 
   def polygons(filler: Int = 6): Seq[AdminPolygon] = fixturePolygons ++ fillerPolygons(filler)
