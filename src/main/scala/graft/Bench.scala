@@ -124,16 +124,23 @@ object Bench {
     var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
     var thrTiny = 0.0
     var probeLow = 0.0; var probeHigh = 0.0
+    // per-cycle PAIRED efficiency: the tiny/low pair measured back-to-back
+    // inside one cycle shares its ambient-load window, so the ratio is
+    // robust to the cross-window bias that can hit best-of (one level
+    // sampling a quiet window the other never got). Reported alongside the
+    // best-of ratio; the cpu probe quantifies how contended each run was.
+    var effSmallPaired = 0.0
     var cyc = 0
     while (cyc < cycles &&
         (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
       // identical input at all three levels — "the same job at two (pairs
       // of) parallelism levels"
-      val (tt, _) = throughputAt(nTiny, scalePages)
-      val (tl, _) = throughputAt(nLow, scalePages)
-      val (th, h) = throughputAt(cpus, scalePages)
+      val (tt, _) = throughputAt(nTiny, scalePages, reps = 4)
+      val (tl, _) = throughputAt(nLow, scalePages, reps = 4)
+      val (th, h) = throughputAt(cpus, scalePages, reps = 4)
       thrLow = math.max(thrLow, tl); thrHigh = math.max(thrHigh, th); hits = h
       thrTiny = math.max(thrTiny, tt)
+      effSmallPaired = math.max(effSmallPaired, (tl / tt) / (nLow.toDouble / nTiny))
       val (pl, _) = throughputAt(nLow, probeN, mode = "cpuprobe", reps = 2)
       val (ph, _) = throughputAt(cpus, probeN, mode = "cpuprobe", reps = 2)
       probeLow = math.max(probeLow, pl); probeHigh = math.max(probeHigh, ph)
@@ -156,6 +163,7 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""pages_per_sec_n$nTiny":$thrTiny%.1f,""" +
       f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f,""" +
+      f""""scaling_efficiency_n${nTiny}_n${nLow}_paired":$effSmallPaired%.3f,""" +
       f""""cpu_probe_scaling_n${nLow}_n$cpus":$probeEff%.3f}""")
   }
 }

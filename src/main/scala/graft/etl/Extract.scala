@@ -252,8 +252,7 @@ object Extract {
     * digits, '.', >=3 digits. Returns end index (exclusive) or -1. Digits are
     * contiguous, so the regex's int-width backtracking reduces to "the digit
     * run before '.' must be 1..maxInt long". */
-  private def numEnd(bytes: Array[Byte], i: Int, maxInt: Int): Int = {
-    val n = bytes.length
+  private def numEnd(bytes: Array[Byte], i: Int, n: Int, maxInt: Int): Int = {
     var p = i
     if (p < n && bytes(p) == '-') p += 1
     val d0 = p
@@ -267,24 +266,24 @@ object Extract {
     if (p - f0 < 3) -1 else p
   }
 
-  /** Byte-level scan for decimal lat-lon literals — exact semantics of
-    * CoordRe.find() over the same ASCII bytes. */
-  def scanCoordBytes(bytes: Array[Byte],
+  /** Byte-level scan for decimal lat-lon literals over bytes[off, end) —
+    * exact semantics of CoordRe.find() over the same ASCII bytes. */
+  def scanCoordBytes(bytes: Array[Byte], off: Int, end: Int,
                      out: scala.collection.mutable.ArrayBuffer[Mention]): Unit = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val n = bytes.length
-    var i = 0
+    val n = end
+    var i = off
     while (i < n) {
       val b = bytes(i) & 0xff
       var end = -1
       var latEnd = -1
       var mid = -1
       if (b == '-' || isDigit(b)) {
-        val e1 = numEnd(bytes, i, 2)
+        val e1 = numEnd(bytes, i, n, 2)
         if (e1 >= 0 && e1 < n && bytes(e1) == ',') {
           var p = e1 + 1
           while (p < n && isWs(bytes(p) & 0xff)) p += 1
-          val e2 = numEnd(bytes, p, 3)
+          val e2 = numEnd(bytes, p, n, 3)
           if (e2 >= 0) { latEnd = e1; mid = p; end = e2 }
         }
       }
@@ -305,14 +304,14 @@ object Extract {
     * Produces exactly the matches of scanner.scanTokens(Norm.tokens(text))
     * for pure-ASCII text: ASCII lowercase bytes ARE the UTF-8 bytes TextCore
     * .fnv64 hashes, so the per-token hashes agree with the string path. */
-  def scanNamesAscii(bytes: Array[Byte], scanner: DictScanner,
+  def scanNamesAscii(bytes: Array[Byte], off: Int, end: Int, scanner: DictScanner,
                      out: scala.collection.mutable.ArrayBuffer[Mention]): Unit = {
-    val n = bytes.length
-    var hashes = new Array[Long](math.max(16, n / 6))
+    val n = end
+    var hashes = new Array[Long](math.max(16, (end - off) / 6))
     var nTok = 0
     var h = FnvInit
     var inTok = false
-    var i = 0
+    var i = off
     while (i <= n) {
       val c = if (i < n) bytes(i) & 0xff else ' '
       val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
@@ -337,19 +336,25 @@ object Extract {
   }
 
   /** Byte-input extraction — the per-page hot path. Pure-ASCII bytes never
-    * materialize the page as a String; non-ASCII pages (which may need
-    * diacritic folding and can carry DMS '°' literals) decode once and take
-    * the string path. */
-  def extractAllBytes(bytes: Array[Byte], scanner: DictScanner): Array[Mention] = {
+    * materialize the page as a String (callers can pass the UnsafeRow's
+    * backing array + offset directly — zero copies of page text); non-ASCII
+    * pages (which may need diacritic folding and can carry DMS '°' literals)
+    * decode once and take the string path. */
+  def extractAllBytes(bytes: Array[Byte], scanner: DictScanner): Array[Mention] =
+    extractAllBytes(bytes, 0, bytes.length, scanner)
+
+  def extractAllBytes(bytes: Array[Byte], off: Int, len: Int,
+                      scanner: DictScanner): Array[Mention] = {
+    val end = off + len
     var ascii = true
-    var i = 0
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    var i = off
+    while (ascii && i < end) { if (bytes(i) < 0) ascii = false; i += 1 }
     if (!ascii)
-      extractAll(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), scanner)
+      extractAll(new String(bytes, off, len, java.nio.charset.StandardCharsets.UTF_8), scanner)
     else {
       val out = new scala.collection.mutable.ArrayBuffer[Mention](8)
-      scanCoordBytes(bytes, out)
-      scanNamesAscii(bytes, scanner, out)
+      scanCoordBytes(bytes, off, end, out)
+      scanNamesAscii(bytes, off, end, scanner, out)
       out.toArray
     }
   }

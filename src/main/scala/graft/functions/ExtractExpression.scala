@@ -30,11 +30,18 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
-    // byte-level scan: pure-ASCII pages (the crawl majority) never
-    // materialize a String or per-token garbage — this is the memory-traffic
-    // lever on the string-bound extraction workload
-    val bytes = u.getBytes
-    val ms = Extract.extractAllBytes(bytes, scanner.value)
+    // ZERO-COPY byte-level scan: when the UTF8String is backed by a heap
+    // byte[] (UnsafeRow / parquet readers), scan and digest the backing
+    // array in place — the page text is never copied, never decoded, and
+    // produces no per-token garbage. This is the memory-traffic lever on the
+    // string-bound extraction workload (the 2->8-core scaling limiter).
+    val base = u.getBaseObject
+    val rawOff = u.getBaseOffset - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val (bytes, off, len) =
+      if (base.isInstanceOf[Array[Byte]] && rawOff >= 0 && rawOff <= Int.MaxValue)
+        (base.asInstanceOf[Array[Byte]], rawOff.toInt, u.numBytes)
+      else { val b = u.getBytes; (b, 0, b.length) }
+    val ms = Extract.extractAllBytes(bytes, off, len, scanner.value)
     val arr = new Array[Any](ms.length)
     var i = 0
     while (i < ms.length) {
@@ -48,9 +55,9 @@ case class ExtractMentionsExpr(child: Expression, scanner: Broadcast[DictScanner
       i += 1
     }
     // sha over the SAME bytes (byte-identity invariant) — fused here so the
-    // page text bytes are touched exactly once per page
+    // page text bytes are touched exactly once per page, in place
     InternalRow(
-      UTF8String.fromString(graft.geo.Geo.sha256HexBytes(bytes)),
+      UTF8String.fromString(graft.geo.Geo.sha256HexBytes(bytes, off, len)),
       new GenericArrayData(arr))
   }
 

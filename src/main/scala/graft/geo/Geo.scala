@@ -214,10 +214,15 @@ object Geo {
   def sha256Hex(s: String): String =
     sha256HexBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  def sha256HexBytes(bytes: Array[Byte]): String = {
+  def sha256HexBytes(bytes: Array[Byte]): String =
+    sha256HexBytes(bytes, 0, bytes.length)
+
+  /** Offset variant — digests a slice without copying it. */
+  def sha256HexBytes(bytes: Array[Byte], off: Int, len: Int): String = {
     val md = sha256Local.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     val out = new Array[Char](64)
     var i = 0
     while (i < d.length) {

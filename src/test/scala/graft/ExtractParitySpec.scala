@@ -85,6 +85,16 @@ class ExtractParitySpec extends AnyFunSuite {
       && math.abs(m.lon - 2.12870) < 1e-4))
   }
 
+  test("offset-slice extraction equals whole-array extraction (zero-copy path)") {
+    (Synth.fixtureTexts ++ (0L until 50L).map(Synth.pageFor(_).text)).foreach { t =>
+      val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val padded = new Array[Byte](raw.length + 13)
+      java.util.Arrays.fill(padded, '9'.toByte) // adversarial padding: digits
+      System.arraycopy(raw, 0, padded, 7, raw.length)
+      assert(Extract.extractAllBytes(padded, 7, raw.length, scanner).toSeq === viaBytes(t))
+    }
+  }
+
   test("hash-trie scan equals the normalized-token scan on mixed text") {
     val texts = Seq("go to schwabing munchen now", "ucl casa visit", "moabit berlin germany",
       "carrer de calatrava 64 barcelona", "nothing here", "fillerton 3 fillerton 12")
