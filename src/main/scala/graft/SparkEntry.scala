@@ -358,6 +358,23 @@ object SparkEntry {
       s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey"),
         GeoFunctions.dms(col("n_nationkey") * 0.025 - 0.2, lit(false)).as("dms_lon"),
         GeoFunctions.dms(col("n_nationkey") * 0.015 - 0.06, lit(true)).as("dms_lat"))),
+    "q10_skew_salted" -> ((s, dir) => {
+      // E9: skewed big side (half the rows share key 0) joined to a small
+      // dim through the explicit two-path salted rewrite (hot keys fan out
+      // over salt buckets, the tail joins plainly); the oracle is the plain
+      // SQL join — proving the rewrite changes the plan, never the result
+      val big = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          when(col("l_orderkey") % 4 < 2, 0L)
+            .otherwise(col("l_orderkey") % 25).as("k"))
+      val dim = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      Salt.skewAwareJoin(big, dim, "k", salts = 8,
+          bigId = struct(col("l_orderkey"), col("l_linenumber")),
+          hotThreshold = 10000L)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
     "sim_band_join" -> ((s, dir) => {
       // the LSH band-bucket candidate plan (band self-join + pair rollup)
       // over integer-derived signatures — the relational scaffolding of
@@ -595,6 +612,12 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q10_skew_salted" ->
+      """WITH big AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_orderkey % 4 < 2 THEN 0 ELSE l_orderkey % 25 END AS k
+        |  FROM lineitem)
+        |SELECT n_name, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM big JOIN nation ON k = n_nationkey GROUP BY 1""".stripMargin,
     "sim_band_join" ->
       """WITH bands AS (SELECT doc_id, j, doc_id % (j + 20) AS h
         |  FROM documents, range(16) t(j)),
