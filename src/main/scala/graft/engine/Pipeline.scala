@@ -65,12 +65,39 @@ object Pipeline {
     }
 
     maybeStage(spark, cfg, "hits", fp) {
-      val packed = Reverse.packedCellIndex(polygons, polyCells)
-      val withCell = withCoordCell(mentions)
-      fuseHits(withCell, nameIndex,
-        df => df.join(broadcast(packed), Seq("cell"), "left"), cfg)
+      val prep = prepare(nameIndex, polygons, polyCells, cfg, cache = false)
+      fuseHits(withCoordCell(mentions), prep.top1,
+        df => df.join(broadcast(prep.packed), Seq("cell"), "left"), cfg)
     }
   }
+
+  /** The two broadcast-side indexes, built once and reusable across batches.
+    * In production the gazetteer/polygon indexes amortize over the whole
+    * crawl — rebuild them per batch only if the gazetteer changed. `cache`
+    * persists them so repeated geocodePrepared calls pay only the (small)
+    * broadcast hash-relation build, not the index aggregation. */
+  case class Prepared(top1: DataFrame, packed: DataFrame)
+
+  def prepare(nameIndex: DataFrame, polygons: DataFrame, polyCells: DataFrame,
+              cfg: Config = Config(), cache: Boolean = true): Prepared = {
+    val top1 = Forward.top1Index(nameIndex, cfg.fwdParams)
+      .select(col("gaz_key"), col("place_id").as("g_place_id"),
+        col("name").as("g_name"), col("lon").as("g_lon"), col("lat").as("g_lat"),
+        col("country_code").as("g_cc"), col("city").as("g_city"),
+        col("road").as("g_road"), col("house_number").as("g_house"),
+        col("postcode").as("g_postcode"))
+    val packed = Reverse.packedCellIndex(polygons, polyCells)
+    if (cache) Prepared(top1.cache(), packed.cache())
+    else Prepared(top1, packed)
+  }
+
+  /** Steady-state batch geocode over PRE-BUILT indexes (see prepare): the
+    * shape of a production crawl loop, where the broadcast sides are built
+    * once and every pages batch pays only its own map work. */
+  def geocodePrepared(spark: SparkSession, pages: DataFrame, prep: Prepared,
+                      scanner: DictScanner, cfg: Config = Config()): DataFrame =
+    fuseHits(withCoordCell(Extract.mentions(spark, pages, scanner)), prep.top1,
+      df => df.join(broadcast(prep.packed), Seq("cell"), "left"), cfg)
 
   /**
    * World-polygon-scale variant (the flagship shape when admin polygons
@@ -94,7 +121,8 @@ object Pipeline {
     mentions.write.bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$warehouseDir/mentions_bucketed")
       .mode("overwrite").saveAsTable("graft_mentions_bucketed")
-    fuseHits(spark.table("graft_mentions_bucketed"), nameIndex,
+    val prep = prepare(nameIndex, polygons, polyCells, cfg, cache = false)
+    fuseHits(spark.table("graft_mentions_bucketed"), prep.top1,
       df => df.hint("merge")
         .join(spark.table("graft_polycells_bucketed"), Seq("cell"), "left"),
       cfg)
@@ -106,17 +134,10 @@ object Pipeline {
         lit(graft.geo.CellIndex.FineLevel))))
 
   /** The fused single-pass projection shared by the broadcast and bucketed
-    * paths; `revJoin` supplies the packed-index join strategy. */
-  private def fuseHits(mentions: DataFrame, nameIndex: DataFrame,
+    * paths; `top1` is the prepared forward index, `revJoin` supplies the
+    * packed-index join strategy. */
+  private def fuseHits(mentions: DataFrame, top1: DataFrame,
                        revJoin: DataFrame => DataFrame, cfg: Config): DataFrame = {
-      // broadcast side, built once per job
-      val top1 = Forward.top1Index(nameIndex, cfg.fwdParams)
-        .select(col("gaz_key"), col("place_id").as("g_place_id"),
-          col("name").as("g_name"), col("lon").as("g_lon"), col("lat").as("g_lat"),
-          col("country_code").as("g_cc"), col("city").as("g_city"),
-          col("road").as("g_road"), col("house_number").as("g_house"),
-          col("postcode").as("g_postcode"))
-
       val lang = cfg.revParams.language.map(_.toLowerCase(java.util.Locale.ROOT))
       val fwdCountry = Format.countryNameCol(col("g_cc"), lang)
 
