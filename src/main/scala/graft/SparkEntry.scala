@@ -268,6 +268,9 @@ object SparkEntry {
           ((col("o_orderkey") * 104729 % 1000) / lit(1000.0) + 41.0).as("lat"))
         .withColumn("cell13", GeoFunctions.cellId(col("lon"), col("lat"),
           lit(graft.geo.CellIndex.FineLevel)))
+        // knnComplete's iterative loop re-actions the gazetteer per ring;
+        // cache so each pass probes memory, not the orders scan
+        .cache()
       // the REAL iterative-ring operator; its coverage guarantee makes it
       // provably equal to the DuckDB brute-force haversine top-k
       Knn.knnComplete(q, gaz, k = 5, startRing = 4, maxRingCap = 64)
@@ -358,6 +361,35 @@ object SparkEntry {
       s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey"),
         GeoFunctions.dms(col("n_nationkey") * 0.025 - 0.2, lit(false)).as("dms_lon"),
         GeoFunctions.dms(col("n_nationkey") * 0.015 - 0.06, lit(true)).as("dms_lat"))),
+    "q11_sessionize" -> ((s, dir) => {
+      // classic event sessionization: a new session starts after a > 30 min
+      // gap per user; session bounds + event counts. Lag + windowed running
+      // sum — the stateful-analytics shape of §2.8's window row
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast is the
+      // identity instant and unix_micros compares exact microseconds
+      val us = unix_micros(col("ts").cast("timestamp"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("new_sess",
+          when(us - lag(us, 1).over(w) > 1800L * 1000000L, 1L).otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+    }),
+    "geo_tile_bounds" -> ((s, dir) => {
+      // E7 inverse: tile -> lon/lat bounds; pure web-mercator math both sides
+      val t = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 97 % 4096).as("tile_x"),
+          (col("n_nationkey") * 61 % 4096).as("tile_y"),
+          lit(12).as("tile_z"))
+      Tiler.tileBounds(t)
+        .select(col("n_nationkey"), col("tile_x"), col("tile_y"),
+          round(col("min_lon"), 6).as("min_lon"), round(col("max_lon"), 6).as("max_lon"),
+          round(col("min_lat"), 6).as("min_lat"), round(col("max_lat"), 6).as("max_lat"))
+    }),
     "q10_skew_salted" -> ((s, dir) => {
       // E9: skewed big side (half the rows share key 0) joined to a small
       // dim through the explicit two-path salted rewrite (hot keys fan out
@@ -612,6 +644,31 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q11_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_sess FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "geo_tile_bounds" ->
+      """WITH t AS (SELECT n_nationkey,
+        |  n_nationkey * 97 % 4096 AS tile_x, n_nationkey * 61 % 4096 AS tile_y,
+        |  CAST(4096.0 AS DOUBLE) AS n FROM nation)
+        |SELECT n_nationkey, tile_x, tile_y,
+        |  round(tile_x / n * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE), 6) AS min_lon,
+        |  round((tile_x + 1) / n * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE), 6) AS max_lon,
+        |  round(degrees(atan((exp(pi() * (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * (tile_y + 1) / n))
+        |    - exp(-(pi() * (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * (tile_y + 1) / n))))
+        |    / CAST(2.0 AS DOUBLE))), 6) AS min_lat,
+        |  round(degrees(atan((exp(pi() * (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * tile_y / n))
+        |    - exp(-(pi() * (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * tile_y / n))))
+        |    / CAST(2.0 AS DOUBLE))), 6) AS max_lat
+        |FROM t""".stripMargin,
     "q10_skew_salted" ->
       """WITH big AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |  CASE WHEN l_orderkey % 4 < 2 THEN 0 ELSE l_orderkey % 25 END AS k
