@@ -101,6 +101,23 @@ class WorldScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_polycells_bucketed")
   }
 
+  test("geocodePrepared (steady-state indexes) equals geocode exactly") {
+    val gazRows = World.gazetteer()
+    val idx = Gazetteer.nameIndex(Gazetteer.gazetteerDF(spark, gazRows))
+    val polys = Gazetteer.polygonsDF(spark)
+    val cells = Gazetteer.polygonCellIndex(polys)
+    val scanner = Gazetteer.scanner(gazRows)
+    val pages = Synth.pages(spark, 1500, 4).toDF()
+    val prep = Pipeline.prepare(idx, polys, cells)
+    val a = Pipeline.geocode(spark, pages, idx, polys, cells, scanner)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Pipeline.geocodePrepared(spark, pages, prep, scanner)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    prep.top1.unpersist(); prep.packed.unpersist()
+  }
+
   test("reverseBucketed equals broadcast reverse on holed filler polygons") {
     val wh = Files.createTempDirectory("graft-rb").toString
     val polys = Gazetteer.polygonsDF(spark, World.polygons(filler = 30))
