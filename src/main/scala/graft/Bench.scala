@@ -44,7 +44,7 @@ object Bench {
     * an N-executor cluster on one box. Heap scales with cores so per-core
     * memory is constant across cluster sizes, as it would be on a cluster. */
   private def throughputAt(cpus: Int, n: Long, mode: String = "full",
-                           reps: Int = 3): (Double, Long) = {
+                           reps: Int = 3, probe: Boolean = false): (Double, Long, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val pin =
@@ -60,6 +60,7 @@ object Bench {
       "-cp", cp, "graft.BenchOne", cpus.toString, n.toString, reps.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     pb.environment().put("GRAFT_BENCH_MODE", mode)
+    if (probe) pb.environment().put("GRAFT_BENCH_PROBE", "1")
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
@@ -67,7 +68,9 @@ object Bench {
       .getOrElse(sys.error(s"BenchOne failed:\n${out.takeRight(2000)}"))
     val parts = line.trim.split(" ")
     val best = parts(4).toDouble
-    (n / best, parts(3).toLong)
+    val probeThr = out.linesIterator.find(_.startsWith("GRAFT_BENCH_PROBE"))
+      .map(_.trim.split(" ")(2).toDouble).getOrElse(0.0)
+    (n / best, parts(3).toLong, probeThr)
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,12 +118,12 @@ object Bench {
     // (string-heavy workloads cap ~2.3x from 8->32 threads on one socket
     // regardless of plan shape).
     val nTiny = math.max(1, nLow / 4)
-    // register-only CPU probe at the upper pair's two levels, interleaved
-    // with the pipeline measurements: quantifies IN THE ARTIFACT that pure
-    // compute scales on this host while the string-bound pipeline saturates
-    // the single socket's memory bandwidth — the attribution for the 8->32
-    // pipeline efficiency number.
-    val probeN = 4000000L
+    // A register-only CPU probe is piggy-backed inside the n8/n32 children
+    // (GRAFT_BENCH_PROBE): it runs on the same pinned cores in the same
+    // ambient window as the pipeline reps it accompanies, and quantifies IN
+    // THE ARTIFACT that pure compute scales on this host while the
+    // string-bound pipeline saturates the single socket's memory bandwidth —
+    // the attribution for the 8->32 pipeline efficiency number.
     var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
     var thrTiny = 0.0
     var probeLow = 0.0; var probeHigh = 0.0
@@ -135,20 +138,19 @@ object Bench {
         (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
       // identical input at all three levels — "the same job at two (pairs
       // of) parallelism levels"
-      val (tt, _) = throughputAt(nTiny, scalePages, reps = 4)
-      val (tl, _) = throughputAt(nLow, scalePages, reps = 4)
-      val (th, h) = throughputAt(cpus, scalePages, reps = 4)
+      val (tt, _, _) = throughputAt(nTiny, scalePages, reps = 4)
+      val (tl, _, pl) = throughputAt(nLow, scalePages, reps = 4, probe = true)
+      val (th, h, ph) = throughputAt(cpus, scalePages, reps = 4, probe = true)
       thrLow = math.max(thrLow, tl); thrHigh = math.max(thrHigh, th); hits = h
       thrTiny = math.max(thrTiny, tt)
       effSmallPaired = math.max(effSmallPaired, (tl / tt) / (nLow.toDouble / nTiny))
-      val (pl, _) = throughputAt(nLow, probeN, mode = "cpuprobe", reps = 2)
-      val (ph, _) = throughputAt(cpus, probeN, mode = "cpuprobe", reps = 2)
       probeLow = math.max(probeLow, pl); probeHigh = math.max(probeHigh, ph)
       cyc += 1
     }
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
     val effSmall = (thrLow / thrTiny) / (nLow.toDouble / nTiny)
-    val probeEff = (probeHigh / probeLow) / (cpus.toDouble / nLow)
+    val probeEff =
+      if (probeLow > 0.0) (probeHigh / probeLow) / (cpus.toDouble / nLow) else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -139,6 +139,26 @@ object BenchOne {
         best = math.min(best, sec)
         r += 1
       }
+      // piggy-backed register-only CPU probe (same JVM, same pinned cores,
+      // same ambient window as the pipeline reps just measured): one line
+      // "GRAFT_BENCH_PROBE <cpus> <opsPerSec>", saving a separate child JVM
+      // per probe point (~25 s of startup each)
+      if (sys.env.contains("GRAFT_BENCH_PROBE") && benchMode == "full") {
+        import spark.implicits._
+        val probeN = 4000000L
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(0, probeN, 1, cpus * 4).map { i =>
+            var h = i; var k = 0
+            while (k < 4096) { h = graft.text.TextCore.mix(h); k += 1 }
+            h
+          }.filter(_ == 42L).count()
+          probeN / ((System.nanoTime() - t0) / 1e9)
+        }
+        probe() // JIT warm-up
+        val bestProbe = math.max(probe(), probe())
+        println(f"GRAFT_BENCH_PROBE $cpus $bestProbe%.1f")
+      }
       (best, hits)
     } finally spark.stop()
   }
