@@ -272,8 +272,10 @@ object SparkEntry {
         // cache so each pass probes memory, not the orders scan
         .cache()
       // the REAL iterative-ring operator; its coverage guarantee makes it
-      // provably equal to the DuckDB brute-force haversine top-k
-      Knn.knnComplete(q, gaz, k = 5, startRing = 4, maxRingCap = 64)
+      // provably equal to the DuckDB brute-force haversine top-k.
+      // startRing=0 = density-derived initial radius (one gazetteer agg),
+      // so the typical query resolves in 1-2 rounds instead of 3-4
+      Knn.knnComplete(q, gaz, k = 5, startRing = 0, maxRingCap = 64)
         .select(col("query_id"), col("knn_rank"), col("place_id"),
           round(col("dist_m"), 0).cast("long").as("dist_m_round"))
     }),

@@ -36,12 +36,16 @@ abstract class EngineGeocoder(spark: SparkSession) extends Geocoder {
   protected lazy val polygons = Gazetteer.polygonsDF(spark)
   protected lazy val cellIndex = Gazetteer.polygonCellIndex(polygons)
   protected lazy val gazetteer = Gazetteer.gazetteerDF(spark, gazRows)
+  /** Per-cell timezone index derived from THIS geocoder's own gazetteer rows
+    * (GeoNames-style per-place zones) — never from engine-global state. */
+  protected lazy val tzByCell: Map[Long, String] =
+    graft.fixtures.World.timezoneByCell7(gazRows)
 
   protected def fwd(queries: DataFrame, params: ForwardParams): DataFrame =
-    Forward.forward(queries, nameIndex, params)
+    Forward.forward(queries, nameIndex, params, tzByCell)
 
   protected def rev(points: DataFrame, params: ReverseParams): DataFrame =
-    Reverse.reverse(points, polygons, cellIndex, params)
+    Reverse.reverse(points, polygons, cellIndex, params, tzByCell = tzByCell)
 }
 
 /**

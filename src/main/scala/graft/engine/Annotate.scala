@@ -67,10 +67,15 @@ object Annotate {
   /** Append the annotations struct column. Expects lon/lat/country_code.
     * `ts` (e.g. the page's warc_ts) keys the Sun rise/set annotation
     * (opencage.rs:592-598) — deterministic, never the wall clock; omitted =
-    * null sun with the schema slot preserved. */
+    * null sun with the schema slot preserved.
+    *
+    * `tzByCell` defaults EMPTY (timezone falls back to the country-level
+    * zone): per-cell zones are a property of the caller's gazetteer, never of
+    * the engine — callers with a gazetteer that carries per-place zones derive
+    * the map from it (see api.EngineGeocoder / World.timezoneByCell7). */
   def withAnnotations(df: DataFrame, lon: Column, lat: Column, cc: Column,
                       ts: Option[Column] = None,
-                      tzByCell: Map[Long, String] = graft.fixtures.World.timezoneByCell7()): DataFrame = {
+                      tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val sun = ts match {
       case Some(t) => struct(
         sunrise(lon, lat, t).as("rise"), sunset(lon, lat, t).as("set"))

@@ -52,6 +52,15 @@ object Checkpoint {
     }
   }
 
+  /** Public probe/write pair for other materialized layouts (e.g. the
+    * world-scale packed bucketed tables) that reuse the same
+    * _GRAFT_FINGERPRINT convention. */
+  def pathFingerprint(spark: SparkSession, path: String): Option[String] =
+    storedFingerprint(spark, path)
+
+  def writePathFingerprint(spark: SparkSession, path: String, fp: String): Unit =
+    writeFingerprint(spark, path, fp)
+
   private def writeFingerprint(spark: SparkSession, outPath: String, fp: String): Unit = {
     val out = fs(spark, outPath).create(new Path(outPath, "_GRAFT_FINGERPRINT"), true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -77,8 +86,12 @@ object Checkpoint {
            (build: => DataFrame): DataFrame = {
     val outPath = s"$ckptDir/$name"
     val linPath = s"$ckptDir/_lineage/$name"
+    // A MISSING stored fingerprint is NOT a match when the caller supplied
+    // one: a checkpoint written before fingerprinting existed (or whose
+    // fingerprint write failed after the parquet write) must recompute — the
+    // exact stale-resume case the guard exists to prevent.
     val fpOk = fingerprint.isEmpty ||
-      storedFingerprint(spark, outPath).forall(_ == fingerprint)
+      storedFingerprint(spark, outPath).contains(fingerprint)
     if (exists(spark, outPath) && fpOk) {
       val df = spark.read.parquet(outPath)
       lineage(df, name, 0L, resumed = true, runId)

@@ -108,8 +108,10 @@ object Forward {
   }
 
   /** Full result projection shared by the query-verb, page-pipeline and
-    * streaming paths. */
-  def project(df: DataFrame, params: ForwardParams): DataFrame = {
+    * streaming paths. `tzByCell` feeds the timezone annotation when the
+    * caller's gazetteer carries per-place zones (empty = country-level). */
+  def project(df: DataFrame, params: ForwardParams,
+              tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val lang = params.language.map(lc)
     val locName = lang.map(l => coalesce(element_at(col("altnames"), l), col("name")))
       .getOrElse(col("name"))
@@ -144,7 +146,8 @@ object Forward {
       else out
     if (params.annotations)
       Annotate.withAnnotations(out, col("lon"), col("lat"), col("country_code"),
-        ts = if (df.columns.contains("warc_ts")) Some(col("warc_ts")) else None)
+        ts = if (df.columns.contains("warc_ts")) Some(col("warc_ts")) else None,
+        tzByCell = tzByCell)
     else out
   }
 
@@ -154,10 +157,11 @@ object Forward {
    * full-result schema of the `*_full` variants.
    */
   def forward(queries: DataFrame, nameIndex: DataFrame,
-              params: ForwardParams = ForwardParams()): DataFrame = {
+              params: ForwardParams = ForwardParams(),
+              tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val withNorm = queries.withColumn("norm", normalizeUdf(col("query")))
     val joined = candidates(withNorm, nameIndex, params)
-    project(topK(joined, Seq("query_id"), params.limit), params)
+    project(topK(joined, Seq("query_id"), params.limit), params, tzByCell)
       .drop("gaz_key", "norm")
   }
 

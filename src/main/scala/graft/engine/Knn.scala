@@ -62,30 +62,70 @@ object Knn {
     * results are returned as-is (documented approximation beyond
     * maxRingCap * minEdge meters). */
   def knnComplete(queries: DataFrame, gazetteer: DataFrame, k: Int,
-                  startRing: Int = 1, maxRingCap: Int = 8): DataFrame = {
-    var ring = startRing
-    var residual = queries.cache()
+                  startRing: Int = 0, maxRingCap: Int = 8): DataFrame = {
+    // startRing <= 0: derive the initial radius from gazetteer density (one
+    // cheap aggregation) so dense worlds skip the tiny-ring rounds and sparse
+    // worlds skip several doublings — each saved round is a full Spark job.
+    var ring =
+      if (startRing > 0) startRing
+      else {
+        val st = gazetteer.agg(count(lit(1)).as("n"), min("lon").as("lo1"),
+          max("lon").as("lo2"), min("lat").as("la1"), max("lat").as("la2")).head()
+        val n = st.getLong(0)
+        val edgeM = graft.geo.CellIndex.minEdgeMeters(graft.geo.CellIndex.FineLevel)
+        val degM = graft.geo.Geo.EarthRadiusM * math.Pi / 180.0
+        val r0 =
+          if (n == 0) maxRingCap
+          else {
+            val midLat = (st.getDouble(3) + st.getDouble(4)) / 2.0
+            val wM = math.max(edgeM, (st.getDouble(2) - st.getDouble(1)) * degM *
+              math.max(0.1, math.cos(midLat * math.Pi / 180.0)))
+            val hM = math.max(edgeM, (st.getDouble(4) - st.getDouble(3)) * degM)
+            val density = n / math.max(1.0, (wM / edgeM) * (hM / edgeM))
+            // (2r+1)^2 cells expected to hold ~2k candidates
+            math.ceil((math.sqrt(2.0 * k / math.max(density, 1e-12)) - 1.0) / 2.0).toInt
+          }
+        math.max(1, math.min(maxRingCap, r0))
+      }
+    // local alias so the CALLER's frame is never persisted/unpersisted by us
+    var residual = queries.select(queries.columns.map(col): _*).cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](residual)
+    var residualCount = residual.count()
     var acc: DataFrame = null
-    while (ring <= maxRingCap && !residual.isEmpty) {
+    while (ring <= maxRingCap && residualCount > 0) {
       val coverageM = ring * graft.geo.CellIndex.minEdgeMeters(graft.geo.CellIndex.FineLevel)
       val got = knn(residual, gazetteer, k, ring).cache()
       val satisfied = got.groupBy("query_id")
         .agg(count(lit(1)).as("__n"), max(col("dist_m")).as("__kdist"))
         .filter(col("__n") >= k && col("__kdist") <= coverageM)
-        .select("query_id")
+        .select("query_id").cache()
+      cached += got
+      cached += satisfied
+      // the ONE action per round: materializes got + satisfied together and
+      // yields the residual count arithmetically (no isEmpty, no second scan)
+      val satCount = satisfied.count()
       val done = got.join(satisfied, Seq("query_id"), "left_semi")
       acc = if (acc == null) done else acc.unionByName(done)
       val next = residual.join(satisfied, Seq("query_id"), "left_anti").cache()
-      residual.unpersist()
+      cached += next
       residual = next
+      residualCount -= satCount
       ring *= 2
     }
     // whatever the residual found at the final radius (may be < k results,
     // and beyond the coverage guarantee — best effort at the cap)
-    if (residual.isEmpty) acc
-    else {
-      val last = knn(residual, gazetteer, k, maxRingCap)
-      if (acc == null) last else acc.unionByName(last)
-    }
+    val result =
+      if (residualCount == 0 && acc != null) acc
+      else {
+        val last = knn(residual, gazetteer, k, maxRingCap)
+        if (acc == null) last else acc.unionByName(last)
+      }
+    // materialize the (small) result, then release every intermediate cache —
+    // repeated calls must not accumulate blocks until LRU eviction. The
+    // returned frame stays cached (callers consume it immediately).
+    val out = result.cache()
+    out.count()
+    cached.foreach(_.unpersist())
+    out
   }
 }

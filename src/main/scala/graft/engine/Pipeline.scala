@@ -113,18 +113,59 @@ object Pipeline {
   def geocodeWorldScale(spark: SparkSession, pages: DataFrame, nameIndex: DataFrame,
                         polygons: DataFrame, polyCells: DataFrame, scanner: DictScanner,
                         warehouseDir: String, buckets: Int = 32,
-                        cfg: Config = Config()): DataFrame = {
-    Reverse.writePackedBucketed(spark, polygons, polyCells,
-      "graft_polycells_bucketed", s"$warehouseDir/polycells_bucketed", buckets)
+                        cfg: Config = Config(),
+                        reusePacked: Boolean = true): DataFrame = {
+    val (mentionsTable, packedTable) = worldScaleLayout(spark, pages, polygons,
+      polyCells, scanner, warehouseDir, buckets, cfg, reusePacked)
+    geocodeWorldScaleRead(spark, mentionsTable, packedTable, nameIndex,
+      polygons, polyCells, cfg)
+  }
+
+  /** The write half of the world-scale path: materialize the cell-bucketed
+    * mentions + packed-polygon tables. Table names carry cfg.runId so
+    * concurrent jobs sharing a metastore never clobber each other. When
+    * `reusePacked` and a packed table with a matching fingerprint already
+    * exists (Checkpoint-style probe on its path), its write is SKIPPED — the
+    * packed index amortizes over every batch in production, so a steady-state
+    * crawl pays it once, not per invocation. */
+  def worldScaleLayout(spark: SparkSession, pages: DataFrame,
+                       polygons: DataFrame, polyCells: DataFrame, scanner: DictScanner,
+                       warehouseDir: String, buckets: Int = 32,
+                       cfg: Config = Config(),
+                       reusePacked: Boolean = true): (String, String) = {
+    val mentionsTable = s"graft_mentions_bucketed_${cfg.runId}"
+    val packedTable = s"graft_polycells_bucketed_${cfg.runId}"
+    val packedPath = s"$warehouseDir/polycells_bucketed_${cfg.runId}"
+    // fingerprint = polygon schema + bucket count (content changes under an
+    // identical schema are the caller's contract, as with Checkpoint.stage)
+    val packedFp = java.lang.Long.toHexString(
+      graft.text.TextCore.fnv64(polygons.schema.json + "|" + buckets))
+    val reusable = reusePacked && spark.catalog.tableExists(packedTable) &&
+      Checkpoint.pathFingerprint(spark, packedPath).contains(packedFp)
+    if (!reusable) {
+      Reverse.writePackedBucketed(spark, polygons, polyCells,
+        packedTable, packedPath, buckets)
+      Checkpoint.writePathFingerprint(spark, packedPath, packedFp)
+    }
     val mentions = withCoordCell(Extract.mentions(spark, pages, scanner))
-    spark.sql("DROP TABLE IF EXISTS graft_mentions_bucketed")
+    spark.sql(s"DROP TABLE IF EXISTS $mentionsTable")
     mentions.write.bucketBy(buckets, "cell").sortBy("cell")
-      .option("path", s"$warehouseDir/mentions_bucketed")
-      .mode("overwrite").saveAsTable("graft_mentions_bucketed")
+      .option("path", s"$warehouseDir/mentions_bucketed_${cfg.runId}")
+      .mode("overwrite").saveAsTable(mentionsTable)
+    (mentionsTable, packedTable)
+  }
+
+  /** The read half of the world-scale path over pre-written bucketed tables:
+    * zero-exchange SMJ reverse + broadcast forward — the steady-state cost a
+    * crawl pays per batch once the layout exists. */
+  def geocodeWorldScaleRead(spark: SparkSession, mentionsTable: String,
+                            packedTable: String, nameIndex: DataFrame,
+                            polygons: DataFrame, polyCells: DataFrame,
+                            cfg: Config = Config()): DataFrame = {
     val prep = prepare(nameIndex, polygons, polyCells, cfg, cache = false)
-    fuseHits(spark.table("graft_mentions_bucketed"), prep.top1,
+    fuseHits(spark.table(mentionsTable), prep.top1,
       df => df.hint("merge")
-        .join(spark.table("graft_polycells_bucketed"), Seq("cell"), "left"),
+        .join(spark.table(packedTable), Seq("cell"), "left"),
       cfg)
   }
 

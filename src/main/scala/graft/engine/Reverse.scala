@@ -78,7 +78,8 @@ object Reverse {
    */
   def reverse(points: DataFrame, polygons: DataFrame, cellIndex: DataFrame,
               params: ReverseParams = ReverseParams(),
-              broadcastIndex: Boolean = true): DataFrame = {
+              broadcastIndex: Boolean = true,
+              tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val pts = points.withColumn("cell", cellId(col("lon"), col("lat"),
       lit(graft.geo.CellIndex.FineLevel)))
 
@@ -99,7 +100,7 @@ object Reverse {
         // restore non-matching points (left semantics) and any extra columns
         points.join(agg.drop("lon", "lat"), Seq("query_id"), "left")
       }
-    finish(best, points, params)
+    finish(best, points, params, tzByCell)
   }
 
   /** Ray-cast + best-pick over a (points LEFT JOIN packed-index) frame —
@@ -124,11 +125,12 @@ object Reverse {
    */
   def reverseBucketed(spark: org.apache.spark.sql.SparkSession,
                       pointsTable: String, packedTable: String,
-                      params: ReverseParams = ReverseParams()): DataFrame = {
+                      params: ReverseParams = ReverseParams(),
+                      tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val pts = spark.table(pointsTable)
     val joined = pts.hint("merge")
       .join(spark.table(packedTable), Seq("cell"), "left")
-    finish(bestFromPacked(joined), pts, params)
+    finish(bestFromPacked(joined), pts, params, tzByCell)
   }
 
   /** Materialize the packed cell->candidates index as a cell-bucketed table
@@ -143,7 +145,8 @@ object Reverse {
   }
 
   private def finish(best: DataFrame, points: DataFrame,
-                     params: ReverseParams): DataFrame = {
+                     params: ReverseParams,
+                     tzByCell: Map[Long, String] = Map.empty): DataFrame = {
     val lang = params.language.map(_.toLowerCase(java.util.Locale.ROOT))
     val city = lang.map(l => coalesce(element_at(col("loc_city"), l), col("fmt_city")))
       .getOrElse(col("fmt_city"))
@@ -172,7 +175,8 @@ object Reverse {
     res =
       if (params.annotations)
         Annotate.withAnnotations(res, col("lon"), col("lat"), col("country_code"),
-          ts = if (points.columns.contains("warc_ts")) Some(col("warc_ts")) else None)
+          ts = if (points.columns.contains("warc_ts")) Some(col("warc_ts")) else None,
+          tzByCell = tzByCell)
       else res
 
     // status taxonomy (GeocodingError, lib.rs:54-66, mapped to per-row

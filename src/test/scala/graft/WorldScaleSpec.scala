@@ -97,8 +97,8 @@ class WorldScaleSpec extends AnyFunSuite {
     assert(key(world) === key(base))
     assert(world.count() > 0)
 
-    spark.sql("DROP TABLE IF EXISTS graft_mentions_bucketed")
-    spark.sql("DROP TABLE IF EXISTS graft_polycells_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_mentions_bucketed_run")
+    spark.sql("DROP TABLE IF EXISTS graft_polycells_bucketed_run")
   }
 
   test("geocodePrepared (steady-state indexes) equals geocode exactly") {
