@@ -31,6 +31,48 @@ object SparkEntry {
     (gaz, idx, polys, cells, Gazetteer.scanner())
   }
 
+  // ---- oracle input materialization ---------------------------------------
+  // The flagship pipeline consumes engine-synthesized pages and the fixture
+  // world. To oracle it END TO END (not just via operator twins), those
+  // inputs are written once as parquet BOTH engines read: Spark runs the real
+  // pipeline over them, DuckDB independently re-derives mentions (regex +
+  // longest-match name alternation), PIP (even-odd ray cast on the same
+  // packed rings), ranking, formatting, and tiling from the same raw bytes.
+  private val OracleDir = sys.env.getOrElse("GRAFT_ORACLE_DIR", "/tmp/graft_oracle")
+
+  /** Synthesized pages for `dir`'s scale factor, materialized to parquet
+    * (content-fingerprinted marker; rewritten when sf or synthesis change). */
+  private def oraclePages(s: SparkSession, dir: String): DataFrame = synchronized {
+    val n = Synth.pagesForSf(dir)
+    val fp = java.lang.Long.toHexString(
+      graft.text.TextCore.fnv64(Synth.fixtureTexts.mkString(" ") + s"|pages|$n"))
+    val path = s"$OracleDir/pages"
+    val marker = new java.io.File(s"$path/_GRAFT_READY_$fp")
+    if (!marker.exists()) {
+      Synth.pages(s, n, 32).toDF().write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
+  }
+
+  /** Fixture gazetteer name index + polygons as parquet for the oracle side
+    * (static; written once). The engine reads the same rows from memory —
+    * parquet round-trips doubles exactly, so both sides see identical bits. */
+  private def oracleWorldTables(s: SparkSession): Unit = synchronized {
+    val marker = new java.io.File(s"$OracleDir/_GRAFT_WORLD_READY_v1")
+    if (!marker.exists()) {
+      new java.io.File(OracleDir).mkdirs()
+      Gazetteer.nameIndex(Gazetteer.gazetteerDF(s))
+        .select("gaz_key", "place_id", "name", "lon", "lat", "weight", "importance")
+        .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/gaz")
+      Gazetteer.polygonsDF(s)
+        .select("polygon_id", "name", "admin_level", "ring_offsets", "ring_lons",
+          "ring_lats", "fmt_house", "fmt_road", "fmt_city", "fmt_postcode", "fmt_country")
+        .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/polys")
+      marker.createNewFile()
+    }
+  }
+
   /** Flagship: full geocode pipeline (extract -> forward + reverse -> tiles)
     * on synthesized pages at sf0.001 scale. */
   def entry(spark: SparkSession): DataFrame = {
@@ -145,20 +187,23 @@ object SparkEntry {
         .select(col("n_nationkey"), GeoFunctions.mercatorX(col("lon")).as("merc_x"))
     }),
 
-    // ---- geocoding engine (deterministic synth pages; rows-only) ---------
+    // ---- geocoding engine over materialized synth pages (oracle-backed:
+    // DuckDB re-derives extraction/PIP/ranking from the same parquet) -------
     "geo_forward_pages" -> ((s, dir) => {
       val (_, idx, _, _, scanner) = world(s)
-      Forward.geocodePages(s, Synth.pagesDF(s, dir), idx, scanner)
+      oracleWorldTables(s)
+      Forward.geocodePages(s, oraclePages(s, dir), idx, scanner)
         .select("url", "surface", "name", "place_id", "lon", "lat", "result_rank")
     }),
     "geo_reverse_points" -> ((s, dir) => {
       val (_, _, polys, cells, scanner) = world(s)
-      val mentions = graft.etl.Extract.mentions(s, Synth.pagesDF(s, dir), scanner)
+      oracleWorldTables(s)
+      val mentions = graft.etl.Extract.mentions(s, oraclePages(s, dir), scanner)
       val coords = mentions.filter(col("kind") === "coord")
         .select(concat_ws("|", col("url"), col("surface")).as("query_id"),
           col("lon"), col("lat"))
       Reverse.reverse(coords, polys, cells, ReverseParams())
-        .select("query_id", "name", "formatted", "geocode_status")
+        .select("query_id", "polygon_id", "name", "formatted", "geocode_status")
     }),
     "geo_reverse_geoadmin" -> ((s, dir) => {
       val (gaz, _, _, _, _) = world(s)
@@ -177,8 +222,11 @@ object SparkEntry {
     }),
     "geo_pipeline_tiles" -> ((s, dir) => {
       val (_, idx, polys, cells, scanner) = world(s)
-      val hits = Pipeline.geocode(s, Synth.pagesDF(s, dir), idx, polys, cells, scanner)
-      Pipeline.tiles(hits)
+      oracleWorldTables(s)
+      val hits = Pipeline.geocode(s, oraclePages(s, dir), idx, polys, cells, scanner)
+      // approx_pages (HLL sketch) stays an engine output but is excluded from
+      // the contract selection — a sketch is not oracle-comparable
+      Pipeline.tiles(hits).select("tile_z", "tile_x", "tile_y", "n_hits")
     }),
 
     // ---- training-data ops: dedup / similarity / text / multimodal -------
@@ -191,7 +239,23 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
         .withColumn("jaccard_est", round(col("jaccard_est"), 6))),
-    "doc_ngram_jaccard" -> ((s, dir) =>
+    // the exact shingle-Jaccard VERIFY stage over a deterministic candidate
+    // set (planted near-dups + adjacent-id negatives) — oracle-checkable via
+    // DuckDB list math; the minhash RECALL stage that normally feeds it stays
+    // covered by doc_minhash_pairs + the sim_band_join oracle
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val ids = d.select(col("doc_id"))
+      val cand = ids.filter(col("doc_id") >= 10000000L)
+        .select((col("doc_id") - 10000000L).as("doc_a"), col("doc_id").as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0 && col("doc_id") < 10000000L)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")))
+      Dedup.jaccardVerify(cand, d, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+    // the full two-phase near-dup chain (LSH recall -> exact verify); the
+    // recall stage's minhash signatures are non-ANSI, so rows-only
+    "doc_ngram_lsh_verified" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))),
     "doc_simhash_pairs" -> ((s, dir) =>
@@ -242,12 +306,32 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.withBinaryMeta(Synth.pagesDF(s, dir))
+      Multimodal.withBinaryMeta(oraclePages(s, dir))
         .select("url", "bin_len", "mime", "content_hash")),
     "mm_features" -> ((s, dir) =>
       Multimodal.withFeatures(Synth.pagesDF(s, dir).limit(1000), dim = 16)
         .select(col("url"), round(graft.functions.TextFunctions.vnorm(col("features")), 6)
           .as("feat_norm"))),
+
+    // E10 — lineage/resume under the driver's determinism check: a two-stage
+    // checkpointed pipeline run COLD then RESUMED against a fresh ckpt dir;
+    // output = per-stage lineage rolled up partition-independently (sum rows,
+    // bit_xor checksums), excluding wall times. Deterministic across reruns
+    // and parallelism levels; rows-only (lineage is engine-internal state).
+    "ops_lineage" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_contract"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val (_, idx, polys, cells, scanner) = world(s)
+      val pages = Synth.pages(s, 1000, 8).toDF()
+      val cfg = Pipeline.Config(ckptDir = Some(ck), runId = "cold")
+      Pipeline.geocode(s, pages, idx, polys, cells, scanner, cfg).count()
+      Pipeline.geocode(s, pages, idx, polys, cells, scanner,
+        cfg.copy(runId = "resume")).count()
+      Checkpoint.metrics(s, ck)
+        .groupBy("stage", "run_id", "resumed")
+        .agg(sum("rows").as("rows"), expr("bit_xor(checksum)").as("checksum"))
+    }),
 
     // ---- oracle-backed ENGINE-VERB queries over arithmetic-derived worlds:
     // the geocoding verbs run through the real engine operators (knnComplete
@@ -426,7 +510,185 @@ object SparkEntry {
     })
   )
 
+  // ---- oracle SQL fragments for the materialized-input pipeline queries ---
+  // DuckDB re-derives the whole extraction independently:
+  //  - decimal coord literals: the SAME regex the engine's byte scanner
+  //    replicates (etl/Extract.scala CoordRe) via regexp_extract_all groups
+  //  - DMS literals: the DmsRe groups, degrees + min/60 + sec/3600 in the
+  //    same left-associative order
+  //  - name mentions: the dictionary trie's longest-match non-overlapping
+  //    scan == RE2 regexp_extract_all over the normalized text with a
+  //    \b-bounded alternation ordered longest-first (leftmost scan resumes
+  //    after each match in both engines; at equal start the longer
+  //    alternative wins, exactly the trie's best-terminal rule)
+  private val CoordReSql = "(-?\\d{1,2}\\.\\d{3,}),\\s*(-?\\d{1,3}\\.\\d{3,})"
+  private val DmsReSql =
+    ("(\\d{1,2})°\\s*(\\d{1,2})'\\s*(\\d{1,2}(?:\\.\\d+)?)''\\s*([NS])[,;\\s]+" +
+     "(\\d{1,3})°\\s*(\\d{1,2})'\\s*(\\d{1,2}(?:\\.\\d+)?)''\\s*([EW])")
+      .replace("'", "''")
+  private val NamesReSql = graft.fixtures.World.gazetteer()
+    .flatMap(_.norm_keys).distinct
+    .sortBy(k => (-k.length, k))
+    .mkString("\\b(?:", "|", ")\\b")
+
+  /** Shared CTEs: materialized inputs + mention extraction (names, decimal
+    * coords, DMS coords). */
+  private def extractCtes: String =
+    s"""pages AS (SELECT url, text FROM read_parquet('$OracleDir/pages/*.parquet')),
+       |gaz AS (SELECT * FROM read_parquet('$OracleDir/gaz/*.parquet')),
+       |polys AS (SELECT * FROM read_parquet('$OracleDir/polys/*.parquet')),
+       |normd AS (SELECT url,
+       |  regexp_replace(strip_accents(lower(text)), '[^a-z0-9]+', ' ', 'g') AS nt
+       |  FROM pages),
+       |names AS (SELECT url, unnest(regexp_extract_all(nt, '$NamesReSql')) AS surface
+       |  FROM normd),
+       |cd AS (SELECT url,
+       |    unnest(regexp_extract_all(text, '$CoordReSql', 0)) AS surface,
+       |    unnest(regexp_extract_all(text, '$CoordReSql', 1)) AS lat_s,
+       |    unnest(regexp_extract_all(text, '$CoordReSql', 2)) AS lon_s
+       |  FROM pages),
+       |dm0 AS (SELECT url,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 0)) AS surface,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 1)) AS g1,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 2)) AS g2,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 3)) AS g3,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 4)) AS g4,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 5)) AS g5,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 6)) AS g6,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 7)) AS g7,
+       |    unnest(regexp_extract_all(text, '$DmsReSql', 8)) AS g8
+       |  FROM pages),
+       |dm AS (SELECT url, surface, lon, lat FROM (SELECT url, surface,
+       |    (CAST(g5 AS DOUBLE) + CAST(g6 AS DOUBLE) / 60 + CAST(g7 AS DOUBLE) / 3600)
+       |      * (CASE WHEN g8 = 'W' THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS lon,
+       |    (CAST(g1 AS DOUBLE) + CAST(g2 AS DOUBLE) / 60 + CAST(g3 AS DOUBLE) / 3600)
+       |      * (CASE WHEN g4 = 'S' THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS lat
+       |  FROM dm0) WHERE abs(lat) <= 90 AND abs(lon) <= 180),
+       |coords AS (
+       |  SELECT url, surface, CAST(lon_s AS DOUBLE) AS lon, CAST(lat_s AS DOUBLE) AS lat
+       |  FROM cd WHERE abs(CAST(lat_s AS DOUBLE)) <= 90 AND abs(CAST(lon_s AS DOUBLE)) <= 180
+       |  UNION ALL SELECT url, surface, lon, lat FROM dm)""".stripMargin
+
+  /** Shared CTEs: even-odd ray-cast PIP over the packed rings (the EXACT
+    * edge rule of geo/Geo.scala rayCast, same arithmetic order) + the
+    * most-specific pick. Requires extractCtes. */
+  private def pipCtes: String =
+    """pe0 AS (SELECT polygon_id, admin_level, ring_offsets, ring_lons, ring_lats,
+      |    unnest(range(len(ring_lons))) AS v FROM polys),
+      |pe2 AS (SELECT polygon_id,
+      |    ring_lons[v+1] AS xi, ring_lats[v+1] AS yi,
+      |    ring_lons[(CASE WHEN v = ring_offsets[rc] THEN ring_offsets[rc+1] - 1 ELSE v - 1 END) + 1] AS xj,
+      |    ring_lats[(CASE WHEN v = ring_offsets[rc] THEN ring_offsets[rc+1] - 1 ELSE v - 1 END) + 1] AS yj
+      |  FROM (SELECT *, len(list_filter(ring_offsets, o -> o <= v)) AS rc FROM pe0)),
+      |dpts AS (SELECT DISTINCT url || '|' || surface AS query_id, lon, lat FROM coords),
+      |pipc AS (SELECT query_id, polygon_id,
+      |    sum(CASE WHEN (yi > lat) <> (yj > lat)
+      |         AND lon < (xj - xi) * (lat - yi) / (yj - yi) + xi THEN 1 ELSE 0 END) AS cr
+      |  FROM dpts, pe2 GROUP BY 1, 2),
+      |inside AS (SELECT query_id, polygon_id FROM pipc WHERE cr % 2 = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "geo_forward_pages" ->
+      s"""WITH $extractCtes,
+         |nc AS (SELECT n.url, n.surface, g.place_id, g.name, g.lon, g.lat,
+         |    g.weight, g.importance
+         |  FROM names n JOIN gaz g ON n.surface = g.gaz_key),
+         |nr AS (SELECT url, surface, name, place_id, lon, lat,
+         |    CAST(row_number() OVER (PARTITION BY url, surface
+         |      ORDER BY weight DESC, importance DESC, place_id) AS INT) AS result_rank
+         |  FROM nc),
+         |cr AS (SELECT url, surface, CAST(NULL AS VARCHAR) AS name,
+         |    CAST(NULL AS BIGINT) AS place_id, lon, lat,
+         |    CAST(row_number() OVER (PARTITION BY url, surface ORDER BY lon) AS INT)
+         |      AS result_rank
+         |  FROM coords)
+         |SELECT url, surface, name, place_id, lon, lat, result_rank FROM nr
+         |UNION ALL
+         |SELECT url, surface, name, place_id, lon, lat, result_rank FROM cr""".stripMargin,
+    "geo_reverse_points" ->
+      s"""WITH $extractCtes,
+         |$pipCtes,
+         |pts AS (SELECT url || '|' || surface AS query_id FROM coords),
+         |best AS (SELECT query_id, polygon_id FROM (
+         |    SELECT i.query_id, i.polygon_id,
+         |      row_number() OVER (PARTITION BY i.query_id
+         |        ORDER BY p.admin_level DESC, i.polygon_id) AS rn
+         |    FROM inside i JOIN polys p USING (polygon_id)) WHERE rn = 1),
+         |hit AS (SELECT b.query_id, p.polygon_id, p.name,
+         |    CASE WHEN p.fmt_road IS NOT NULL THEN concat_ws(', ', p.fmt_road,
+         |      p.fmt_house, concat_ws(' ', p.fmt_postcode, p.fmt_city), p.fmt_country)
+         |    ELSE concat_ws(', ', p.name, p.fmt_city, p.fmt_country) END AS formatted
+         |  FROM best b JOIN polys p USING (polygon_id))
+         |SELECT pt.query_id, h.polygon_id, h.name, h.formatted,
+         |  CASE WHEN h.formatted IS NOT NULL THEN 'ok' ELSE 'no_result' END
+         |    AS geocode_status
+         |FROM pts pt LEFT JOIN hit h USING (query_id)""".stripMargin,
+    "geo_pipeline_tiles" ->
+      s"""WITH $extractCtes,
+         |$pipCtes,
+         |top1 AS (SELECT gaz_key, lon, lat FROM (SELECT gaz_key, lon, lat,
+         |    row_number() OVER (PARTITION BY gaz_key
+         |      ORDER BY weight DESC, importance DESC, place_id) AS rn
+         |  FROM gaz) WHERE rn = 1),
+         |fh AS (SELECT g.lon, g.lat FROM names n JOIN top1 g ON n.surface = g.gaz_key),
+         |insq AS (SELECT DISTINCT query_id FROM inside),
+         |rh AS (SELECT pt.lon, pt.lat FROM
+         |    (SELECT url || '|' || surface AS query_id, lon, lat FROM coords) pt
+         |  JOIN insq USING (query_id)),
+         |hits AS (SELECT * FROM fh UNION ALL SELECT * FROM rh),
+         |tl AS (SELECT
+         |    CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * 4096)
+         |      AS BIGINT) AS tx,
+         |    CAST(floor((CAST(1.0 AS DOUBLE)
+         |      - ln(tan(radians(latc)) + CAST(1.0 AS DOUBLE) / cos(radians(latc))) / pi())
+         |      / CAST(2.0 AS DOUBLE) * 4096) AS BIGINT) AS ty
+         |  FROM (SELECT lon, least(greatest(lat, CAST(-85.05112878 AS DOUBLE)),
+         |    CAST(85.05112878 AS DOUBLE)) AS latc FROM hits))
+         |SELECT 12 AS tile_z, least(greatest(tx, 0), 4095) AS tile_x,
+         |  least(greatest(ty, 0), 4095) AS tile_y, count(*) AS n_hits
+         |FROM tl GROUP BY 1, 2, 3""".stripMargin,
+    // mime sniff re-expressed as hex-prefix compares (this DuckDB build has no
+    // BLOB slicing); sha256 over decode(html) hashes the same UTF-8 bytes the
+    // engine's sha2(binary) hashes — the synth corpus is valid UTF-8, which is
+    // an oracle-side-only constraint
+    "mm_binary_meta" ->
+      s"""SELECT url, CAST(octet_length(html) AS BIGINT) AS bin_len,
+         |  CASE
+         |    WHEN substr(hex(html), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         |    WHEN substr(hex(html), 1, 8) = '89504E47' THEN 'image/png'
+         |    WHEN substr(hex(html), 1, 6) = '474946' THEN 'image/gif'
+         |    WHEN substr(hex(html), 1, 8) = '52494646' THEN 'audio/wav'
+         |    WHEN substr(hex(html), 9, 8) = '66747970' THEN 'video/mp4'
+         |    WHEN substr(hex(html), 1, 2) = '3C' THEN 'text/html'
+         |    ELSE 'application/octet-stream' END AS mime,
+         |  sha256(decode(html)) AS content_hash
+         |FROM read_parquet('$OracleDir/pages/*.parquet')""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
+        |cand AS (SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
+        |    FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM all_docs),
+        |sh AS (SELECT doc_id, CASE
+        |    WHEN len(toks) = 0 THEN []
+        |    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
+        |  FROM tok),
+        |jj AS (SELECT c.doc_a, c.doc_b,
+        |    CASE WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        |      / CAST(len(a.sh) + len(b.sh)
+        |        - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |    END AS jaccard
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jj
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
@@ -740,15 +1002,16 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
         |  WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM s""".stripMargin
   )
-  // Remaining oracle-less queries (rows-only): the fixture-world pipeline
-  // queries (geo_forward_pages, geo_reverse_points, geo_reverse_geoadmin,
-  // geo_knn, geo_pipeline_tiles — their inputs are engine-synthesized pages /
-  // the fixture gazetteer, not parquet DuckDB can read) and the non-ANSI
-  // sketches (minhash/simhash/xxhash64 signatures, LSH ANN, multimodal
-  // stubs). Each HAS an oracle-backed twin exercising the same operator over
-  // arithmetic-derived inputs: geo_forward_names (forward verb),
-  // geo_reverse_bbox (cell-join + ray-cast reverse), geo_knn_oracle
-  // (knnComplete ring expansion vs SQL haversine), sim_band_join (LSH band
-  // candidate plan), emb_knn_brute (exact cosine top-k), doc_quality /
-  // doc_token_bpe / doc_lang_id (text analysis). All stay deterministic.
+  // Remaining oracle-less queries (rows-only): the non-ANSI sketches
+  // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature
+  // stub), the fixture-gazetteer verbs geo_knn / geo_reverse_geoadmin, the
+  // full LSH->verify chain doc_ngram_lsh_verified, and ops_lineage (engine-
+  // internal resume state). Each HAS an oracle-backed twin exercising the
+  // same operator: geo_knn_oracle (knnComplete ring expansion vs SQL
+  // haversine), geo_reverse_bbox (cell-join + ray-cast), sim_band_join (LSH
+  // band candidate plan), doc_ngram_jaccard (the exact verify stage),
+  // emb_knn_brute (exact cosine top-k). The flagship pipeline itself
+  // (geo_forward_pages / geo_reverse_points / geo_pipeline_tiles /
+  // mm_binary_meta) is oracle-backed END TO END over materialized inputs.
+  // All stay deterministic.
 }

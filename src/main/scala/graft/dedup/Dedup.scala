@@ -125,13 +125,14 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_est")
   }
 
-  /** Exact n-gram Jaccard on LSH candidates (two-phase: cheap recall join,
-    * exact verify needs the texts back — joined by id, so text is carried
-    * once per candidate pair, never in the bucket explosion). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7,
-                        idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3): DataFrame = {
-    val cand = minhashLshPairs(docs, threshold = threshold * 0.7, idCol, textCol, shingleN)
+  /** The exact-verify stage: shingle-set Jaccard over an EXPLICIT candidate
+    * pair set (doc_a, doc_b). Texts are joined back by id — carried once per
+    * candidate pair, never through any bucket explosion. Public so the verify
+    * semantics are oracle-checkable over a deterministic candidate set
+    * independent of the (non-ANSI) minhash recall stage. */
+  def jaccardVerify(cand: DataFrame, docs: DataFrame, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     cand.join(texts.withColumnRenamed("id", "doc_a").withColumnRenamed("t", "text_a"), "doc_a")
       .join(texts.withColumnRenamed("id", "doc_b").withColumnRenamed("t", "text_b"), "doc_b")
@@ -139,6 +140,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Exact n-gram Jaccard on LSH candidates (two-phase: cheap recall join,
+    * exact verify needs the texts back — see jaccardVerify). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3): DataFrame =
+    jaccardVerify(
+      minhashLshPairs(docs, threshold = threshold * 0.7, idCol, textCol, shingleN),
+      docs, threshold, idCol, textCol, shingleN)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (default 3).
     * Blocking: 4 x 16-bit segments — any pair within hamming 3 shares at

@@ -20,11 +20,13 @@ import graft.functions.TextFunctions._
 object Multimodal {
 
   /** Typed metadata for a binary payload: length, magic-byte mime sniff,
-    * content hash. Pure codegen expressions — no decode needed. */
+    * content hash. Pure codegen expressions — no decode needed. The hash is
+    * sha256 (hex): content-addressing at corpus scale needs a collision-free
+    * digest anyway, and it is independently recomputable by the oracle. */
   def withBinaryMeta(df: DataFrame, binCol: String = "html"): DataFrame =
     df.withColumn("bin_len", length(col(binCol)).cast("long"))
       .withColumn("mime", mimeSniff(col(binCol)))
-      .withColumn("content_hash", xxhash64(col(binCol)))
+      .withColumn("content_hash", sha2(col(binCol), 256))
 
   /** Feature extraction over the binary column. STUB decode (see object doc);
     * output column is a real Array[Float] feature vector with the schema the
