@@ -44,7 +44,8 @@ object Bench {
     * an N-executor cluster on one box. Heap scales with cores so per-core
     * memory is constant across cluster sizes, as it would be on a cluster. */
   private def throughputAt(cpus: Int, n: Long, mode: String = "full",
-                           reps: Int = 3, probe: Boolean = false): (Double, Long, Double) = {
+                           reps: Int = 3, probe: Boolean = false,
+                           extraEnv: Map[String, String] = Map.empty): (Double, Long, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val pin =
@@ -60,6 +61,7 @@ object Bench {
       "-cp", cp, "graft.BenchOne", cpus.toString, n.toString, reps.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     pb.environment().put("GRAFT_BENCH_MODE", mode)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     if (probe) pb.environment().put("GRAFT_BENCH_PROBE", "1")
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
@@ -86,6 +88,9 @@ object Bench {
       if (skipQueries) Seq.empty[(String, Double)]
       else {
         val spark = session(cpus)
+        // input-table preparation (materialized oracle parquet), NOT operator
+        // work — excluded from per-query timings like the bench pages table
+        SparkEntry.prepareOracleInputs(spark, sfDir)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
@@ -124,33 +129,68 @@ object Bench {
     // THE ARTIFACT that pure compute scales on this host while the
     // string-bound pipeline saturates the single socket's memory bandwidth —
     // the attribution for the 8->32 pipeline efficiency number.
-    var thrLow = 0.0; var thrHigh = 0.0; var hits = 0L
-    var thrTiny = 0.0
-    var probeLow = 0.0; var probeHigh = 0.0
-    // per-cycle PAIRED efficiency: the tiny/low pair measured back-to-back
-    // inside one cycle shares its ambient-load window, so the ratio is
-    // robust to the cross-window bias that can hit best-of (one level
-    // sampling a quiet window the other never got). Reported alongside the
-    // best-of ratio; the cpu probe quantifies how contended each run was.
-    var effSmallPaired = 0.0
+    // QUIET-WINDOW GATING: a cycle's pipeline numbers are only ACCEPTED into
+    // the recorded best-of/paired figures when its own register-only CPU
+    // probe scaled >= gate across the tiny->low pair — i.e. the window was
+    // not externally contended. Contended cycles still count as fallback (so
+    // an artifact always exists) and are reported as such via
+    // accepted_cycles; the loop keeps cycling within budget until at least
+    // one quiet cycle lands.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_GATE", "0.85").toDouble
+    var hits = 0L
+    // accepted (quiet-window) aggregates
+    var aTiny = 0.0; var aLow = 0.0; var aHigh = 0.0
+    var aPaired = 0.0; var aProbeSmall = 0.0; var aProbeHigh = 0.0
+    var accepted = 0
+    // all-cycles fallback aggregates
+    var fTiny = 0.0; var fLow = 0.0; var fHigh = 0.0
+    var fPaired = 0.0; var fProbeSmall = 0.0; var fProbeHigh = 0.0
     var cyc = 0
-    while (cyc < cycles &&
+    while ((cyc < cycles || accepted == 0) &&
         (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
       // identical input at all three levels — "the same job at two (pairs
-      // of) parallelism levels"
-      val (tt, _, _) = throughputAt(nTiny, scalePages, reps = 4)
+      // of) parallelism levels"; each child piggy-backs the CPU probe so the
+      // probe samples the same pinned cores in the same ambient window
+      val (tt, _, pt) = throughputAt(nTiny, scalePages, reps = 4, probe = true)
       val (tl, _, pl) = throughputAt(nLow, scalePages, reps = 4, probe = true)
       val (th, h, ph) = throughputAt(cpus, scalePages, reps = 4, probe = true)
-      thrLow = math.max(thrLow, tl); thrHigh = math.max(thrHigh, th); hits = h
-      thrTiny = math.max(thrTiny, tt)
-      effSmallPaired = math.max(effSmallPaired, (tl / tt) / (nLow.toDouble / nTiny))
-      probeLow = math.max(probeLow, pl); probeHigh = math.max(probeHigh, ph)
+      hits = h
+      val paired = (tl / tt) / (nLow.toDouble / nTiny)
+      val probeSmall = if (pt > 0) (pl / pt) / (nLow.toDouble / nTiny) else 0.0
+      val probeHigh = if (pl > 0) (ph / pl) / (cpus.toDouble / nLow) else 0.0
+      fTiny = math.max(fTiny, tt); fLow = math.max(fLow, tl); fHigh = math.max(fHigh, th)
+      fPaired = math.max(fPaired, paired)
+      fProbeSmall = math.max(fProbeSmall, probeSmall)
+      fProbeHigh = math.max(fProbeHigh, probeHigh)
+      if (probeSmall >= gate) {
+        accepted += 1
+        aTiny = math.max(aTiny, tt); aLow = math.max(aLow, tl); aHigh = math.max(aHigh, th)
+        aPaired = math.max(aPaired, paired)
+        aProbeSmall = math.max(aProbeSmall, probeSmall)
+        aProbeHigh = math.max(aProbeHigh, probeHigh)
+      }
       cyc += 1
     }
+    // record accepted-cycle figures when any cycle was quiet, else fallback
+    val (thrTiny, thrLow, thrHigh, effSmallPaired, probeSmallEff, probeEff) =
+      if (accepted > 0) (aTiny, aLow, aHigh, aPaired, aProbeSmall, aProbeHigh)
+      else (fTiny, fLow, fHigh, fPaired, fProbeSmall, fProbeHigh)
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
     val effSmall = (thrLow / thrTiny) / (nLow.toDouble / nTiny)
-    val probeEff =
-      if (probeLow > 0.0) (probeHigh / probeLow) / (cpus.toDouble / nLow) else 0.0
+
+    // world-scale split (VERDICT r2 #7): the bucketed-SMJ path at 5k
+    // multi-ring polygons, measured BOTH ways — write-included (layout
+    // re-paid per rep, the worst case) and read-side (layout amortized, the
+    // steady-state production shape).
+    val wsPolys = sys.env.getOrElse("SPARK_GRAFT_WS_POLYS", "5000")
+    val wsPages = sys.env.getOrElse("SPARK_GRAFT_WS_PAGES", "500000").toLong
+    val skipWs = sys.env.contains("SPARK_GRAFT_BENCH_NO_WORLDSCALE")
+    val wsWrite = if (skipWs) 0.0
+      else throughputAt(cpus, wsPages, mode = "worldscale", reps = 2,
+        extraEnv = Map("GRAFT_BENCH_POLYS" -> wsPolys))._1
+    val wsRead = if (skipWs) 0.0
+      else throughputAt(cpus, wsPages, mode = "worldscale_read", reps = 2,
+        extraEnv = Map("GRAFT_BENCH_POLYS" -> wsPolys))._1
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -166,6 +206,11 @@ object Bench {
       f""""pages_per_sec_n$nTiny":$thrTiny%.1f,""" +
       f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f,""" +
       f""""scaling_efficiency_n${nTiny}_n${nLow}_paired":$effSmallPaired%.3f,""" +
-      f""""cpu_probe_scaling_n${nLow}_n$cpus":$probeEff%.3f}""")
+      f""""accepted_cycles":$accepted,"probe_gate":$gate%.2f,""" +
+      f""""cpu_probe_scaling_n${nTiny}_n$nLow":$probeSmallEff%.3f,""" +
+      f""""cpu_probe_scaling_n${nLow}_n$cpus":$probeEff%.3f,""" +
+      f""""worldscale_polys":$wsPolys,"worldscale_pages":$wsPages,""" +
+      f""""worldscale_pages_per_sec_write":$wsWrite%.1f,""" +
+      f""""worldscale_pages_per_sec_read":$wsRead%.1f}""")
   }
 }

@@ -92,6 +92,11 @@ object BenchOne {
       // top-1 aggregation + packed cell index per batch would charge the
       // measured reps a fixed driver-side cost that no real deployment pays
       lazy val prep = Pipeline.prepare(idx, polys, cells)
+      val wsDir = s"${sys.env.getOrElse("GRAFT_BENCH_TMP", "/tmp")}/graft_ws_bench_$cpus"
+      // worldscale_read: the bucketed layout is built ONCE, untimed (the
+      // amortized production shape) — reps time only the read-side job
+      lazy val wsTables = Pipeline.worldScaleLayout(spark,
+        spark.read.parquet(pagesDir), polys, cells, scanner, wsDir, buckets = cpus)
       def pipeline(pagesDf: org.apache.spark.sql.DataFrame): Long = {
         import org.apache.spark.sql.functions.{col, length, sum}
         benchMode match {
@@ -113,11 +118,15 @@ object BenchOne {
           case "worldscale" =>
             // the bucketed-SMJ reverse path, 5k+ multi-ring polygons via
             // GRAFT_BENCH_POLYS; the timed run INCLUDES the bucketed writes
-            // (that's the honest cost of the layout at query time — the
-            // packed-index write amortizes in production but is re-paid here)
+            // (the worst-case cost when the layout cannot be amortized —
+            // reusePacked=false so every rep re-pays BOTH writes)
             Pipeline.geocodeWorldScale(spark, pagesDf, idx, polys, cells, scanner,
-              s"${sys.env.getOrElse("GRAFT_BENCH_TMP", "/tmp")}/graft_ws_bench_$cpus",
-              buckets = cpus).count()
+              wsDir, buckets = cpus, reusePacked = false).count()
+          case "worldscale_read" =>
+            // steady-state half of the same job: bucketed tables pre-built
+            // (wsTables, untimed), reps pay only extraction-free read + SMJ
+            Pipeline.geocodeWorldScaleRead(spark, wsTables._1, wsTables._2,
+              idx, polys, cells).count()
           case _ =>
             Pipeline.geocodePrepared(spark, pagesDf, prep, scanner).count()
         }
@@ -125,7 +134,8 @@ object BenchOne {
       def table() =
         if (benchMode == "cpuprobe") spark.emptyDataFrame
         else spark.read.parquet(pagesDir)
-      if (benchMode != "cpuprobe")
+      if (benchMode == "worldscale_read") { wsTables; pipeline(table()) } // layout + warm-up
+      else if (benchMode != "cpuprobe")
         pipeline(table().limit(math.min(n / 4, 100000L).toInt)) // JIT warm-up
       else pipeline(table()) // probe warm-up (JIT the mix loop)
       var best = Double.MaxValue

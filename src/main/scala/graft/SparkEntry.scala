@@ -59,18 +59,30 @@ object SparkEntry {
     * (static; written once). The engine reads the same rows from memory —
     * parquet round-trips doubles exactly, so both sides see identical bits. */
   private def oracleWorldTables(s: SparkSession): Unit = synchronized {
-    val marker = new java.io.File(s"$OracleDir/_GRAFT_WORLD_READY_v1")
+    val marker = new java.io.File(s"$OracleDir/_GRAFT_WORLD_READY_v2")
     if (!marker.exists()) {
       new java.io.File(OracleDir).mkdirs()
       Gazetteer.nameIndex(Gazetteer.gazetteerDF(s))
         .select("gaz_key", "place_id", "name", "lon", "lat", "weight", "importance")
         .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/gaz")
+      Gazetteer.gazetteerDF(s)
+        .select("place_id", "name", "feature_class", "road", "house_number",
+          "postcode", "city", "lon", "lat")
+        .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/places")
       Gazetteer.polygonsDF(s)
         .select("polygon_id", "name", "admin_level", "ring_offsets", "ring_lons",
           "ring_lats", "fmt_house", "fmt_road", "fmt_city", "fmt_postcode", "fmt_country")
         .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/polys")
       marker.createNewFile()
     }
+  }
+
+  /** Pre-materialize every oracle input table (pages for `dir`'s scale +
+    * fixture world). Bench calls this OUTSIDE query timing: the writes are
+    * input-table preparation, not operator work. */
+  def prepareOracleInputs(s: SparkSession, dir: String): Unit = {
+    oracleWorldTables(s)
+    oraclePages(s, dir)
   }
 
   /** Flagship: full geocode pipeline (extract -> forward + reverse -> tiles)
@@ -207,11 +219,16 @@ object SparkEntry {
     }),
     "geo_reverse_geoadmin" -> ((s, dir) => {
       val (gaz, _, _, _, _) = world(s)
+      oracleWorldTables(s)
       val pts = s.range(0, 50).select(col("id").as("query_id"),
         (lit(7.4513) + col("id") / lit(100000.0)).as("lon"),
         (lit(46.9279) + col("id") / lit(200000.0)).as("lat"))
+      // oracle-backed: nearest-address-within-tolerance is cell-pruning-free
+      // semantics (ring 1 provably covers the 50 m radius), so DuckDB
+      // recomputes it as brute-force haversine + min-dist pick
       Reverse.reverseGeoAdmin(pts, gaz)
-        .select("query_id", "formatted", "geocode_status", "dist_m")
+        .select(col("query_id"), col("formatted"), col("geocode_status"),
+          round(col("dist_m"), 3).as("dist_m"))
     }),
     "geo_knn" -> ((s, dir) => {
       val (gaz, _, _, _, _) = world(s)
@@ -663,6 +680,40 @@ object SparkEntry {
          |    ELSE 'application/octet-stream' END AS mime,
          |  sha256(decode(html)) AS content_hash
          |FROM read_parquet('$OracleDir/pages/*.parquet')""".stripMargin,
+    "geo_reverse_geoadmin" ->
+      s"""WITH pts AS (SELECT CAST(range AS BIGINT) AS query_id,
+         |    CAST(7.4513 AS DOUBLE) + range / CAST(100000.0 AS DOUBLE) AS lon,
+         |    CAST(46.9279 AS DOUBLE) + range / CAST(200000.0 AS DOUBLE) AS lat
+         |  FROM range(50)),
+         |addr AS (SELECT place_id, road, house_number, postcode, city,
+         |    lon AS g_lon, lat AS g_lat
+         |  FROM read_parquet('$OracleDir/places/*.parquet')
+         |  WHERE feature_class = 'address'),
+         |d0 AS (SELECT query_id, place_id, road, house_number, postcode, city,
+         |    sin((g_lat - lat) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slat,
+         |    sin((g_lon - lon) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slon,
+         |    cos(lat * (pi() / CAST(180.0 AS DOUBLE))) AS c1,
+         |    cos(g_lat * (pi() / CAST(180.0 AS DOUBLE))) AS c2
+         |  FROM pts, addr),
+         |d AS (SELECT query_id, place_id, road, house_number, postcode, city,
+         |    CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE)
+         |      * asin(least(CAST(1.0 AS DOUBLE), sqrt(slat * slat + c1 * c2 * slon * slon)))
+         |      AS dist_m
+         |  FROM d0),
+         |best AS (SELECT query_id, dist_m, road, house_number, postcode, city FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist_m, place_id) AS rn
+         |    FROM d WHERE dist_m <= CAST(50.0 AS DOUBLE)) WHERE rn = 1),
+         |fm AS (SELECT query_id, round(dist_m, 3) AS dist_m,
+         |    CASE WHEN postcode IS NULL OR city IS NULL THEN NULL
+         |      ELSE concat_ws(' ', road, house_number) || ', '
+         |        || CAST(CAST(postcode AS INT) AS VARCHAR) || ' ' || city END AS formatted
+         |  FROM best)
+         |SELECT p.query_id, f.formatted,
+         |  CASE WHEN f.formatted IS NOT NULL THEN 'ok' ELSE 'no_result' END
+         |    AS geocode_status,
+         |  f.dist_m
+         |FROM pts p LEFT JOIN fm f USING (query_id)""".stripMargin,
     "doc_ngram_jaccard" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000000 AS doc_id,

@@ -109,7 +109,14 @@ object Checkpoint {
     }
   }
 
-  /** All lineage/metrics rows for a checkpoint dir (ops surface). */
-  def metrics(spark: SparkSession, ckptDir: String): DataFrame =
-    spark.read.parquet(s"$ckptDir/_lineage/*")
+  /** All lineage/metrics rows for a checkpoint dir (ops surface). Stage
+    * directories are listed explicitly (no glob: a glob that resolves while a
+    * listing is being refreshed can transiently match nothing). */
+  def metrics(spark: SparkSession, ckptDir: String): DataFrame = {
+    val base = new Path(s"$ckptDir/_lineage")
+    val stageDirs = fs(spark, ckptDir).listStatus(base)
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    require(stageDirs.nonEmpty, s"no lineage under $ckptDir")
+    stageDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
 }

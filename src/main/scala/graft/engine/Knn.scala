@@ -82,34 +82,43 @@ object Knn {
               math.max(0.1, math.cos(midLat * math.Pi / 180.0)))
             val hM = math.max(edgeM, (st.getDouble(4) - st.getDouble(3)) * degM)
             val density = n / math.max(1.0, (wM / edgeM) * (hM / edgeM))
-            // (2r+1)^2 cells expected to hold ~2k candidates
-            math.ceil((math.sqrt(2.0 * k / math.max(density, 1e-12)) - 1.0) / 2.0).toInt
+            // the binding constraint is the COVERAGE rule, not candidate
+            // count: a query is satisfied only when its k-th distance <=
+            // r * minEdge, and the expected k-th neighbour distance in a
+            // Poisson field is ~ minEdge * sqrt(k / (pi * density)). Start at
+            // 2x that radius so round one satisfies nearly every query —
+            // each extra round is a full sequential Spark job, while extra
+            // ring cells are just a wider (tiny) broadcast-probe fan-out.
+            math.ceil(2.0 * math.sqrt(k / (math.Pi * math.max(density, 1e-12)))).toInt
           }
         math.max(1, math.min(maxRingCap, r0))
       }
     // local alias so the CALLER's frame is never persisted/unpersisted by us
     var residual = queries.select(queries.columns.map(col): _*).cache()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](residual)
-    var residualCount = residual.count()
+    var residualCount = -1L // unknown until the first round's summary
     var acc: DataFrame = null
-    while (ring <= maxRingCap && residualCount > 0) {
+    while (ring <= maxRingCap && residualCount != 0) {
       val coverageM = ring * graft.geo.CellIndex.minEdgeMeters(graft.geo.CellIndex.FineLevel)
       val got = knn(residual, gazetteer, k, ring).cache()
-      val satisfied = got.groupBy("query_id")
+      val stats = got.groupBy("query_id")
         .agg(count(lit(1)).as("__n"), max(col("dist_m")).as("__kdist"))
-        .filter(col("__n") >= k && col("__kdist") <= coverageM)
-        .select("query_id").cache()
+      val satOk = col("__n") >= k && col("__kdist") <= coverageM
+      val satisfied = stats.filter(satOk).select("query_id")
       cached += got
-      cached += satisfied
-      // the ONE action per round: materializes got + satisfied together and
-      // yields the residual count arithmetically (no isEmpty, no second scan)
-      val satCount = satisfied.count()
+      // the ONE action per round: residual total + satisfied count in a
+      // single aggregation (materializes got; no isEmpty, no second scan)
+      val row = residual.join(stats, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("__t"),
+          sum(when(satOk, 1L).otherwise(0L)).as("__s")).head()
+      val total = row.getLong(0)
+      val sat = if (row.isNullAt(1)) 0L else row.getLong(1)
       val done = got.join(satisfied, Seq("query_id"), "left_semi")
       acc = if (acc == null) done else acc.unionByName(done)
       val next = residual.join(satisfied, Seq("query_id"), "left_anti").cache()
       cached += next
       residual = next
-      residualCount -= satCount
+      residualCount = total - sat
       ring *= 2
     }
     // whatever the residual found at the final radius (may be < k results,
