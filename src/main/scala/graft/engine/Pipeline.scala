@@ -140,8 +140,19 @@ object Pipeline {
     // identical schema are the caller's contract, as with Checkpoint.stage)
     val packedFp = java.lang.Long.toHexString(
       graft.text.TextCore.fnv64(polygons.schema.json + "|" + buckets))
-    val reusable = reusePacked && spark.catalog.tableExists(packedTable) &&
+    val reusable = reusePacked &&
+      Checkpoint.exists(spark, packedPath) &&
       Checkpoint.pathFingerprint(spark, packedPath).contains(packedFp)
+    if (reusable && !spark.catalog.tableExists(packedTable)) {
+      // the files exist (e.g. written by a previous job/session) but this
+      // session's catalog doesn't know them: re-register the EXTERNAL table
+      // with its bucket spec instead of rewriting — the packed world index
+      // is built once and amortizes over every batch job that reads it
+      val ddl = Reverse.packedCellIndex(polygons, polyCells).schema.toDDL
+      spark.sql(s"CREATE TABLE $packedTable ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (cell) SORTED BY (cell) INTO $buckets BUCKETS " +
+        s"LOCATION '$packedPath'")
+    }
     if (!reusable) {
       Reverse.writePackedBucketed(spark, polygons, polyCells,
         packedTable, packedPath, buckets)

@@ -88,6 +88,49 @@ class ScaleFixesSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $p1")
   }
 
+  test("sampled hotKeys plan reads the big side through a Sample node (no full pre-scan)") {
+    val big = spark.range(0, 1000).select($"id", ($"id" % 5).as("k"))
+    val sampled = Salt.hotKeys(big, "k", threshold = 100L)
+    assert(sampled.queryExecution.executedPlan.toString.contains("Sample"),
+      sampled.queryExecution.executedPlan.toString.take(2000))
+    val exact = Salt.hotKeys(big, "k", threshold = 100L, sampleFraction = 0.0)
+    assert(!exact.queryExecution.executedPlan.toString.contains("Sample"))
+  }
+
+  test("worldScaleLayout re-registers an existing packed table across catalogs (no rewrite)") {
+    val wh = Files.createTempDirectory("graft-ws-xsession").toString
+    val gazRows = World.gazetteer()
+    val idx = Gazetteer.nameIndex(Gazetteer.gazetteerDF(spark, gazRows))
+    val polys = Gazetteer.polygonsDF(spark, World.polygons(filler = 12))
+    val cells = Gazetteer.polygonCellIndex(polys)
+    val scanner = Gazetteer.scanner(gazRows)
+    val pages = Synth.pages(spark, 200, 4).toDF()
+    val cfg = Pipeline.Config(runId = "xsession")
+
+    val (m1, p1) = Pipeline.worldScaleLayout(spark, pages, polys, cells,
+      scanner, wh, buckets = 4, cfg)
+    val base = Pipeline.geocodeWorldScaleRead(spark, m1, p1, idx, polys, cells)
+      .select("url", "surface", "verb", "ref_id").collect().map(_.toString).sorted.toSeq
+    def packedFiles() = new java.io.File(s"$wh/polycells_bucketed_xsession")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val before = packedFiles()
+    // simulate a fresh session: catalog forgets the (external) table,
+    // files + fingerprint stay on disk
+    spark.sql(s"DROP TABLE $p1")
+    Thread.sleep(1100)
+    val (m2, p2) = Pipeline.worldScaleLayout(spark, pages, polys, cells,
+      scanner, wh, buckets = 4, cfg)
+    assert(packedFiles() === before, "packed table must be re-registered, not rewritten")
+    val again = Pipeline.geocodeWorldScaleRead(spark, m2, p2, idx, polys, cells)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cell"), plan.take(3000))
+    assert(again.select("url", "surface", "verb", "ref_id")
+      .collect().map(_.toString).sorted.toSeq === base)
+    spark.sql(s"DROP TABLE IF EXISTS $m2")
+    spark.sql(s"DROP TABLE IF EXISTS $p2")
+  }
+
   test("knnComplete auto startRing (density-derived) equals explicit startRing") {
     val places = (0 until 40).map { i =>
       graft.model.GazetteerRow(9100L + i, s"Q$i", Seq(s"q$i"), Map.empty,
