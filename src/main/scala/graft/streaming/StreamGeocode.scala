@@ -1,12 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.engine.{Forward, Tiler}
+import graft.engine.{Forward, Reverse, Tiler}
 import graft.etl.{DictScanner, Extract}
 import graft.functions.GeoFunctions
 import graft.model.ForwardParams
+
+/** Open-session state for the stateful streaming sessionizer. */
+case class SessionState(nEvents: Long, startUs: Long, endUs: Long)
+
+/** A closed session emitted by sessionizeStream. */
+case class SessionOut(user_id: Long, n_events: Long,
+                      sess_start: java.sql.Timestamp, sess_end: java.sql.Timestamp)
 
 /**
  * Structured-Streaming surface for the engine.
@@ -46,6 +54,85 @@ object StreamGeocode {
     best.withColumn("tile_z", lit(12))
       .withColumn("tile_x", GeoFunctions.tileX(col("lon"), lit(12)))
       .withColumn("tile_y", GeoFunctions.tileY(col("lat"), lit(12)))
+  }
+
+  /** Streaming REVERSE geocode: coordinate-literal mentions from a pages
+    * stream resolved against the broadcast packed cell index. Fully
+    * STATELESS — cell encode, broadcast hash join, ray-cast and best-pick
+    * are all map-side expressions, so the batch operators run under
+    * micro-batches unchanged, in append mode, with no watermark or state
+    * store at all. This is the property that makes reverse geocoding a
+    * continuous-ingest operator at crawl scale. */
+  def reverseStream(spark: SparkSession, pages: DataFrame,
+                    polygons: DataFrame, polyCells: DataFrame,
+                    scanner: DictScanner): DataFrame = {
+    val coords = Extract.mentions(spark, pages, scanner)
+      .filter(col("kind") === "coord")
+      .withColumn("cell", GeoFunctions.cellId(col("lon"), col("lat"),
+        lit(graft.geo.CellIndex.FineLevel)))
+    val packed = Reverse.packedCellIndex(polygons, polyCells)
+    coords.join(broadcast(packed), Seq("cell"), "left")
+      .withColumn("__best", Reverse.bestPolygon(col("cands"), col("lon"), col("lat")))
+      .drop("cands")
+      .select(col("url"), col("warc_ts"), col("surface"), col("lon"), col("lat"),
+        col("__best.polygon_id").as("polygon_id"),
+        col("__best.name").as("name"),
+        col("__best.admin_level").as("admin_level"))
+      .withColumn("geocode_status",
+        when(col("polygon_id").isNotNull, "ok").otherwise("no_result"))
+  }
+
+  /** Stateful streaming sessionization (the streaming twin of the batch
+    * q11_sessionize rollup): per-user sessions close after `gapMinutes` of
+    * event-time silence, via flatMapGroupsWithState with an event-time
+    * timeout bounded by the watermark — the custom-state shape
+    * (KeyValueGroupedDataset) the built-in windowed aggregations can't
+    * express, since session length is data-dependent, not fixed. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[SessionState, SessionOut](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case (uid, rows, state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          // watermark passed the open session's gap deadline: close it
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(uid, s.nEvents,
+            new java.sql.Timestamp(s.startUs / 1000),
+            new java.sql.Timestamp(s.endUs / 1000)))
+        } else {
+          // fold this micro-batch's events (sorted by event time) into the
+          // open session, closing sessions at every > gap jump
+          val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption.orNull
+          ts.foreach { t =>
+            cur match {
+              case null => cur = SessionState(1L, t, t)
+              case s if t - s.endUs > gapUs =>
+                closed += SessionOut(uid, s.nEvents,
+                  new java.sql.Timestamp(s.startUs / 1000),
+                  new java.sql.Timestamp(s.endUs / 1000))
+                cur = SessionState(1L, t, t)
+              case s => cur = SessionState(s.nEvents + 1, s.startUs, math.max(s.endUs, t))
+            }
+          }
+          if (cur != null) {
+            state.update(cur)
+            // close the session once event time passes its gap deadline
+            state.setTimeoutTimestamp((cur.endUs + gapUs) / 1000L)
+          }
+          closed.iterator
+        }
+    }
   }
 
   /** Watermarked sliding-window tile counts over a stream of raw hits

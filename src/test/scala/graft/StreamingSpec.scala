@@ -14,6 +14,64 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("reverse geocoding streams STATELESS (no watermark, no state store)") {
+    val dir = Files.createTempDirectory("graft-stream-rev").toString
+    Synth.pages(spark, 200, 4).toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val polys = Gazetteer.polygonsDF(spark)
+    val cells = Gazetteer.polygonCellIndex(polys)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val hits = StreamGeocode.reverseStream(spark, stream, polys, cells,
+      Gazetteer.scanner())
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("stream_rev")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.sql("select * from stream_rev")
+    // stateless: first micro-batch already emits (no watermark advance needed)
+    assert(emitted.count() > 0)
+    // fixture page 2 carries "41.40139, 2.12870" -> Calatrava 64 building
+    val cal = emitted.filter($"url" === "https://example.org/p/2").collect()
+    assert(cal.nonEmpty)
+    assert(cal.head.getAs[Long]("polygon_id") === 5001L)
+    assert(cal.head.getAs[String]("geocode_status") === "ok")
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState (event-time timeout)") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    Seq((7L, 1L, ts(0)), (7L, 2L, ts(5)), (7L, 3L, ts(120)))
+      .toDF("user_id", "event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val sessions = StreamGeocode.sessionizeStream(spark, stream, gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("stream_sess")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the in-batch gap jump closes session 1 immediately
+      assert(spark.sql("select * from stream_sess").count() === 1)
+      // advance the watermark far past session 2's gap deadline: the
+      // event-time TIMEOUT must close it without any user-7 data arriving
+      Seq((99L, 9L, ts(300))).toDF("user_id", "event_id", "ts")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("select * from stream_sess where user_id = 7")
+      .orderBy($"sess_start").collect()
+    assert(out.length === 2, out.mkString("; "))
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[java.sql.Timestamp]("sess_start") === ts(0))
+    assert(out(0).getAs[java.sql.Timestamp]("sess_end") === ts(5))
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(1).getAs[java.sql.Timestamp]("sess_start") === ts(120))
+  }
+
   test("forward geocoding runs as a structured stream with watermarked top-1") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // stage synthesized pages as the file-stream source
