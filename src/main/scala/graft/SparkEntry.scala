@@ -322,6 +322,16 @@ object SparkEntry {
       Similarity.lshKnn(e.filter(col("vec_id") < 8), e, k = 5, bits = 12, tables = 6)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // IVF scale path: nprobe = nlist here so the posting-list plan is
+    // EXHAUSTIVE and provably equals the brute-force oracle — the same
+    // operator at nprobe < nlist is the sub-linear deployment shape
+    // (recall asserted on planted clusters in TrainingOpsSpec)
+    "emb_knn_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfKnn(e.filter(col("vec_id") < 8), e, k = 5,
+          nlist = 16, nprobe = 16, iters = 3)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(oraclePages(s, dir))
         .select("url", "bin_len", "mime", "content_hash")),
@@ -603,6 +613,23 @@ object SparkEntry {
       |         AND lon < (xj - xi) * (lat - yi) / (yj - yi) + xi THEN 1 ELSE 0 END) AS cr
       |  FROM dpts, pe2 GROUP BY 1, 2),
       |inside AS (SELECT query_id, polygon_id FROM pipc WHERE cr % 2 = 1)""".stripMargin
+
+  /** Brute-force cosine top-k oracle, shared by emb_knn_brute and the
+    * exhaustive-probe emb_knn_ivf contract query. */
+  private val EmbKnnBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, item_id,
+        |  list_sum(list_transform(list_zip(qv, cv),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM q, c WHERE item_id <> query_id),
+        |r AS (SELECT query_id, item_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
+        |FROM r WHERE rn <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "geo_forward_pages" ->
@@ -945,21 +972,11 @@ object SparkEntry {
     // exactness note: DuckDB list_sum over the CAST-to-DOUBLE elements
     // accumulates left-to-right like VecCore.dot, so the cosine is
     // bit-identical (validated empirically) and rank order matches exactly
-    "emb_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |  FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
-        |s AS (SELECT query_id, item_id,
-        |  list_sum(list_transform(list_zip(qv, cv),
-        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        |  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |   * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM q, c WHERE item_id <> query_id),
-        |r AS (SELECT query_id, item_id, cos,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
-        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
-        |FROM r WHERE rn <= 5""".stripMargin,
-    "q11_sessionize" ->
+    "emb_knn_brute" -> EmbKnnBruteSql,
+    // the IVF contract query probes ALL nlist lists (exhaustive), so the
+    // posting-list plan must reproduce the brute-force top-k bit-for-bit
+    "emb_knn_ivf" -> EmbKnnBruteSql,
+        "q11_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000

@@ -49,6 +49,12 @@ object TextInternal {
   def multiProbe(sig: Int, bits: Int): ArrayData =
     new GenericArrayData(VecCore.multiProbe(sig, bits))
 
+  def nearestCentroid(v: ArrayData, flat: ArrayData): Int =
+    VecCore.nearestCentroid(v.toFloatArray(), flat.toFloatArray())
+
+  def nearestCentroids(v: ArrayData, flat: ArrayData, nprobe: Int): ArrayData =
+    new GenericArrayData(VecCore.nearestCentroids(v.toFloatArray(), flat.toFloatArray(), nprobe))
+
   /** Magic-byte mime sniff for opaque binary payloads (multimodal columns). */
   def mimeSniff(bytes: Array[Byte]): UTF8String = {
     def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
@@ -113,6 +119,10 @@ object TextFunctions {
     invoke(IntegerType, "lshSigBand", v, bits, band)
   def multiProbe(sig: Column, bits: Column): Column =
     invoke(ArrayType(IntegerType, containsNull = false), "multiProbe", sig, bits)
+  def nearestCentroid(v: Column, flat: Column): Column =
+    invoke(IntegerType, "nearestCentroid", v, flat)
+  def nearestCentroids(v: Column, flat: Column, nprobe: Column): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids", v, flat, nprobe)
 
   def mimeSniff(bytes: Column): Column = invoke(StringType, "mimeSniff", bytes)
   def fakeEmbed(bytes: Column, dim: Column): Column =

@@ -73,4 +73,67 @@ object Similarity {
       .filter(col("knn_rank") <= k)
       .select("query_id", "knn_rank", "item_id", "cos")
   }
+
+  /** IVF coarse quantizer: Lloyd's k-means over a (deterministic) sample of
+    * the corpus. Returns the nlist centroids row-major as one flat
+    * Array[Float] (nlist x dim — a few KB, travels as a plan literal).
+    * Deterministic: seeding = the nlist lowest-id vectors; per-iteration
+    * means are exact aggregations. At crawl scale train on
+    * `sampleFraction` ~ 1e-4 of the corpus — quantizer quality needs only
+    * O(nlist * 1000) points, never a full pass. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                        cId: String = "vec_id", cVec: String = "embedding",
+                        sampleFraction: Double = 1.0): Array[Float] = {
+    val base0 = corpus.select(col(cId).as("id"), col(cVec).as("v"))
+    val base = (if (sampleFraction < 1.0)
+      base0.sample(withReplacement = false, sampleFraction, seed = 42L) else base0).cache()
+    val seeds = base.orderBy("id").limit(nlist)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    var flat = seeds.flatten
+    var it = 0
+    while (it < iters && dim > 0) {
+      val assigned = base.withColumn("list",
+        nearestCentroid(col("v"), typedLit(flat.toSeq)))
+      val means = assigned
+        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = flat.clone() // empty lists keep their previous centroid
+      means.foreach(r => next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2).toFloat)
+      flat = next
+      it += 1
+    }
+    base.unpersist()
+    flat
+  }
+
+  /** IVF ANN top-k (the brief's "IVF variant as the scale path"): the corpus
+    * is assigned ONCE to nlist posting lists (a map-only nearest-centroid
+    * expression — at world scale, write it partitioned/bucketed by `list`),
+    * and each query scores only its `nprobe` nearest lists — an nprobe/nlist
+    * fraction of the corpus, with recall governed by quantizer quality
+    * rather than hash luck (contrast lshKnn). Queries broadcast; the corpus
+    * never shuffles. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+             qId: String = "vec_id", qVec: String = "embedding",
+             cId: String = "vec_id", cVec: String = "embedding",
+             trainFraction: Double = 1.0): DataFrame = {
+    val cents = typedLit(
+      trainIvfCentroids(corpus, nlist, iters, cId, cVec, trainFraction).toSeq)
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("cv"))
+      .withColumn("list", nearestCentroid(col("cv"), cents))
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("list", explode(nearestCentroids(col("qv"), cents, lit(nprobe)))))
+    // a corpus vector lives in exactly one list, so (query, item) pairs are
+    // unique by construction — no dedup needed
+    val scored = c.join(q, Seq("list"))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "cos")
+  }
 }

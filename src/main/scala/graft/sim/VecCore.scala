@@ -57,4 +57,32 @@ object VecCore {
     while (b < bits) { out(b + 1) = sig ^ (1 << b); b += 1 }
     out
   }
+
+  /** Squared L2 distance from v to the c-th centroid of `flat` (row-major
+    * k x dim pack — centroids travel as one flat literal/broadcast array). */
+  @inline private def sqDistTo(v: Array[Float], flat: Array[Float], c: Int): Double = {
+    val dim = v.length
+    val off = c * dim
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val d = v(i).toDouble - flat(off + i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The `nprobe` nearest centroid ids, ascending by L2 distance (ties by
+    * id) — the IVF probe set. k = flat.length / v.length. */
+  def nearestCentroids(v: Array[Float], flat: Array[Float], nprobe: Int): Array[Int] = {
+    val k = if (v.length == 0) 0 else flat.length / v.length
+    if (k == 0) return Array.empty
+    val np = math.min(nprobe, k)
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) { dists(c) = sqDistTo(v, flat, c); c += 1 }
+    val ids = Array.range(0, k).sortBy(c => (dists(c), c))
+    java.util.Arrays.copyOfRange(ids, 0, np)
+  }
+
+  /** Nearest centroid id — the IVF list assignment. */
+  def nearestCentroid(v: Array[Float], flat: Array[Float]): Int =
+    nearestCentroids(v, flat, 1)(0)
 }

@@ -137,6 +137,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low")
     // sanity: the planted clusters really are the true neighbours
     assert(brute.count(_._2 >= 500000L).toDouble / brute.size > 0.9)
+
+    // IVF variant on the same retrievable structure: the k-means quantizer
+    // puts a query and its planted cluster in nearby lists, so probing
+    // nprobe/nlist of the corpus recovers the true top-k
+    val ivf = Similarity.ivfKnn(qDf, corpus, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall too low")
+  }
+
+  test("IVF quantizer is deterministic and assigns every vector exactly one list") {
+    val c1 = Similarity.trainIvfCentroids(embs, nlist = 8, iters = 3)
+    val c2 = Similarity.trainIvfCentroids(embs, nlist = 8, iters = 3)
+    assert(c1.toSeq === c2.toSeq)
+    val r = Similarity.ivfKnn(embs.filter($"vec_id" < 5), embs, k = 3,
+      nlist = 8, nprobe = 8) // nprobe = nlist => exhaustive => equals brute
+    val brute = Similarity.bruteForceKnn(embs.filter($"vec_id" < 5), embs, k = 3)
+    assert(r.select("query_id", "knn_rank", "item_id").collect().map(_.toString).sorted.toSeq
+      === brute.select("query_id", "knn_rank", "item_id").collect().map(_.toString).sorted.toSeq)
   }
 
   test("LSH dedup survives degenerate buckets: 10k identical + 5k empty docs") {
