@@ -328,8 +328,11 @@ object SparkEntry {
     // (recall asserted on planted clusters in TrainingOpsSpec)
     "emb_knn_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
+      // iters=1: the exhaustive probe's RESULT is centroid-independent (all
+      // lists scored), so one Lloyd pass suffices to exercise the train +
+      // assign + posting-list-join plan without paying extra driver rounds
       Similarity.ivfKnn(e.filter(col("vec_id") < 8), e, k = 5,
-          nlist = 16, nprobe = 16, iters = 3)
+          nlist = 16, nprobe = 16, iters = 1)
         .withColumn("cos", round(col("cos"), 6))
     }),
     "mm_binary_meta" -> ((s, dir) =>
