@@ -107,6 +107,58 @@ object SparkEntry {
         concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
 
+  // ---- shared oracle-SQL fragments ----------------------------------------
+  /** Planted near-dup corpus + tokenization + distinct-3-gram shingles —
+    * the DuckDB re-derivation of [[Dedup.shingleCol]] over
+    * [[docsWithNearDups]]. */
+  private val nearDupShingleCtes: String =
+    """all_docs AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+      |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
+      |tok AS (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+      |    x -> length(x) > 0) AS toks FROM all_docs),
+      |sh AS (SELECT doc_id, CASE
+      |    WHEN len(toks) = 0 THEN []
+      |    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
+      |  FROM tok)""".stripMargin
+
+  /** [[nearDupShingleCtes]] + the deterministic candidate set + exact shingle
+    * Jaccard per pair — shared by the verify-stage and clustering oracles. */
+  private val nearDupJaccardCtes: String =
+    s"""$nearDupShingleCtes,
+      |cand AS (SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
+      |    FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+      |    FROM documents WHERE doc_id % 7 = 0),
+      |jj AS (SELECT c.doc_a, c.doc_b,
+      |    CASE WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+      |      / CAST(len(a.sh) + len(b.sh)
+      |        - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      |    END AS jaccard
+      |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)"""
+      .stripMargin
+
+  // PII regex literals for the oracle: the runtime values of the TextAnalysis
+  // patterns carry single backslashes, which DuckDB string literals pass to
+  // RE2 unprocessed — same bytes both engines.
+  private def EmailSqlRe = TextAnalysis.EmailRe
+  private def Ipv4SqlRe = TextAnalysis.Ipv4Re
+  private def PhoneSqlRe = TextAnalysis.PhoneRe
+
+  /** Deterministic near-dup candidate set over [[docsWithNearDups]]: the
+    * planted (base, tail-appended) pairs plus adjacent-id negatives. */
+  private def nearDupCand(d: DataFrame): DataFrame = {
+    val ids = d.select(col("doc_id"))
+    ids.filter(col("doc_id") >= 10000000L)
+      .select((col("doc_id") - 10000000L).as("doc_a"), col("doc_id").as("doc_b"))
+      .unionByName(ids.filter(col("doc_id") % 7 === 0 && col("doc_id") < 10000000L)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core over TPC-H-ish tables (oracle-backed) ----------
     // Revenue sums go through DECIMAL(30,6): the per-row double product is
@@ -262,14 +314,26 @@ object SparkEntry {
     // covered by doc_minhash_pairs + the sim_band_join oracle
     "doc_ngram_jaccard" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
-      val ids = d.select(col("doc_id"))
-      val cand = ids.filter(col("doc_id") >= 10000000L)
-        .select((col("doc_id") - 10000000L).as("doc_a"), col("doc_id").as("doc_b"))
-        .unionByName(ids.filter(col("doc_id") % 7 === 0 && col("doc_id") < 10000000L)
-          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")))
-      Dedup.jaccardVerify(cand, d, threshold = 0.5)
+      Dedup.jaccardVerify(nearDupCand(d), d, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
+    // duplicate-pair CLUSTERING: verified near-dup pairs -> connected
+    // components (min-label propagation with pointer shortcut) -> per-cluster
+    // canonical pick; oracle = DuckDB recursive-CTE reachability over the
+    // identically re-derived edge set
+    "doc_dup_clusters" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val edges = Dedup.jaccardVerify(nearDupCand(d), d, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.dupClusters(edges)
+    }),
+    // MinHash LSH with the PORTABLE sha256-derived hash family: the whole
+    // sketch plan (shingle -> signature -> band key -> bucket join -> estimate)
+    // is recomputed bit-for-bit by the oracle — the cross-engine proof that
+    // the production xxh64 sketch's PLAN is right, not just its row counts
+    "doc_minhash_portable" -> ((s, dir) =>
+      Dedup.portableMinhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
+        .withColumn("jaccard_est", round(col("jaccard_est"), 6))),
     // the full two-phase near-dup chain (LSH recall -> exact verify); the
     // recall stage's minhash signatures are non-ANSI, so rows-only
     "doc_ngram_lsh_verified" -> ((s, dir) =>
@@ -296,6 +360,26 @@ object SparkEntry {
     "doc_token_bpe" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+    // Gopher-style intra-doc repetition filters (map-only ratios + an
+    // explode/two-level-agg n-gram mode — never a per-row quadratic scan)
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("type_token_ratio"), 6).as("type_token_ratio"),
+          round(col("dup_trigram_ratio"), 6).as("dup_trigram_ratio"),
+          round(col("frac_top_bigram"), 6).as("frac_top_bigram"),
+          round(col("frac_top_trigram"), 6).as("frac_top_trigram"))),
+    // PII scrub over text augmented with deterministic synthetic PII (the
+    // corpus itself is clean words — the augmentation, reconstructed
+    // identically by the oracle, is what makes the redaction non-trivial)
+    "doc_redact" -> ((s, dir) =>
+      TextAnalysis.withRedaction(
+        docs(s, dir).withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".7 or +41 79 "), (lit(100) + col("doc_id") % 900).cast("string"),
+          lit(" "), (lit(1000) + col("doc_id") % 9000).cast("string"))))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")),
     "q9_running_window" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"), col("l_orderkey"),
@@ -745,31 +829,95 @@ object SparkEntry {
          |  f.dist_m
          |FROM pts p LEFT JOIN fm f USING (query_id)""".stripMargin,
     "doc_ngram_jaccard" ->
-      """WITH all_docs AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
-        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
-        |cand AS (SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
-        |    FROM documents WHERE doc_id % 50 = 0
-        |  UNION ALL SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
-        |    FROM documents WHERE doc_id % 7 = 0),
-        |tok AS (SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
-        |    x -> length(x) > 0) AS toks FROM all_docs),
-        |sh AS (SELECT doc_id, CASE
-        |    WHEN len(toks) = 0 THEN []
-        |    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(range(len(toks) - 2),
-        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
-        |  FROM tok),
-        |jj AS (SELECT c.doc_a, c.doc_b,
-        |    CASE WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
-        |      / CAST(len(a.sh) + len(b.sh)
-        |        - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-        |    END AS jaccard
-        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)
+      s"""WITH $nearDupJaccardCtes
         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jj
         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    // connected components as transitive-closure reachability: reach(n, m)
+    // holds when m reaches n over the undirected verified-pair edges; the
+    // component id is min(m) — identical to the engine's min-label fixpoint
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE $nearDupJaccardCtes,
+        |edges AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+        |reach(id, r) AS (SELECT src, src FROM und
+        |  UNION SELECT u.dst, re.r FROM reach re JOIN und u ON u.src = re.id),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  c.doc_id = c.cluster_id AS is_canonical
+        |FROM cc c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin,
+    // the full portable-MinHash LSH plan recomputed from raw text: sha256-hex
+    // parsed to a 60-bit long (list_reduce base-16 fold), min per permutation,
+    // band keys as joined signature slices, bucket self-join, zip-equality
+    // Jaccard estimate — bit-for-bit the engine's portableMinhashLshPairs
+    "doc_minhash_portable" ->
+      s"""WITH $nearDupShingleCtes,
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+        |hx AS (SELECT doc_id, i, sha256(CAST(i AS VARCHAR) || ':' || s) AS h
+        |  FROM shx, range(16) t(i)),
+        |hv AS (SELECT doc_id, i, min(list_reduce(list_transform(range(15),
+        |    j -> CAST(strpos('0123456789abcdef', substr(h, j+1, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS mh
+        |  FROM hx GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+        |  FROM sig, range(4) tb(b)),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+        |      / CAST(16 AS DOUBLE) AS jaccard_est
+        |  FROM cand2 c JOIN sig sa ON sa.doc_id = c.doc_a
+        |    JOIN sig sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, round(jaccard_est, 6) AS jaccard_est FROM est
+        |WHERE jaccard_est >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |tg AS (SELECT doc_id, toks, CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS tg
+        |  FROM tok),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE) AS ttr,
+        |    CASE WHEN len(tg) = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE CAST(1.0 AS DOUBLE) - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+        |    END AS dtr
+        |  FROM tg),
+        |grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]) END) AS g, 2 AS n FROM tok
+        |  UNION ALL SELECT doc_id, unnest(tg) AS g, 3 AS n FROM tg),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN cnt END)
+        |      / CAST(sum(CASE WHEN n = 2 THEN cnt END) AS DOUBLE) AS fb,
+        |    max(CASE WHEN n = 3 THEN cnt END)
+        |      / CAST(sum(CASE WHEN n = 3 THEN cnt END) AS DOUBLE) AS ft
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, round(b.ttr, 6) AS type_token_ratio,
+        |  round(b.dtr, 6) AS dup_trigram_ratio,
+        |  round(coalesce(t.fb, CAST(0.0 AS DOUBLE)), 6) AS frac_top_bigram,
+        |  round(coalesce(t.ft, CAST(0.0 AS DOUBLE)), 6) AS frac_top_trigram
+        |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id""".stripMargin,
+    "doc_redact" ->
+      s"""WITH aug AS (SELECT doc_id, text || ' contact user'
+        |    || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |    || CAST(doc_id % 250 AS VARCHAR) || '.7 or +41 79 '
+        |    || CAST(100 + doc_id % 900 AS VARCHAR) || ' '
+        |    || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '$EmailSqlRe')) AS n_emails,
+        |  len(regexp_extract_all(text, '$Ipv4SqlRe')) AS n_ips,
+        |  len(regexp_extract_all(text, '$PhoneSqlRe')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$EmailSqlRe', '<EMAIL>', 'g'),
+        |    '$Ipv4SqlRe', '<IP>', 'g'),
+        |    '$PhoneSqlRe', '<PHONE>', 'g') AS clean_text
+        |FROM aug""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,129 @@ object Dedup {
       .withColumn("hamming_dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming_dist") <= maxDist)
       .select("doc_a", "doc_b", "hamming_dist")
+  }
+
+  /** Connected components over an undirected duplicate-pair edge set —
+    * near-dup PAIRS are not a dedup policy until they are CLUSTERED (a~b,
+    * b~c must keep one of {a,b,c}, not two). Iterative min-label propagation
+    * with pointer-shortcutting (label <- label(label) each round), so chains
+    * converge in O(log diameter) rounds rather than O(diameter); each round
+    * is two shuffles on the id key. Labels persist per round and unpersist as
+    * soon as superseded; at crawl scale feed `edges` through a checkpoint dir
+    * to truncate lineage (see Checkpoint) — round count stays small because
+    * duplicate clusters are star/chain shaped.
+    *
+    * Output: (doc_id, cluster_id) for every node incident on an edge, where
+    * cluster_id = min doc_id of the component — deterministic regardless of
+    * partitioning or iteration count. */
+  def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label among self + neighbours
+      val nbrMin = und.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer shortcut: jump to the label's own label
+      val next = updated.as("u")
+        .join(updated.select(col("id").as("lid"), col("label").as("llabel")),
+          col("u.label") === col("lid"), "left")
+        .select(col("u.id").as("id"), coalesce(col("llabel"), col("u.label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    und.unpersist()
+    out
+  }
+
+  /** Duplicate clusters with sizes and a canonical-survivor flag: the keep/
+    * drop policy layer over [[connectedComponents]]. Canonical = min id. */
+  def dupClusters(edges: DataFrame, aCol: String = "doc_a",
+                  bCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  // ---- portable (cross-engine verifiable) MinHash ---------------------------
+
+  /** Distinct word 3-gram shingles as a Column — the SAME construction the
+    * DuckDB oracle re-derives (tokens on `[^\p{L}\p{Nd}]+`, whole doc as one
+    * shingle when < 3 tokens). */
+  def shingleCol(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of sha256("<prefix>:<s>") as a
+    * long. sha2 is available verbatim in DuckDB, so — unlike the xxh64-based
+    * production sketch — every value is independently recomputable by the
+    * oracle. ~20x slower per shingle than xxh64; use for verification runs,
+    * `minhash`/`minhashLshPairs` for crawl-scale jobs. */
+  def sha60(prefix: Column, s: Column): Column =
+    conv(substring(sha2(concat(prefix, lit(":"), s), 256), 1, 15), 16, 10).cast("long")
+
+  /** Portable MinHash signature: sig[i] = min over shingles of sha60(i, s). */
+  def portableMinhashSig(text: Column, perms: Int = 16): Column = {
+    val sh = shingleCol(text)
+    transform(sequence(lit(0), lit(perms - 1)), i =>
+      array_min(transform(sh, s => sha60(i.cast("string"), s))))
+  }
+
+  /** MinHash LSH near-dup pairs with a FULLY oracle-checkable hash family:
+    * same shingle -> minhash -> band -> bucket-join -> verify plan as
+    * [[minhashLshPairs]], but every hash is [[sha60]] so DuckDB recomputes
+    * signatures, band keys, candidates, and estimates bit-for-bit. Band key
+    * is the comma-joined slice of the signature (a string equi-join key —
+    * no second hash to port). Output: (doc_a, doc_b, jaccard_est). */
+  def portableMinhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              perms: Int = 16, bands: Int = 4): DataFrame = {
+    require(perms % bands == 0, "perms must divide evenly into bands")
+    val r = perms / bands
+    // shingles materialized once as a column, then hashed per permutation —
+    // the signature lambda reads an attribute, not a re-evaluated shingle build
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), shingleCol(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(sequence(lit(0), lit(perms - 1)), i =>
+        array_min(transform(col("sh"), s => sha60(i.cast("string"), s)))).as("sig"))
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string"))))
+    val rows = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val cand = rows.as("a")
+      .join(rows.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          / lit(perms.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
   }
 
   /** Embedding near-dup: cosine >= threshold via MULTI-BAND hyperplane-LSH

@@ -85,6 +85,77 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  private def ngramArr(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Gopher-style intra-document repetition signals — the standard "is this
+    * page boilerplate / template spam" filters for a crawl corpus:
+    *
+    *  - `type_token_ratio`: distinct tokens / tokens (low = repetitive).
+    *  - `dup_trigram_ratio`: 1 - distinct trigrams / trigrams.
+    *  - `frac_top_bigram` / `frac_top_trigram`: share of all n-grams taken by
+    *    the single most frequent one.
+    *
+    * The per-doc ratios are map-only list expressions; the top-n-gram mode is
+    * explode -> two-level aggregation (partial map-side combine, never a
+    * per-row quadratic distinct-vs-all scan — a 100 KB doc has ~2*10^4
+    * n-grams, and all-pairs per row would be 4*10^8 comparisons). Ratios are
+    * exact integer quotients, so independently recomputable. */
+  def withRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tg = ngramArr(toks, 3)
+    val base = docs.withColumn("n_tokens", size(toks))
+      .withColumn("type_token_ratio",
+        size(array_distinct(toks)) / greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("dup_trigram_ratio",
+        when(size(tg) === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct(tg)) / size(tg).cast("double")))
+    val grams = docs
+      .select(col(idCol), explode(ngramArr(toks, 2)).as("g")).withColumn("n", lit(2))
+      .unionByName(docs.select(col(idCol), explode(tg).as("g")).withColumn("n", lit(3)))
+    val top = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        (max(when(col("n") === 2, col("cnt"))) /
+          sum(when(col("n") === 2, col("cnt"))).cast("double")).as("frac_top_bigram"),
+        (max(when(col("n") === 3, col("cnt"))) /
+          sum(when(col("n") === 3, col("cnt"))).cast("double")).as("frac_top_trigram"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("frac_top_bigram", coalesce(col("frac_top_bigram"), lit(0.0)))
+      .withColumn("frac_top_trigram", coalesce(col("frac_top_trigram"), lit(0.0)))
+  }
+
+  // PII patterns, deliberately restricted to syntax valid in BOTH java.util
+  // .regex and RE2 (\b, \d, {m,n} — no lookarounds) so the redaction is
+  // independently recomputable by an ANSI oracle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}( \\d{2,4}){2,4}\\b"
+
+  /** PII scrub for training corpora: replace emails, IPv4 addresses, and
+    * international-format phone numbers with typed placeholder tokens.
+    * Order matters and is fixed (email first — its local part may contain
+    * digits and dots an IP pattern could clip). Map-only. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Redaction with per-doc counts (counted on the ORIGINAL text, before any
+    * placeholder rewriting): (n_emails, n_ips, n_phones, clean_text). */
+  def withRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("clean_text", redactPii(t))
+  }
+
   /** Content fingerprints: fast 64-bit xxhash + winnowing fingerprint (robust
     * to local edits) + simhash. */
   def withFingerprints(docs: DataFrame, text: Column = col("text")): DataFrame =

@@ -256,4 +256,81 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(batched.count() === 40)
     assert(batched.select(max("n_in_batch")).as[Int].collect()(0) <= 16)
   }
+
+  test("connected components: chains, triangles, and pairs cluster to min id") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22, plus a
+    // redundant edge — clusters must be independent of edge order/multiplicity
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val clusters = Dedup.dupClusters(edges)
+    assert(clusters.filter($"is_canonical").count() === 3)
+    val sizes = clusters.select("cluster_id", "cluster_size").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
+    // non-canonical members are exactly the docs a keep-policy would drop
+    assert(clusters.filter(!$"is_canonical").count() === 6)
+  }
+
+  test("portable sha256 minhash: known hash value, planted near-dups found") {
+    // sha60("0", "hello world") = first 15 hex chars of
+    // sha256("0:hello world") — independently computed: 343071447330290252
+    val h = spark.range(1)
+      .select(Dedup.sha60(lit("0"), lit("hello world")).as("h")).as[Long].collect()(0)
+    assert(h === 343071447330290252L)
+    val base = docs.select($"doc_id", $"text").limit(100)
+    val near = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat($"text", lit(" extra tail")))
+    val pairs = Dedup.portableMinhashLshPairs(base.unionByName(near), threshold = 0.5)
+      .cache()
+    val planted = pairs.filter($"doc_b" - $"doc_a" === 100000)
+    assert(planted.count() >= 4, s"found ${planted.count()} of 5 planted near-dups")
+    assert(pairs.filter($"jaccard_est" < 0.5 || $"jaccard_est" > 1.0).count() === 0)
+    pairs.unpersist()
+  }
+
+  test("repetition signals: exact ratios on crafted docs") {
+    val crafted = Seq(
+      (1L, "a a a a"),            // ttr 1/4; trigrams [a a a, a a a] -> dup 1/2
+      (2L, "w x y z"),            // all distinct
+      (3L, "b"),                  // 1 token: no bigrams/trigrams
+      (4L, "spam ham spam ham spam ham")) // top bigram "spam ham" 3 of 5
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionSignals(crafted)
+      .select("doc_id", "n_tokens", "type_token_ratio", "dup_trigram_ratio",
+        "frac_top_bigram", "frac_top_trigram")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) === 0.25)
+    assert(r(1L).getDouble(3) === 0.5)
+    assert(r(1L).getDouble(4) === 1.0)
+    assert(r(2L).getDouble(2) === 1.0 && r(2L).getDouble(3) === 0.0)
+    assert(r(2L).getDouble(4) === 1.0 / 3.0) // 3 distinct bigrams, each once
+    assert(r(3L).getDouble(4) === 0.0 && r(3L).getDouble(5) === 0.0)
+    assert(r(4L).getDouble(4) === 0.6)
+    assert(r(4L).getInt(1) === 6 || r(4L).getLong(1) === 6L)
+  }
+
+  test("pii redaction: emails, ips, phones replaced with typed tokens") {
+    val crafted = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +41 79 123 4567 today"),
+      (4L, "clean text only"),
+      (5L, "a@b.co from 1.2.3.4 dial +1 800 555 0199"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withRedaction(crafted)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) === 1 && r(1L).getString(4) === "mail <EMAIL> now")
+    assert(r(2L).getInt(2) === 2 && r(2L).getString(4) === "host <IP> and <IP> up")
+    assert(r(3L).getInt(3) === 1 && r(3L).getString(4) === "call <PHONE> today")
+    assert(r(4L).getString(4) === "clean text only")
+    assert(r(5L).getInt(1) === 1 && r(5L).getInt(2) === 1 && r(5L).getInt(3) === 1)
+    assert(r(5L).getString(4) === "<EMAIL> from <IP> dial <PHONE>")
+  }
 }
