@@ -240,8 +240,7 @@ object Dedup {
     val toks = filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
     when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array_distinct(graft.text.TextAnalysis.ngramArr(toks, n)))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of sha256("<prefix>:<s>") as a
@@ -270,13 +269,30 @@ object Dedup {
                               perms: Int = 16, bands: Int = 4): DataFrame = {
     require(perms % bands == 0, "perms must divide evenly into bands")
     val r = perms / bands
-    // shingles materialized once as a column, then hashed per permutation —
-    // the signature lambda reads an attribute, not a re-evaluated shingle build
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), shingleCol(col(textCol)).as("sh"))
+    // Signature build is explode -> flat codegen'd sha256 projection ->
+    // min per (doc, perm) with map-side combine -> re-assembled array. A
+    // per-row nested-lambda build (transform over perms of array_min over
+    // shingles) runs interpreted AND gets projection-collapsed into every
+    // band key and both join sides (~8x the hash work — measured 580 s for
+    // the lambda form vs seconds for this shape at sf0.1). Signatures are
+    // PERSISTED: the one materialized artifact everything downstream
+    // re-joins by id — the checkpointed table at crawl scale.
+    val shx = docs
+      // spread the shingle + sha256 work across the cluster FIRST — a small
+      // input (one parquet split) would otherwise tokenize and hash serially
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleCol(col("t")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(sequence(lit(0), lit(perms - 1)), i =>
-        array_min(transform(col("sh"), s => sha60(i.cast("string"), s)))).as("sig"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(perms - 1))).as("i"), col("s"))
+    val sigs = shx
+      .select(col("doc_id"), col("i"), sha60(col("i").cast("string"), col("s")).as("h"))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        st => st.getField("mh")).as("sig"))
+      .persist()
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
       concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string"))))
     val rows = sigs.select(col("doc_id"),
