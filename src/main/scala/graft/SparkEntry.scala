@@ -341,6 +341,10 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))),
     "doc_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docsWithNearDups(s, dir), maxDist = 3)),
+    // SimHash with the portable sha256 hash family — signatures, segment
+    // blocking, and hamming verify all recomputed bit-for-bit by the oracle
+    "doc_simhash_portable" -> ((s, dir) =>
+      Dedup.portableSimhashPairs(docsWithNearDups(s, dir), maxDist = 3)),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.withFingerprints(docs(s, dir))
         .select("doc_id", "xxh64", "winnow_fp", "simhash")),
@@ -873,6 +877,39 @@ object SparkEntry {
         |    JOIN sig sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, round(jaccard_est, 6) AS jaccard_est FROM est
         |WHERE jaccard_est >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    // portable simhash: per-shingle sha60 -> 60 bit votes -> signature long
+    // -> 4 x 15-bit pigeonhole segments (capped buckets) -> bit_count hamming.
+    // NB DuckDB's ^ is exponentiation — xor() is the operator's function form.
+    "doc_simhash_portable" ->
+      s"""WITH $nearDupShingleCtes,
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+        |hx AS (SELECT doc_id, list_reduce(list_transform(range(15),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substr(sha256('sim:' || s), j+1, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM shx),
+        |votes AS (SELECT doc_id, j,
+        |    sum(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
+        |  FROM hx, range(60) t(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, sum(CASE WHEN v > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sg
+        |  FROM votes GROUP BY doc_id),
+        |segr AS (SELECT doc_id, j AS seg_idx,
+        |    (sg >> CAST(j * 15 AS INT)) & 32767 AS seg_val
+        |  FROM sig, range(4) t(j)),
+        |bsz AS (SELECT seg_idx, seg_val, count(*) AS c FROM segr GROUP BY 1, 2),
+        |pruned AS (SELECT s.doc_id, s.seg_idx, s.seg_val FROM segr s
+        |  JOIN bsz b USING (seg_idx, seg_val) WHERE b.c <= 256),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM pruned a JOIN pruned b2
+        |    ON a.seg_idx = b2.seg_idx AND a.seg_val = b2.seg_val
+        |      AND a.doc_id < b2.doc_id),
+        |hm AS (SELECT c.doc_a, c.doc_b,
+        |    bit_count(xor(sa.sg, sb.sg)) AS hamming_dist
+        |  FROM cand2 c JOIN sig sa ON sa.doc_id = c.doc_a
+        |    JOIN sig sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, hamming_dist FROM hm WHERE hamming_dist <= 3"""
+        .stripMargin,
     "doc_repetition" ->
       """WITH tok AS (SELECT doc_id, list_filter(
         |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),

@@ -312,6 +312,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_est")
   }
 
+  /** SimHash with the portable sha256 hash family: 60-bit signatures from
+    * per-shingle bit votes, then the same 4-segment pigeonhole blocking and
+    * bit_count hamming verify as [[simhashPairs]] — every stage (hash, vote,
+    * signature, segment key, distance) independently recomputable by an ANSI
+    * oracle. Shape: explode shingles -> one codegen'd sha256 per shingle ->
+    * 60 conditional-sum bit votes with map-side combine -> signature long ->
+    * narrow (id, seg) equi-join. Output: (doc_a, doc_b, hamming_dist). */
+  def portableSimhashPairs(docs: DataFrame, maxDist: Int = 3,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           bits: Int = 60, segs: Int = 4,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bits % segs == 0, "bits must divide evenly into segments")
+    val segBits = bits / segs
+    val hx = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleCol(col("t")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), sha60(lit("sim"), col("s")).as("h"))
+    // per-bit vote: +1 if the shingle hash has the bit set, else -1;
+    // signature bit j = (vote_j > 0)
+    val votes = (0 until bits).map(j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    // persisted: read by the segment rows (twice inside the capped bucket
+    // join) and both verify sides — without it the whole hash pipeline is
+    // re-evaluated ~5x
+    val sigs = hx.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"v$j") > 0, lit(1L) * (1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+      .persist()
+    val segRows = sigs.withColumn("seg_idx", explode(sequence(lit(0), lit(segs - 1))))
+      .withColumn("seg_val",
+        expr(s"shiftrightunsigned(sh, seg_idx * $segBits)")
+          .bitwiseAND(lit((1L << segBits) - 1)))
+      .select("doc_id", "seg_idx", "seg_val")
+    val cand = bucketPairs(segRows, Seq("seg_idx", "seg_val"), maxBucket)
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming_dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming_dist") <= maxDist)
+      .select("doc_a", "doc_b", "hamming_dist")
+  }
+
   /** Embedding near-dup: cosine >= threshold via MULTI-BAND hyperplane-LSH
     * bucket join + exact cosine verify. `bands` independent hyperplane sets
     * of `bits` each: a pair is a candidate if ANY band collides — at the

@@ -294,6 +294,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("portable simhash: identical docs at distance 0, one-word edits close") {
+    val base = docs.select($"doc_id", $"text").limit(80)
+    val ident = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000) // exact copies -> hamming 0
+    val pairs = Dedup.portableSimhashPairs(base.unionByName(ident), maxDist = 3)
+      .cache()
+    val planted = pairs.filter($"doc_b" - $"doc_a" === 100000)
+    assert(planted.count() === 5)
+    assert(planted.filter($"hamming_dist" =!= 0).count() === 0)
+    // no pair reported above the distance bound
+    assert(pairs.filter($"hamming_dist" > 3).count() === 0)
+    pairs.unpersist()
+  }
+
   test("repetition signals: exact ratios on crafted docs") {
     val crafted = Seq(
       (1L, "a a a a"),            // ttr 1/4; trigrams [a a a, a a a] -> dup 1/2
