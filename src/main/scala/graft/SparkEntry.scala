@@ -400,6 +400,16 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(withDups, threshold = 0.999)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // embedding near-dup with the PORTABLE sha256-derived Rademacher planes:
+    // plane matrix, projections, bucket keys, and cosine verify all
+    // re-derived by the oracle — the sketch plan itself is oracle-proven
+    "emb_neardup_portable" -> ((s, dir) => {
+      val base = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val withDups = base.unionByName(base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      Dedup.portableEmbeddingNearDupPairs(withDups, threshold = 0.999)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
     "emb_knn_brute" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceKnn(e.filter(col("vec_id") < 8), e, k = 5)
@@ -1157,6 +1167,45 @@ object SparkEntry {
         |  dlat || '° ' || mlat || ''' ' || rtrim(rtrim(printf('%.5f', slat), '0'), '.')
         |    || ''''' ' || CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS dms_lat
         |FROM h""".stripMargin,
+    // portable embedding LSH: planes re-derived from sha256 (hex fold to a
+    // 60-bit long, parity -> +-1), projections as ordered list_sum folds
+    // (bit-identical to the engine's left-fold aggregate), capped bucket
+    // join, exact-cosine verify per the brute-force template
+    "emb_neardup_portable" ->
+      """WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000000 AS vec_id, embedding
+        |    FROM embeddings WHERE vec_id % 50 = 0),
+        |pl AS (SELECT t, j, list_transform(range(64), d -> CASE WHEN
+        |    (list_reduce(list_transform(range(15), k -> CAST(
+        |      strpos('0123456789abcdef', substr(sha256(
+        |        'hp:' || t || ':' || j || ':' || d), k+1, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) & 1) = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
+        |  FROM range(6) tt(t), range(12) jj(j)),
+        |dots AS (SELECT vec_id, t, j, list_sum(list_transform(range(64),
+        |    d -> CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1]))
+        |    AS dot
+        |  FROM emb2, pl),
+        |keys AS (SELECT vec_id, t, sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS bk
+        |  FROM dots GROUP BY vec_id, t),
+        |bsz AS (SELECT t, bk, count(*) AS c FROM keys GROUP BY 1, 2),
+        |pruned AS (SELECT k.vec_id, k.t, k.bk FROM keys k
+        |  JOIN bsz b ON k.t = b.t AND k.bk = b.bk WHERE b.c <= 1024),
+        |cand2 AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM pruned a JOIN pruned b2
+        |    ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),
+        |cs AS (SELECT c.id_a, c.id_b,
+        |  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(ea.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(eb.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand2 c JOIN emb2 ea ON ea.vec_id = c.id_a
+        |    JOIN emb2 eb ON eb.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM cs
+        |WHERE cos >= CAST(0.999 AS DOUBLE)""".stripMargin,
     // exactness note: DuckDB list_sum over the CAST-to-DOUBLE elements
     // accumulates left-to-right like VecCore.dot, so the cosine is
     // bit-identical (validated empirically) and rank order matches exactly

@@ -359,6 +359,43 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming_dist")
   }
 
+  /** Embedding near-dup with a PORTABLE hyperplane family: Rademacher +-1
+    * planes derived from sha256 (`sign(t,j,d) = +1 iff sha60("hp:t:j:d") is
+    * even`) instead of the splitmix stream — the planes, projections, bucket
+    * keys, and cosine verify are all independently recomputable by an ANSI
+    * oracle. The plane matrix is precomputed ONCE driver-side (bands x bits x
+    * dim doubles, broadcast as literals); per row the work is bands*bits
+    * exact-sign dot products. Same bucket-join + capped-bucket + exact-verify
+    * plan as [[embeddingNearDupPairs]]. */
+  def portableEmbeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                                    idCol: String = "vec_id", vecCol: String = "embedding",
+                                    dim: Int = 64, bits: Int = 12, bands: Int = 6,
+                                    maxBucket: Int = 1024): DataFrame = {
+    def sign(t: Int, j: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"hp:$t:$j:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1.0 else -1.0
+    }
+    // flattened plane matrix as ONE literal array; keys computed by a single
+    // codegen StaticInvoke per row (native left-fold dots — bit-identical to
+    // the oracle's ordered list_sum, ~100x an interpreted per-(t,j) lambda)
+    val flat: Seq[Double] = for {
+      t <- 0 until bands; j <- 0 until bits; d <- 0 until dim
+    } yield sign(t, j, d)
+    val base = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    val rows = base.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.portableKeys(col("v"),
+        typedLit(flat), lit(bits), lit(bands))).as(Seq("band_idx", "bucket")))
+    val cand = bucketPairs(rows, Seq("band_idx", "bucket"), maxBucket)
+    val va = base.select(col("doc_id").as("doc_a"), col("v").as("v_a"))
+    val vb = base.select(col("doc_id").as("doc_b"), col("v").as("v_b"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cos"))
+  }
+
   /** Embedding near-dup: cosine >= threshold via MULTI-BAND hyperplane-LSH
     * bucket join + exact cosine verify. `bands` independent hyperplane sets
     * of `bits` each: a pair is a candidate if ANY band collides — at the

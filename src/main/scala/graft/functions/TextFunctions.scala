@@ -52,6 +52,9 @@ object TextInternal {
   def nearestCentroid(v: ArrayData, flat: ArrayData): Int =
     VecCore.nearestCentroid(v.toFloatArray(), flat.toFloatArray())
 
+  def portableKeys(v: ArrayData, flat: ArrayData, bits: Int, bands: Int): ArrayData =
+    new GenericArrayData(VecCore.portableKeys(v.toFloatArray(), flat.toDoubleArray(), bits, bands))
+
   def nearestCentroids(v: ArrayData, flat: ArrayData, nprobe: Int): ArrayData =
     new GenericArrayData(VecCore.nearestCentroids(v.toFloatArray(), flat.toFloatArray(), nprobe))
 
@@ -121,6 +124,8 @@ object TextFunctions {
     invoke(ArrayType(IntegerType, containsNull = false), "multiProbe", sig, bits)
   def nearestCentroid(v: Column, flat: Column): Column =
     invoke(IntegerType, "nearestCentroid", v, flat)
+  def portableKeys(v: Column, flat: Column, bits: Column, bands: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "portableKeys", v, flat, bits, bands)
   def nearestCentroids(v: Column, flat: Column, nprobe: Column): Column =
     invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids", v, flat, nprobe)
 

@@ -28,6 +28,33 @@ object VecCore {
   @inline private def rade(bit: Int, dim: Int): Double =
     if ((graft.text.TextCore.mix(bit.toLong * 0x9E3779B97F4A7C15L + dim) & 1L) == 0L) 1.0 else -1.0
 
+  /** All `bands` bucket keys from an EXPLICIT flattened plane matrix
+    * (bands x bits x dim, index (t*bits + j)*dim + d) — the portable
+    * hyperplane path: the caller derives the planes from a hash family an
+    * external oracle can recompute. Dots accumulate left-to-right from 0.0
+    * (same fold order as an ordered SQL list_sum), so the sign tests are
+    * bit-identical cross-engine. */
+  def portableKeys(v: Array[Float], flat: Array[Double], bits: Int, bands: Int): Array[Long] = {
+    val dim = v.length
+    val out = new Array[Long](bands)
+    var t = 0
+    while (t < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val off = (t * bits + j) * dim
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += v(d).toDouble * flat(off + d); d += 1 }
+        if (s > 0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    out
+  }
+
   /** `bits`-bit random-hyperplane LSH signature (sign of projections). */
   def lshSignature(v: Array[Float], bits: Int): Int = lshSignatureBand(v, bits, 0)
 

@@ -308,6 +308,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("portable embedding near-dup: planted identical vectors recovered") {
+    val base = embs.select($"vec_id", $"embedding").limit(200)
+    val ident = base.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 100000)
+    val pairs = Dedup.portableEmbeddingNearDupPairs(
+      base.unionByName(ident), threshold = 0.999).cache()
+    // identical vectors share every bucket key -> always candidates
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000)
+    assert(planted.count() === 10)
+    assert(planted.filter(abs($"cos" - 1.0) > 1e-12).count() === 0)
+    assert(pairs.filter($"cos" < 0.999).count() === 0)
+    pairs.unpersist()
+  }
+
   test("repetition signals: exact ratios on crafted docs") {
     val crafted = Seq(
       (1L, "a a a a"),            // ttr 1/4; trigrams [a a a, a a a] -> dup 1/2
