@@ -191,31 +191,41 @@ object Dedup {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // init = the first propagation round for free: label = min(id, neighbours)
+    // (every incident node appears as src because und carries both directions)
+    var labels = und.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label")).persist()
+    // Each round is deliberately LEAN — one aggregation + one left join, with
+    // the convergence flag computed IN-PLAN (no second join against the old
+    // labels, no pointer-shortcut self-join: duplicate clusters are stars and
+    // short chains, so plain min-label propagation converges in ~2 rounds and
+    // every extra per-round stage is pure scheduled-latency at small scale
+    // and an extra shuffle at crawl scale).
+    var last: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min label among self + neighbours
       val nbrMin = und.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // pointer shortcut: jump to the label's own label
-      val next = updated.as("u")
-        .join(updated.select(col("id").as("lid"), col("label").as("llabel")),
-          col("u.label") === col("lid"), "left")
-        .select(col("u.id").as("id"), coalesce(col("llabel"), col("u.label")).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (col("nbr") < col("label")).as("chg"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("chg")).limit(1).count()
       labels.unpersist()
-      labels = next
+      if (last != null) last.unpersist()
+      last = next
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // materialize the (small) labelling, then release every intermediate —
+    // iterative callers otherwise accumulate cached blocks (round-2 advice
+    // on knnComplete applies here too)
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).persist()
+    out.count()
+    if (last != null) last.unpersist()
     und.unpersist()
     out
   }
@@ -304,12 +314,16 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard_est",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           / lit(perms.toDouble))
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
+      .persist()
+    out.count() // materialize the (small) pair set, then free the signatures
+    sigs.unpersist()
+    out
   }
 
   /** SimHash with the portable sha256 hash family: 60-bit signatures from
@@ -353,10 +367,14 @@ object Dedup {
     val cand = bucketPairs(segRows, Seq("seg_idx", "seg_val"), maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming_dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming_dist") <= maxDist)
       .select("doc_a", "doc_b", "hamming_dist")
+      .persist()
+    out.count() // materialize the (small) pair set, then free the signatures
+    sigs.unpersist()
+    out
   }
 
   /** Embedding near-dup with a PORTABLE hyperplane family: Rademacher +-1
