@@ -348,6 +348,12 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.withFingerprints(docs(s, dir))
         .select("doc_id", "xxh64", "winnow_fp", "simhash")),
+    // winnowing with the portable sha256 k-gram family — per-gram hashes,
+    // non-overlapping window mins, and the xor fold all recomputed by DuckDB
+    "doc_winnow_portable" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.portableWinnow(col("text"), lit(8), lit(16))
+          .as("winnow_fp"))),
     "doc_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -887,6 +893,31 @@ object SparkEntry {
         |    JOIN sig sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, round(jaccard_est, 6) AS jaccard_est FROM est
         |WHERE jaccard_est >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    // portable winnowing: sha256 char-8-gram hashes, non-overlapping
+    // 16-gram-window mins, xor fold; short-text and no-window cases fall
+    // back to the whole-text hash exactly as the engine does
+    "doc_winnow_portable" ->
+      """WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |gr AS (SELECT doc_id, text, n, CASE WHEN n < 8 THEN []
+        |    ELSE list_transform(range(n - 7), i ->
+        |      list_reduce(list_transform(range(15), j ->
+        |        CAST(strpos('0123456789abcdef', substr(sha256(
+        |          'wn:' || substr(text, CAST(i AS INT)+1, 8)), j+1, 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) END AS gr
+        |  FROM g),
+        |mins AS (SELECT doc_id, text, CASE WHEN len(gr) >= 16
+        |    THEN list_transform(range(len(gr) // 16),
+        |      m -> list_min(gr[(m*16+1):(m*16+16)]))
+        |    ELSE [] END AS mins
+        |  FROM gr),
+        |fp0 AS (SELECT doc_id, text, CASE WHEN len(mins) = 0 THEN 0
+        |    ELSE list_reduce(mins, (a, b) -> xor(a, b)) END AS fp FROM mins)
+        |SELECT doc_id, CASE WHEN fp = 0 THEN
+        |    list_reduce(list_transform(range(15), j ->
+        |      CAST(strpos('0123456789abcdef', substr(sha256('wn:' || text),
+        |        j+1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)
+        |  ELSE fp END AS winnow_fp
+        |FROM fp0""".stripMargin,
     // portable simhash: per-shingle sha60 -> 60 bit votes -> signature long
     // -> 4 x 15-bit pigeonhole segments (capped buckets) -> bit_count hamming.
     // NB DuckDB's ^ is exponentiation — xor() is the operator's function form.

@@ -32,6 +32,9 @@ object TextInternal {
   def winnow(text: UTF8String, k: Int, w: Int): Long =
     TextCore.winnowFingerprint(if (text == null) "" else text.toString, k, w)
 
+  def portableWinnow(text: UTF8String, k: Int, w: Int): Long =
+    TextCore.portableWinnow(if (text == null) "" else text.toString, k, w)
+
   def dot(a: ArrayData, b: ArrayData): Double =
     VecCore.dot(a.toFloatArray(), b.toFloatArray())
 
@@ -113,6 +116,8 @@ object TextFunctions {
     invoke(DoubleType, "jaccard", a, b, shingleN)
   def winnow(text: Column, k: Column, w: Column): Column =
     invoke(LongType, "winnow", text, k, w)
+  def portableWinnow(text: Column, k: Column, w: Column): Column =
+    invoke(LongType, "portableWinnow", text, k, w)
 
   def dot(a: Column, b: Column): Column = invoke(DoubleType, "dot", a, b)
   def cosine(a: Column, b: Column): Column = invoke(DoubleType, "cosine", a, b)

@@ -155,4 +155,40 @@ object TextCore {
     }
     if (fp == 0L) fnv64(s) else fp
   }
+
+  /** 60-bit portable hash: first 15 hex chars of sha256("wn:" + s) as a long
+    * (== big-endian first 8 digest bytes >>> 4) — the same value an ANSI
+    * oracle derives from its own sha256 hex string. */
+  def sha60wn(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("wn:" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** [[winnowFingerprint]] with the PORTABLE sha256 k-gram hash family and a
+    * plain xor fold (no splitmix finalizer) — every k-gram hash, window min,
+    * and the fold are independently recomputable by an ANSI oracle. Char
+    * (not byte) k-gram positions; identical to byte positions on ASCII
+    * corpora, which is what the contract corpus is. */
+  def portableWinnow(text: String, k: Int, w: Int): Long = {
+    val s = if (text == null) "" else text
+    if (s.length < k) return sha60wn(s)
+    val n = s.length - k + 1
+    val gram = new Array[Long](n)
+    var i = 0
+    while (i < n) { gram(i) = sha60wn(s.substring(i, i + k)); i += 1 }
+    var fp = 0L
+    var start = 0
+    while (start + w <= n) {
+      var m = Long.MaxValue
+      var j = start
+      while (j < start + w) { if (gram(j) < m) m = gram(j); j += 1 }
+      fp ^= m
+      start += w
+    }
+    if (fp == 0L) sha60wn(s) else fp
+  }
 }

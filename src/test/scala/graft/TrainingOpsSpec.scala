@@ -322,6 +322,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("portable winnow: known short-text hash, append-past-window stability") {
+    // sha60("wn:hi") independently computed: int(sha256('wn:hi')[:15], 16)
+    assert(TextCore.portableWinnow("hi", 8, 16) === 71419500124699162L)
+    // 90 chars -> 83 grams -> 5 full windows (grams 80..82 unused); appending
+    // 2 chars adds grams 83..84 without completing a 6th window or touching
+    // any earlier gram -> fingerprint is stable under the trailing edit
+    val t = ("the quick brown fox jumps over the lazy dog again and then " +
+      "some more filler text here ok" + "z" * 8).take(90)
+    assert(t.length === 90)
+    assert(TextCore.portableWinnow(t, 8, 16) === TextCore.portableWinnow(t + "ab", 8, 16))
+    // 16 more chars complete a new window -> fingerprint changes
+    assert(TextCore.portableWinnow(t, 8, 16) !==
+      TextCore.portableWinnow(t + "x" * 16, 8, 16))
+  }
+
   test("repetition signals: exact ratios on crafted docs") {
     val crafted = Seq(
       (1L, "a a a a"),            // ttr 1/4; trigrams [a a a, a a a] -> dup 1/2
