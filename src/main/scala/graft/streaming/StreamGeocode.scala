@@ -135,6 +135,22 @@ object StreamGeocode {
     }
   }
 
+  /** Streaming exact dedup for a continuous-ingest document stream: first
+    * occurrence of each content digest passes, replays are dropped. State is
+    * the digest set, BOUNDED by the watermark via
+    * `dropDuplicatesWithinWatermark` — the crawl-scale contract is
+    * "exactly-once per content within the replay horizon", because an
+    * unbounded digest set cannot fit any state store at 10^12 docs; the
+    * batch `Dedup.exact` pass owns cross-horizon duplicates. The digest is
+    * computed BEFORE the dedup so state stores 32-byte keys, never text. */
+  def dedupStream(docs: DataFrame, tsCol: String = "warc_ts",
+                  textCol: String = "text",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_sha")
+
   /** Watermarked sliding-window tile counts over a stream of raw hits
     * (lon/lat/warc_ts) — the streaming twin of Tiler.aggregate. */
   def tileCounts(hits: DataFrame): DataFrame =

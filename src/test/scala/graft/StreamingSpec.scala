@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(cal.head.getAs[String]("geocode_status") === "ok")
   }
 
+  test("streaming exact dedup drops replays within the watermark horizon") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val base = Synth.pages(spark, 100, 4).toDF()
+    // replay 20 pages with fresh urls but identical text — same micro-batch
+    val replay = base.filter(xxhash64($"url") % 5 === 0)
+      .withColumn("url", concat($"url", lit("?replay")))
+    base.unionByName(replay).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val out = StreamGeocode.dedupStream(stream)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.sql("select * from stream_dedup")
+    // exactly one survivor per distinct text
+    val distinctTexts = base.select("text").distinct().count()
+    assert(emitted.count() === distinctTexts)
+    assert(emitted.select("text_sha").distinct().count() === emitted.count())
+  }
+
   test("stateful sessionization via flatMapGroupsWithState (event-time timeout)") {
     val dir = Files.createTempDirectory("graft-stream-sess").toString
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
