@@ -446,6 +446,16 @@ object SparkEntry {
       Multimodal.withFeatures(Synth.pagesDF(s, dir).limit(1000), dim = 16)
         .select(col("url"), round(graft.functions.TextFunctions.vnorm(col("features")), 6)
           .as("feat_norm"))),
+    // feature plumbing with sha256-derived pseudo-features — vector values
+    // and the ordered-fold norm recomputed bit-for-bit by the oracle; input
+    // subset by the deterministic url index (17 sha256 per row adds up at
+    // larger sf — the full-corpus shape is covered by mm_binary_meta)
+    "mm_features_portable" -> ((s, dir) =>
+      Multimodal.withPortableFeatures(
+        oraclePages(s, dir)
+          .filter(regexp_extract(col("url"), "([0-9]+)$", 1).cast("int") % 10 === 0),
+        dim = 16)
+        .select(col("url"), round(col("feat_norm"), 6).as("feat_norm"))),
 
     // E10 — lineage/resume under the driver's determinism check: a two-stage
     // checkpointed pipeline run COLD then RESUMED against a fresh ckpt dir;
@@ -814,6 +824,23 @@ object SparkEntry {
          |    ELSE 'application/octet-stream' END AS mime,
          |  sha256(decode(html)) AS content_hash
          |FROM read_parquet('$OracleDir/pages/*.parquet')""".stripMargin,
+    // portable multimodal features: base = sha256 hex of the payload (same
+    // bytes both engines — mm_binary_meta's validated decode() equivalence);
+    // f_i parsed from sha256(base ':' i); norm is an ordered left fold
+    "mm_features_portable" ->
+      s"""WITH b AS (SELECT url, sha256(decode(html)) AS base
+        |  FROM read_parquet('$OracleDir/pages/*.parquet')
+        |  WHERE CAST(regexp_extract(url, '([0-9]+)$$', 1) AS INT) % 10 = 0),
+        |f AS (SELECT url, list_transform(range(16), i ->
+        |    CAST(list_reduce(list_transform(range(15), j ->
+        |      CAST(strpos('0123456789abcdef', substr(sha256(
+        |        base || ':' || i), j+1, 1)) - 1 AS BIGINT)),
+        |      (a, b2) -> b2 + a * 16) AS DOUBLE)
+        |      / CAST(1152921504606846976.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS feats
+        |  FROM b)
+        |SELECT url, round(sqrt(list_sum(list_transform(feats, x -> x * x))), 6)
+        |  AS feat_norm
+        |FROM f""".stripMargin,
     "geo_reverse_geoadmin" ->
       s"""WITH pts AS (SELECT CAST(range AS BIGINT) AS query_id,
          |    CAST(7.4513 AS DOUBLE) + range / CAST(100000.0 AS DOUBLE) AS lon,

@@ -75,6 +75,26 @@ object TextInternal {
     UTF8String.fromString(mime)
   }
 
+  /** Portable pseudo-features: f_i = sha60(hex(sha256(bytes)) ':' i) / 2^60
+    * - 0.5 — every value independently recomputable by an ANSI oracle (see
+    * Multimodal.withPortableFeatures). */
+  def portableFeatures(bytes: Array[Byte], dim: Int): ArrayData = {
+    val hex = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((hex + ":" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = (v >>> 4).toDouble / 1152921504606846976.0 - 0.5
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** STUB decoder (documented): a real deployment calls an image/audio codec
     * here; this container has none, so emit a deterministic fake feature
     * vector seeded by content bytes — the Spark-side plumbing (schema, batch
@@ -135,6 +155,8 @@ object TextFunctions {
     invoke(ArrayType(IntegerType, containsNull = false), "nearestCentroids", v, flat, nprobe)
 
   def mimeSniff(bytes: Column): Column = invoke(StringType, "mimeSniff", bytes)
+  def portableFeatures(bytes: Column, dim: Column): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "portableFeatures", bytes, dim)
   def fakeEmbed(bytes: Column, dim: Column): Column =
     invoke(ArrayType(FloatType, containsNull = false), "fakeEmbed", bytes, dim)
 }

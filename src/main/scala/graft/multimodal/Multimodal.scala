@@ -34,6 +34,20 @@ object Multimodal {
   def withFeatures(df: DataFrame, binCol: String = "html", dim: Int = 64): DataFrame =
     df.withColumn("features", fakeEmbed(col(binCol), lit(dim)))
 
+  /** PORTABLE feature extraction: pseudo-features derived from the sha256
+    * content digest — f_i = sha60(hex_digest ':' i) / 2^60 - 0.5, where
+    * sha60 is the first 15 hex chars of sha256 parsed as a long. Unlike the
+    * splitmix-seeded [[withFeatures]] stub, every value (and the norm) is
+    * independently recomputable by an ANSI oracle; the decode step remains
+    * the same documented substitution point. Division by 2^60 is exact and
+    * the long->double cast rounds identically in both engines. */
+  def withPortableFeatures(df: DataFrame, binCol: String = "html", dim: Int = 16): DataFrame =
+    // one codegen StaticInvoke per row (an interpreted higher-order lambda
+    // would pay ~70us/element for the nested sha256+hex-parse chain)
+    df.withColumn("features", portableFeatures(col(binCol), lit(dim)))
+      .withColumn("feat_norm",
+        sqrt(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x)))
+
   /** "Frame sampling": N evenly spaced byte-range slices of the payload —
     * the partitioning/batch shape of video frame extraction with the codec
     * swapped out for substring slicing. Output: exploded (frame_idx, frame). */

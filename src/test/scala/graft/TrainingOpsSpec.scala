@@ -255,6 +255,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val batched = Multimodal.batchedDecode(spark, pages, batchSize = 16, dim = 8)
     assert(batched.count() === 40)
     assert(batched.select(max("n_in_batch")).as[Int].collect()(0) <= 16)
+
+    // portable features: 16 values in [-0.5, 0.5) => norm in (0, 2]
+    val pf = Multimodal.withPortableFeatures(pages, dim = 16)
+    assert(pf.filter(size($"features") =!= 16).count() === 0)
+    assert(pf.filter($"feat_norm" <= 0 || $"feat_norm" > 2.0).count() === 0)
   }
 
   test("connected components: chains, triangles, and pairs cluster to min id") {
