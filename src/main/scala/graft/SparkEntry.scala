@@ -174,6 +174,27 @@ object SparkEntry {
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
     }),
+    // backward as-of join: each purchase matched to the user's latest view at
+    // or before it — tagged-union + single window pass (one shuffle, no range
+    // theta join); oracle = DuckDB's NATIVE ASOF LEFT JOIN, a different
+    // algorithm producing the same rows
+    "q13_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("view_eid"),
+          max("value").as("view_val"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts")
+    }),
+    // grouping-sets family: ROLLUP with grouping() markers (subtotal rows'
+    // NULLs disambiguated from data NULLs) — single pass, partial agg per set
+    "q12_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping("l_returnflag").as("g_rf"), grouping("l_linestatus").as("g_ls"))),
     "q2_join_topk" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1028,6 +1049,22 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
         |  AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q13_asof" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_eid,
+        |    max(value) AS view_val
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts, p.event_id, p.value,
+        |  v.ts AS r_ts, v.view_eid AS r_view_eid, v.view_val AS r_view_val
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n_rows,
+        |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q2_join_topk" ->
       """SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice
         |  * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue

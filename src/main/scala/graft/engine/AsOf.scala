@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Backward as-of join — the classic operator Spark's built-in joins lack:
+ * for every left row, attach the right row with the LARGEST right.ts <=
+ * left.ts within the same key (inclusive; left-outer semantics for rows with
+ * no prior right).
+ *
+ * Implementation is the scale-correct single-shuffle shape: TAG both inputs,
+ * UNION them, and run one window pass per key ordered by (ts, side) where
+ * right rows sort before left rows at equal timestamps; `last(payload,
+ * ignoreNulls)` over the unbounded-preceding frame carries the most recent
+ * right payload forward onto each left row. One exchange on the key, no
+ * range-condition join (a theta join on ts <= ts explodes quadratically in
+ * hot keys), no per-key collect.
+ *
+ * Right rows should be unique per (key, ts) — as-of semantics are otherwise
+ * ambiguous; pre-aggregate the right side (the contract query does).
+ */
+object AsOf {
+
+  /** @param keyCols equi-join key columns present in both inputs
+    * @param tsCol   event-time column present in both inputs
+    * @param rightPrefix prefix applied to every non-key right column
+    *                    (including its ts) in the output */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, rightPrefix: String = "r_"): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightCols = right.columns.filterNot(keyCols.contains)
+    val rightOut = rightCols.map(c => s"$rightPrefix$c")
+
+    // identical wide schema for both sides: keys, __ts, left cols, the whole
+    // right payload as ONE struct (carried atomically — per-column lastNonNull
+    // could mix fields from different right rows when a payload column is
+    // null), __side (right=0 sorts before left=1 at equal timestamps — the
+    // inclusive bound)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val l2 = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
+    val r2 = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = l2.unionByName(r2)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(keyCols.map(col) ++ Seq(col("__ts").as(tsCol)) ++ leftCols.map(col) ++
+        rightCols.zip(rightOut).map { case (c, o) => col(s"__r.$c").as(o) }: _*)
+  }
+}
