@@ -149,6 +149,35 @@ object SparkEntry {
   private def Ipv4SqlRe = TextAnalysis.Ipv4Re
   private def PhoneSqlRe = TextAnalysis.PhoneRe
 
+  /** Quality-metric CTEs (t, m) over `src(doc_id, text)` — the DuckDB
+    * re-derivation of TextAnalysis.withQuality, shared by doc_quality and
+    * the end-to-end cleaning pipeline. */
+  private def qualityCtes(src: String): String =
+    s"""t AS (SELECT doc_id, text, length(text) AS len,
+      |  list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+      |    x -> length(x) > 0) AS toks FROM $src),
+      |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+      |  length(regexp_replace(text, '\\s+', '', 'g'))
+      |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+      |  (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |    / CAST(greatest(len, 1) AS DOUBLE) AS punct_ratio,
+      |  (len - length(regexp_replace(text, '[0-9]', '', 'g')))
+      |    / CAST(greatest(len, 1) AS DOUBLE) AS digit_ratio,
+      |  len(list_filter(toks, x -> x IN
+      |    ('the','and','of','to','in','is','that','it','was','for')))
+      |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio FROM t),
+      |q AS (SELECT doc_id, text, n_tokens, mean_token_len,
+      |  round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+      |    least(n_tokens / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+      |    + (CASE WHEN mean_token_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+      |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+      |    + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(5.0 AS DOUBLE),
+      |       CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+      |    + (CAST(1.0 AS DOUBLE) - least(digit_ratio * CAST(5.0 AS DOUBLE),
+      |       CAST(1.0 AS DOUBLE))) * CAST(0.1 AS DOUBLE)
+      |    + least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+      |      * CAST(0.1 AS DOUBLE))), 6) AS quality_score FROM m)""".stripMargin
+
   /** Deterministic near-dup candidate set over [[docsWithNearDups]]: the
     * planted (base, tail-appended) pairs plus adjacent-id negatives. */
   private def nearDupCand(d: DataFrame): DataFrame = {
@@ -355,6 +384,29 @@ object SparkEntry {
     "doc_minhash_portable" -> ((s, dir) =>
       Dedup.portableMinhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
         .withColumn("jaccard_est", round(col("jaccard_est"), 6))),
+    // END-TO-END training-data cleaning flagship: the dedup/cluster/quality/
+    // redact stages composed into one job, oracle-verified as a whole
+    "doc_clean_pipeline" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate tail")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val s1 = Dedup.exactSurvivors(corpus)
+      val d = docsWithNearDups(s, dir)
+      val edges = Dedup.jaccardVerify(nearDupCand(d), d, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val nonCanon = Dedup.dupClusters(edges)
+        .filter(!col("is_canonical")).select("doc_id")
+      val s2 = s1.join(nonCanon, Seq("doc_id"), "left_anti")
+      TextAnalysis.withQuality(s2)
+        .withColumn("quality_score", round(col("quality_score"), 6))
+        .filter(col("quality_score") >= 0.5)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          length(TextAnalysis.redactPii(col("text"))).as("clean_len"))
+    }),
     // the full two-phase near-dup chain (LSH recall -> exact verify); the
     // recall stage's minhash signatures are non-ANSI, so rows-only
     "doc_ngram_lsh_verified" -> ((s, dir) =>
@@ -1347,31 +1399,39 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_bands FROM p WHERE n_bands >= 2""".stripMargin,
     "doc_quality" ->
-      """WITH t AS (SELECT doc_id, text, length(text) AS len,
-        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
-        |    x -> length(x) > 0) AS toks FROM documents),
-        |m AS (SELECT doc_id, len(toks) AS n_tokens,
-        |  length(regexp_replace(text, '\s+', '', 'g'))
-        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
-        |  (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-        |    / CAST(greatest(len, 1) AS DOUBLE) AS punct_ratio,
-        |  (len - length(regexp_replace(text, '[0-9]', '', 'g')))
-        |    / CAST(greatest(len, 1) AS DOUBLE) AS digit_ratio,
-        |  len(list_filter(toks, x -> x IN
-        |    ('the','and','of','to','in','is','that','it','was','for')))
-        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio FROM t)
+      s"""WITH ${qualityCtes("documents")}
         |SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
-        |  round(greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-        |    least(n_tokens / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-        |    + (CASE WHEN mean_token_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
-        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
-        |    + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(5.0 AS DOUBLE),
-        |       CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
-        |    + (CAST(1.0 AS DOUBLE) - least(digit_ratio * CAST(5.0 AS DOUBLE),
-        |       CAST(1.0 AS DOUBLE))) * CAST(0.1 AS DOUBLE)
-        |    + least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-        |      * CAST(0.1 AS DOUBLE))), 6) AS quality_score
-        |FROM m""".stripMargin,
+        |  quality_score
+        |FROM q""".stripMargin,
+    // END-TO-END training-data cleaning flagship: exact dedup survivors ->
+    // near-dup cluster canonicals only (recursive-CTE components over the
+    // verified-pair edges) -> quality gate on the 6dp-rounded score ->
+    // redaction pass; one composed oracle over the whole chain
+    "doc_clean_pipeline" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 20000000 AS doc_id, text
+        |    FROM documents WHERE doc_id % 25 = 0),
+        |$nearDupJaccardCtes,
+        |edges AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+        |reach(id, r) AS (SELECT src, src FROM und
+        |  UNION SELECT u.dst, re.r FROM reach re JOIN und u ON u.src = re.id),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |s1 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM corpus) WHERE rn = 1),
+        |s2 AS (SELECT doc_id, text FROM s1 WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+        |${qualityCtes("s2")}
+        |SELECT doc_id, n_tokens, quality_score,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$EmailSqlRe', '<EMAIL>', 'g'),
+        |    '$Ipv4SqlRe', '<IP>', 'g'),
+        |    '$PhoneSqlRe', '<PHONE>', 'g')) AS clean_len
+        |FROM q WHERE quality_score >= CAST(0.5 AS DOUBLE)""".stripMargin,
     "doc_token_bpe" ->
       """SELECT doc_id, CAST(coalesce(list_sum(list_transform(
         |  regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]'),
