@@ -217,6 +217,23 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value")
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts")
     }),
+    // point-in-interval range join: clicks matched to 2h post-signup windows
+    // via banded equi-join + residual BETWEEN (never a theta join); oracle =
+    // DuckDB's native inequality join, a different algorithm
+    "q14_range" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // exact microseconds both engines (epoch seconds would truncate in
+      // Spark but stay fractional in DuckDB's epoch())
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_eid"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp")) + 7200000000L).as("hi"))
+      RangeJoin.rangeJoin(clicks, windows, Seq("user_id"),
+          "ts_us", "lo", "hi", bandSize = 3600000000L)
+        .select("user_id", "event_id", "ts_us", "signup_eid", "lo")
+    }),
     // grouping-sets family: ROLLUP with grouping() markers (subtotal rows'
     // NULLs disambiguated from data NULLs) — single pass, partial agg per set
     "q12_rollup" -> ((s, dir) =>
@@ -1101,6 +1118,15 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
         |  AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q14_range" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |w AS (SELECT user_id, event_id AS signup_eid, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT c.user_id, c.event_id, c.ts_us, w.signup_eid, w.lo
+        |FROM c JOIN w ON c.user_id = w.user_id
+        |  AND c.ts_us >= w.lo AND c.ts_us <= w.hi""".stripMargin,
     "q13_asof" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_eid,
         |    max(value) AS view_val

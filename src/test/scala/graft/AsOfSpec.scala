@@ -27,6 +27,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.size === 4)                            // exactly one row per left
   }
 
+  test("range join: inclusive bounds, band-spanning intervals, key isolation") {
+    val points = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 25L, "c"),
+      (2L, 10L, "d")).toDF("k", "v", "p")
+    // interval [5, 20] spans bands of size 8 (bands 0..2); [18, 26] bands 2..3
+    val ivs = Seq((1L, 5L, 20L, "i1"), (1L, 18L, 26L, "i2"), (3L, 0L, 100L, "i3"))
+      .toDF("k", "lo", "hi", "iv")
+    val out = graft.engine.RangeJoin
+      .rangeJoin(points, ivs, Seq("k"), "v", "lo", "hi", bandSize = 8L)
+      .select("p", "iv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a=5 hits i1's inclusive lower bound; b=10 in i1 only; c=25 in i2 only;
+    // d has no interval for key 2; 20 would hit both (not present)
+    assert(out === Set(("a", "i1"), ("b", "i1"), ("c", "i2")))
+  }
+
   test("right payload carried atomically when a payload column is null") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     // latest right row has a NULL b — the matched (a, b) must BOTH come from
