@@ -217,6 +217,13 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value")
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts")
     }),
+    // pivot: wide per-return-flag sums (explicit value list so the plan is a
+    // single pass — no distinct-values pre-query); oracle = conditional aggs
+    "q15_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))),
     // point-in-interval range join: clicks matched to 2h post-signup windows
     // via banded equi-join + residual BETWEEN (never a theta join); oracle =
     // DuckDB's native inequality join, a different algorithm
@@ -1118,6 +1125,12 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
         |  AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q15_pivot" ->
+      """SELECT l_linestatus,
+        |sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q14_range" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |  WHERE event_type = 'click'),
