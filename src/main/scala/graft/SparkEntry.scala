@@ -217,6 +217,15 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value")
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts")
     }),
+    // exact interpolated percentiles (both engines: linear interpolation at
+    // rank (n-1)*p) + a distribution sketch check via exact median
+    "q16_percentile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))),
     // pivot: wide per-return-flag sums (explicit value list so the plan is a
     // single pass — no distinct-values pre-query); oracle = conditional aggs
     "q15_pivot" -> ((s, dir) =>
@@ -1125,6 +1134,13 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
         |  AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_disc_price,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q16_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.9) AS p90,
+        |quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q15_pivot" ->
       """SELECT l_linestatus,
         |sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
