@@ -1016,8 +1016,11 @@ object SparkEntry {
         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hv GROUP BY doc_id),
         |bands AS (SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
         |  FROM sig, range(4) tb(b)),
+        |bsz AS (SELECT b, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+        |pruned AS (SELECT n.doc_id, n.b, n.bk FROM bands n
+        |  JOIN bsz z ON n.b = z.b AND n.bk = z.bk WHERE z.c <= 256),
         |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |  FROM bands a JOIN bands b2
+        |  FROM pruned a JOIN pruned b2
         |    ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
         |est AS (SELECT c.doc_a, c.doc_b,
         |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))

@@ -114,15 +114,23 @@ object Dedup {
                       shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
                       minLen: Int = DefaultMinLen,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // persisted: read by the band rows (twice inside the capped bucket join)
+    // and both verify sides — without it the shingle + 64-perm hash pipeline
+    // re-evaluates ~6x per action (measured on the portable variants)
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, perms, minLen)
+      .persist()
     val cand = bucketPairs(bandRows(sigs, bands), Seq("band_idx", "band_hash"), maxBucket)
     // signatures re-joined BY ID — one sig row per doc, never per candidate
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard_est", sigOverlap(col("sig_a"), col("sig_b")))
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
+      .persist()
+    out.count() // materialize the (small) pair set, then free the signatures
+    sigs.unpersist()
+    out
   }
 
   /** The exact-verify stage: shingle-set Jaccard over an EXPLICIT candidate
@@ -158,8 +166,10 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    minLen: Int = DefaultMinLen,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // persisted for the same ~5x re-evaluation reason as minhashLshPairs
     val sigs = docs.filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+      .persist()
     val segs = sigs.withColumn("seg_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("seg_val",
         expr("shiftrightunsigned(sh, seg_idx * 16)").bitwiseAND(lit(0xffffL)))
@@ -167,25 +177,32 @@ object Dedup {
     val cand = bucketPairs(segs, Seq("seg_idx", "seg_val"), maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming_dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming_dist") <= maxDist)
       .select("doc_a", "doc_b", "hamming_dist")
+      .persist()
+    out.count() // materialize the (small) pair set, then free the signatures
+    sigs.unpersist()
+    out
   }
 
   /** Connected components over an undirected duplicate-pair edge set —
     * near-dup PAIRS are not a dedup policy until they are CLUSTERED (a~b,
-    * b~c must keep one of {a,b,c}, not two). Iterative min-label propagation
-    * with pointer-shortcutting (label <- label(label) each round), so chains
-    * converge in O(log diameter) rounds rather than O(diameter); each round
-    * is two shuffles on the id key. Labels persist per round and unpersist as
-    * soon as superseded; at crawl scale feed `edges` through a checkpoint dir
-    * to truncate lineage (see Checkpoint) — round count stays small because
-    * duplicate clusters are star/chain shaped.
+    * b~c must keep one of {a,b,c}, not two). Plain min-label propagation:
+    * O(diameter) lean rounds (one aggregation + one left join each — extra
+    * per-round stages are pure scheduled latency at small scale and extra
+    * shuffles at crawl scale). Duplicate clusters are stars and short
+    * chains, so 2-3 rounds is typical; a component whose diameter exceeds
+    * `maxIter` FAILS LOUDLY (IllegalStateException) rather than silently
+    * returning a split cluster — raise maxIter for adversarial chain
+    * topologies. Labels persist per round and unpersist as soon as
+    * superseded; at crawl scale feed `edges` through a checkpoint dir to
+    * truncate lineage (see Checkpoint).
     *
     * Output: (doc_id, cluster_id) for every node incident on an edge, where
     * cluster_id = min doc_id of the component — deterministic regardless of
-    * partitioning or iteration count. */
+    * partitioning or round count. */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -212,13 +229,24 @@ object Dedup {
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           (col("nbr") < col("label")).as("chg"))
         .persist()
-      val changed = next.filter(col("chg")).limit(1).count()
+      // full count, not limit(1): materializes EVERY partition of `next`
+      // before the predecessor is unpersisted — an incremental limit-scan
+      // would cache only the partitions it touched and later rounds would
+      // recompute the rest through already-released lineage
+      val changed = next.filter(col("chg")).count()
       labels.unpersist()
       if (last != null) last.unpersist()
       last = next
       labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
+    }
+    if (!converged) {
+      if (last != null) last.unpersist()
+      und.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          "component's diameter exceeds the bound; raise maxIter")
     }
     // materialize the (small) labelling, then release every intermediate —
     // iterative callers otherwise accumulate cached blocks (round-2 advice
@@ -247,7 +275,7 @@ object Dedup {
     * DuckDB oracle re-derives (tokens on `[^\p{L}\p{Nd}]+`, whole doc as one
     * shingle when < 3 tokens). */
   def shingleCol(text: Column, n: Int = 3): Column = {
-    val toks = filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
+    val toks = graft.text.TextAnalysis.tokens(text)
     when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(array_distinct(graft.text.TextAnalysis.ngramArr(toks, n)))
@@ -276,7 +304,8 @@ object Dedup {
     * no second hash to port). Output: (doc_a, doc_b, jaccard_est). */
   def portableMinhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                               idCol: String = "doc_id", textCol: String = "text",
-                              perms: Int = 16, bands: Int = 4): DataFrame = {
+                              perms: Int = 16, bands: Int = 4,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(perms % bands == 0, "perms must divide evenly into bands")
     val r = perms / bands
     // Signature build is explode -> flat codegen'd sha256 projection ->
@@ -307,11 +336,10 @@ object Dedup {
       concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string"))))
     val rows = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-    val cand = rows.as("a")
-      .join(rows.as("b"), Seq("band_idx", "band_key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // same capped-bucket guard as every other LSH operator here — a
+    // boilerplate mega-bucket must never go quadratic (the oracle replicates
+    // the cap)
+    val cand = bucketPairs(rows, Seq("band_idx", "band_key"), maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val out = cand.join(sa, "doc_a").join(sb, "doc_b")

@@ -41,13 +41,21 @@ object AsOf {
     // inclusive bound)
     val rStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
-    val l2 = left.select(
+    // SQL as-of semantics for NULL event times: a NULL right timestamp can
+    // never be "the latest at or before" anything (it would otherwise sort
+    // nulls-first and leak onto every early left row), and a NULL left
+    // timestamp matches nothing but keeps its row (left-outer) — routed
+    // around the union entirely.
+    val l2 = left.filter(col(tsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
         leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
-    val r2 = right.select(
+    val r2 = right.filter(col(tsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("__r"): _*)
+    val lNull = left.filter(col(tsCol).isNull).select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
@@ -55,6 +63,7 @@ object AsOf {
     val carried = l2.unionByName(r2)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
+      .unionByName(lNull)
       .select(keyCols.map(col) ++ Seq(col("__ts").as(tsCol)) ++ leftCols.map(col) ++
         rightCols.zip(rightOut).map { case (c, o) => col(s"__r.$c").as(o) }: _*)
   }

@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
  */
 object RangeJoin {
 
+  /** @param maxBands fail-fast bound on one interval's band fan-out: a dirty
+    *                  row with a sentinel bound (hi = Long.MaxValue) would
+    *                  otherwise ask sequence() for ~2^52 elements and abort
+    *                  the job with an opaque array-allocation error — raise
+    *                  an explicit one instead; clamp sentinels upstream. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
                 vCol: String, loCol: String, hiCol: String,
-                bandSize: Long): DataFrame = {
+                bandSize: Long, maxBands: Int = 65536): DataFrame = {
     require(bandSize > 0, "bandSize must be positive")
     val p = points.withColumn("__band", floor(col(vCol) / lit(bandSize.toDouble)))
-    val iv = intervals.withColumn("__band",
-      explode(sequence(floor(col(loCol) / lit(bandSize.toDouble)).cast("long"),
-        floor(col(hiCol) / lit(bandSize.toDouble)).cast("long"))))
+    val loB = floor(col(loCol) / lit(bandSize.toDouble)).cast("long")
+    val hiB = floor(col(hiCol) / lit(bandSize.toDouble)).cast("long")
+    // the guard is folded INTO the sequence bound (a dropped side-channel
+    // column would be pruned away by Catalyst along with its raise_error)
+    val hiGuarded = when(hiB - loB >= maxBands.toLong,
+      raise_error(concat(
+        lit(s"rangeJoin: interval wider than maxBands=$maxBands bands ("),
+        col(loCol), lit(".."), col(hiCol), lit(")"))).cast("long"))
+      .otherwise(hiB)
+    val iv = intervals.withColumn("__band", explode(sequence(loB, hiGuarded)))
     p.withColumn("__band", col("__band").cast("long"))
       .join(iv, keyCols :+ "__band")
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))

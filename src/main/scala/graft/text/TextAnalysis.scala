@@ -24,7 +24,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
     "it" -> Seq("il", "la", "di", "che", "e", "per", "con", "del", "una", "sono"))
 
-  private def tokens(text: Column): Column =
+  /** THE tokenizer — shared by text analysis and the dedup shingles (oracle
+    * parity depends on both using one definition). */
+  def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
 
   /** Whitespace token count. */

@@ -41,6 +41,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(out === Set(("a", "i1"), ("b", "i1"), ("c", "i2")))
   }
 
+  test("null event times: right NULLs never match, left NULLs keep their row") {
+    val left = Seq((1L, Some(10L), "a"), (1L, None: Option[Long], "b"))
+      .toDF("k", "ts", "l")
+    val right = Seq((1L, None: Option[Long], "poison"), (1L, Some(3L), "v3"))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
+      .select("l", "r_v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") === Some("v3")) // not the NULL-ts "poison" row
+    assert(out("b") === None)       // left-outer, matches nothing
+    assert(out.size === 2)
+  }
+
+  test("range join fails loudly on an interval wider than maxBands") {
+    val points = Seq((1L, 5L)).toDF("k", "v")
+    val ivs = Seq((1L, 0L, Long.MaxValue)).toDF("k", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.engine.RangeJoin.rangeJoin(points, ivs, Seq("k"),
+        "v", "lo", "hi", bandSize = 3600L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBands")), msgs(ex).mkString(" | "))
+  }
+
   test("right payload carried atomically when a payload column is null") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     // latest right row has a NULL b — the matched (a, b) must BOTH come from
