@@ -33,6 +33,15 @@ object AsOf {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val rightCols = right.columns.filterNot(keyCols.contains)
     val rightOut = rightCols.map(c => s"$rightPrefix$c")
+    // reserved scaffolding names and output-name collisions fail loudly —
+    // a silent clash would corrupt the tagged union or shadow a left column
+    val reserved = Set("__ts", "__side", "__r")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"asofJoin inputs must not contain ${reserved.mkString("/")}")
+    val clashes = rightOut.toSet.intersect((keyCols ++ leftCols :+ tsCol).toSet)
+    require(clashes.isEmpty,
+      s"asofJoin rightPrefix '$rightPrefix' collides with left columns: " +
+        clashes.mkString(", "))
 
     // identical wide schema for both sides: keys, __ts, left cols, the whole
     // right payload as ONE struct (carried atomically — per-column lastNonNull
@@ -41,19 +50,23 @@ object AsOf {
     // inclusive bound)
     val rStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
-    // SQL as-of semantics for NULL event times: a NULL right timestamp can
-    // never be "the latest at or before" anything (it would otherwise sort
-    // nulls-first and leak onto every early left row), and a NULL left
-    // timestamp matches nothing but keeps its row (left-outer) — routed
-    // around the union entirely.
-    val l2 = left.filter(col(tsCol).isNotNull).select(
+    // SQL as-of semantics for NULLs: a NULL right timestamp can never be
+    // "the latest at or before" anything (it would otherwise sort nulls-first
+    // and leak onto every early left row); a NULL left timestamp matches
+    // nothing but keeps its row (left-outer); and NULL KEYS never equi-match
+    // in SQL — the window's partitionBy would group them together and let a
+    // NULL-key left row pick up a NULL-key right payload, so NULL-key left
+    // rows bypass the union (null payload) and NULL-key right rows drop.
+    val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val matchableL = col(tsCol).isNotNull && !keyNull
+    val l2 = left.filter(matchableL).select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
         leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
-    val r2 = right.filter(col(tsCol).isNotNull).select(
+    val r2 = right.filter(col(tsCol).isNotNull && !keyNull).select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("__r"): _*)
-    val lNull = left.filter(col(tsCol).isNull).select(
+    val lNull = left.filter(!matchableL).select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
         leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
 

@@ -136,10 +136,18 @@ object Pipeline {
     val mentionsTable = s"graft_mentions_bucketed_${cfg.runId}"
     val packedTable = s"graft_polycells_bucketed_${cfg.runId}"
     val packedPath = s"$warehouseDir/polycells_bucketed_${cfg.runId}"
-    // fingerprint = polygon schema + bucket count (content changes under an
-    // identical schema are the caller's contract, as with Checkpoint.stage)
+    // fingerprint = polygon schema + bucket count + a CONTENT digest of both
+    // index inputs (count + order-insensitive bit_xor of row hashes over the
+    // identity-bearing columns), so refreshing polygon content under the same
+    // schema/runId rewrites the packed index instead of silently reusing a
+    // stale one. The digest scan costs one pass over the polygon tables —
+    // negligible next to the pages side they amortize against.
     val packedFp = java.lang.Long.toHexString(
-      graft.text.TextCore.fnv64(polygons.schema.json + "|" + buckets))
+      graft.text.TextCore.fnv64(polygons.schema.json + "|" + buckets + "|" +
+        contentDigest(polygons.select(col("polygon_id"), col("name"),
+          col("admin_level"), col("ring_offsets"), col("ring_lons"),
+          col("ring_lats"))) + "|" +
+        contentDigest(polyCells.select(col("cell"), col("polygon_id")))))
     val reusable = reusePacked &&
       Checkpoint.exists(spark, packedPath) &&
       Checkpoint.pathFingerprint(spark, packedPath).contains(packedFp)
@@ -178,6 +186,15 @@ object Pipeline {
       df => df.hint("merge")
         .join(spark.table(packedTable), Seq("cell"), "left"),
       cfg)
+  }
+
+  /** Cheap order-insensitive content digest: row count + bit_xor of
+    * per-row xxhash64 over the given (hashable) columns. */
+  private def contentDigest(df: DataFrame): String = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(__h)"), lit(0L)).as("x"))
+      .head()
+    r.getLong(0) + ":" + java.lang.Long.toHexString(r.getLong(1))
   }
 
   private def withCoordCell(mentions: DataFrame): DataFrame =

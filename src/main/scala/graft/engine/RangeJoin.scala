@@ -23,13 +23,23 @@ object RangeJoin {
     *                  otherwise ask sequence() for ~2^52 elements and abort
     *                  the job with an opaque array-allocation error — raise
     *                  an explicit one instead; clamp sentinels upstream. */
+  /** Exact floor-division on longs: `(v - pmod(v, b)) div b`. Double
+    * arithmetic (`floor(v / b.toDouble)`) loses integer resolution past 2^53
+    * and can place a point and its interval bound in DIFFERENT bands —
+    * silently dropping a true match (the residual BETWEEN only removes false
+    * positives, never restores false negatives). pmod keeps the numerator a
+    * non-negative-adjusted exact multiple of b, so truncating `div` == floor
+    * for negative operands too. */
+  private def floorDiv(v: org.apache.spark.sql.Column, b: Long) =
+    call_function("div", v.cast("long") - pmod(v.cast("long"), lit(b)), lit(b))
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
                 vCol: String, loCol: String, hiCol: String,
                 bandSize: Long, maxBands: Int = 65536): DataFrame = {
     require(bandSize > 0, "bandSize must be positive")
-    val p = points.withColumn("__band", floor(col(vCol) / lit(bandSize.toDouble)))
-    val loB = floor(col(loCol) / lit(bandSize.toDouble)).cast("long")
-    val hiB = floor(col(hiCol) / lit(bandSize.toDouble)).cast("long")
+    val p = points.withColumn("__band", floorDiv(col(vCol), bandSize))
+    val loB = floorDiv(col(loCol), bandSize)
+    val hiB = floorDiv(col(hiCol), bandSize)
     // the guard is folded INTO the sequence bound (a dropped side-channel
     // column would be pruned away by Catalyst along with its raise_error)
     val hiGuarded = when(hiB - loB >= maxBands.toLong,

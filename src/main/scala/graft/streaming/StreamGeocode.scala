@@ -30,6 +30,13 @@ case class SessionOut(user_id: Long, n_events: Long,
  */
 object StreamGeocode {
 
+  /** Exact microsecond -> Timestamp (preserves sub-ms precision). */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming pages -> per-(window, url, mention) best geocode candidate.
     * `pages` is a streaming DataFrame with the input_hint schema. Append-mode
     * safe: state is bounded by the 10-minute watermark on warc_ts. */
@@ -105,24 +112,31 @@ object StreamGeocode {
           // watermark passed the open session's gap deadline: close it
           val s = state.get
           state.remove()
-          Iterator.single(SessionOut(uid, s.nEvents,
-            new java.sql.Timestamp(s.startUs / 1000),
-            new java.sql.Timestamp(s.endUs / 1000)))
+          Iterator.single(SessionOut(uid, s.nEvents, usToTs(s.startUs), usToTs(s.endUs)))
         } else {
           // fold this micro-batch's events (sorted by event time) into the
-          // open session, closing sessions at every > gap jump
-          val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
+          // open session, closing sessions at every > gap jump. Exact
+          // microseconds (getTime truncates the sub-ms part that parquet
+          // event times carry; getNanos holds the full fraction). A
+          // cross-batch out-of-order event still within the watermark merges
+          // into the open session by EXTENDING its bounds (start = min,
+          // end = max) — a documented approximation: the open session is not
+          // re-split retroactively if the late event implies a gap before
+          // the previously-seen start (batch q11_sessionize is exact).
+          val ts = rows.map { r =>
+            val t = r._2
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          }.toArray.sorted
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var cur = state.getOption.orNull
           ts.foreach { t =>
             cur match {
               case null => cur = SessionState(1L, t, t)
               case s if t - s.endUs > gapUs =>
-                closed += SessionOut(uid, s.nEvents,
-                  new java.sql.Timestamp(s.startUs / 1000),
-                  new java.sql.Timestamp(s.endUs / 1000))
+                closed += SessionOut(uid, s.nEvents, usToTs(s.startUs), usToTs(s.endUs))
                 cur = SessionState(1L, t, t)
-              case s => cur = SessionState(s.nEvents + 1, s.startUs, math.max(s.endUs, t))
+              case s => cur = SessionState(s.nEvents + 1,
+                math.min(s.startUs, t), math.max(s.endUs, t))
             }
           }
           if (cur != null) {
