@@ -59,11 +59,13 @@ object SparkEntry {
     * (static; written once). The engine reads the same rows from memory —
     * parquet round-trips doubles exactly, so both sides see identical bits. */
   private def oracleWorldTables(s: SparkSession): Unit = synchronized {
-    val marker = new java.io.File(s"$OracleDir/_GRAFT_WORLD_READY_v2")
+    val marker = new java.io.File(s"$OracleDir/_GRAFT_WORLD_READY_v3")
     if (!marker.exists()) {
       new java.io.File(OracleDir).mkdirs()
       Gazetteer.nameIndex(Gazetteer.gazetteerDF(s))
-        .select("gaz_key", "place_id", "name", "lon", "lat", "weight", "importance")
+        .select("gaz_key", "place_id", "name", "lon", "lat", "weight", "importance",
+          "feature_class", "country_code", "admin1", "admin2", "city", "suburb",
+          "road", "house_number", "postcode", "place_rank")
         .coalesce(1).write.mode("overwrite").parquet(s"$OracleDir/gaz")
       Gazetteer.gazetteerDF(s)
         .select("place_id", "name", "feature_class", "road", "house_number",
@@ -341,6 +343,39 @@ object SparkEntry {
       oracleWorldTables(s)
       Forward.geocodePages(s, oraclePages(s, dir), idx, scanner)
         .select("url", "surface", "name", "place_id", "lon", "lat", "result_rank")
+    }),
+    // F5/F7/R4 — the *_full result surface as its own contract row: the
+    // query-verb Forward.forward with addressdetails (openstreetmap.rs:410-437
+    // semantics), a viewbox pre-filter (P1), per-query limit 3, OpenCage's
+    // full `formatted` (opencage.rs:803-905), GeoAdmin's label
+    // (geoadmin.rs:563-618), and the country-keyed annotations
+    // (currency/callingcode/timezone/flag, opencage.rs:580-599). DuckDB
+    // recomputes the whole projection from the materialized gaz world table.
+    "geo_forward_full" -> ((s, dir) => {
+      val (_, idx, _, _, _) = world(s)
+      oracleWorldTables(s)
+      val qs = idx.select(col("gaz_key").as("query_id"), col("gaz_key").as("query"))
+        .distinct()
+      val params = graft.model.ForwardParams(addressDetails = true,
+        annotations = true, limit = Some(3),
+        viewbox = Some(graft.model.Bounds(-20.0, 35.0, 25.0, 60.0)))
+      Forward.forward(qs, idx, params)
+        .select(col("query_id"), col("result_rank"), col("place_id"), col("name"),
+          col("display_name"), col("formatted"), col("label"), col("confidence"),
+          col("x"), col("y"),
+          col("address.house_number").as("addr_house"),
+          col("address.road").as("addr_road"),
+          col("address.suburb").as("addr_suburb"),
+          col("address.city").as("addr_city"),
+          col("address.county").as("addr_county"),
+          col("address.state").as("addr_state"),
+          col("address.postcode").as("addr_postcode"),
+          col("address.country").as("addr_country"),
+          col("address.country_code").as("addr_cc"),
+          col("annotations.currency").as("ann_currency"),
+          col("annotations.callingcode").as("ann_callingcode"),
+          col("annotations.timezone").as("ann_timezone"),
+          col("annotations.flag").as("ann_flag"))
     }),
     "geo_reverse_points" -> ((s, dir) => {
       val (_, _, polys, cells, scanner) = world(s)
@@ -854,7 +889,53 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
 
+  /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
+    * the engine folds into its plan — built programmatically so the oracle
+    * can never drift from the engine's table. */
+  private def ccCase(on: String, f: graft.engine.Format.CountryMeta => String): String =
+    "CASE " + on + graft.engine.Format.countries.toSeq.sortBy(_._1)
+      .map { case (k, m) => s" WHEN '$k' THEN '${f(m)}'" }.mkString + " END"
+
   def oracleSql: Map[String, String] = Map(
+    "geo_forward_full" ->
+      s"""WITH gaz AS (SELECT * FROM read_parquet('$OracleDir/gaz/*.parquet')),
+         |fg AS (SELECT * FROM gaz
+         |  WHERE lon BETWEEN CAST(-20.0 AS DOUBLE) AND CAST(25.0 AS DOUBLE)
+         |    AND lat BETWEEN CAST(35.0 AS DOUBLE) AND CAST(60.0 AS DOUBLE)),
+         |q AS (SELECT DISTINCT gaz_key AS query_id FROM gaz),
+         |j AS (SELECT q.query_id, g.*, row_number() OVER (
+         |    PARTITION BY q.query_id
+         |    ORDER BY g.weight DESC, g.importance DESC, g.place_id) AS rr
+         |  FROM q JOIN fg g ON g.gaz_key = q.query_id),
+         |cn AS (SELECT *, ${ccCase("country_code", _.nameEn)} AS country
+         |  FROM j WHERE rr <= 3)
+         |SELECT query_id, CAST(rr AS INT) AS result_rank, place_id, name,
+         |  concat_ws(', ', name, house_number, road, suburb, city, admin2,
+         |    admin1, postcode, country) AS display_name,
+         |  CASE WHEN road IS NOT NULL THEN concat_ws(', ',
+         |      CASE WHEN name = concat_ws(' ', road, house_number) THEN NULL
+         |        ELSE name END,
+         |      road, house_number,
+         |      CASE WHEN postcode IS NOT NULL THEN concat_ws(' ', postcode, city)
+         |        ELSE city END,
+         |      country)
+         |    ELSE concat_ws(', ', name,
+         |      CASE WHEN city IS NULL OR city = name THEN NULL ELSE city END,
+         |      country) END AS formatted,
+         |  name || ' <b>' || postcode || ' ' || city || '</b>' AS label,
+         |  CAST(10 - least(9, CAST(floor(place_rank / CAST(4.0 AS DOUBLE)) AS BIGINT))
+         |    AS INT) AS confidence,
+         |  lon AS x, lat AS y,
+         |  house_number AS addr_house, road AS addr_road, suburb AS addr_suburb,
+         |  city AS addr_city, admin2 AS addr_county, admin1 AS addr_state,
+         |  postcode AS addr_postcode, country AS addr_country,
+         |  country_code AS addr_cc,
+         |  ${ccCase("country_code", _.currency)} AS ann_currency,
+         |  CAST(${ccCase("country_code", _.callingCode.toString)} AS INT)
+         |    AS ann_callingcode,
+         |  ${ccCase("country_code", _.timezone)} AS ann_timezone,
+         |  ${ccCase("country_code", _.flag)} AS ann_flag
+         |FROM cn""".stripMargin,
     "geo_forward_pages" ->
       s"""WITH $extractCtes,
          |nc AS (SELECT n.url, n.surface, g.place_id, g.name, g.lon, g.lat,
