@@ -79,12 +79,28 @@ object SparkEntry {
     }
   }
 
+  /** Provider-shaped JSON response bodies (ProviderFixtures) materialized as
+    * (provider, resp_id, body) parquet both engines read — the D4 typed-
+    * decode contract input. */
+  private def providerJsonTable(s: SparkSession): DataFrame = synchronized {
+    import s.implicits._
+    val path = s"$OracleDir/provider_json"
+    val marker = new java.io.File(s"$path/_GRAFT_READY_v1")
+    if (!marker.exists()) {
+      graft.sources.ProviderFixtures.rows.toDF("provider", "resp_id", "body")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
+  }
+
   /** Pre-materialize every oracle input table (pages for `dir`'s scale +
     * fixture world). Bench calls this OUTSIDE query timing: the writes are
     * input-table preparation, not operator work. */
   def prepareOracleInputs(s: SparkSession, dir: String): Unit = {
     oracleWorldTables(s)
     oraclePages(s, dir)
+    providerJsonTable(s)
   }
 
   /** Flagship: full geocode pipeline (extract -> forward + reverse -> tiles)
@@ -598,6 +614,55 @@ object SparkEntry {
         dim = 16)
         .select(col("url"), round(col("feat_norm"), 6).as("feat_norm"))),
 
+    // D4/S4/S5/S6/S7 — typed provider-JSON decode as a direct contract row:
+    // all four response families parsed through the ProviderJson from_json
+    // schemas into one normalized projection; the oracle re-extracts the same
+    // fields with DuckDB's JSON functions from the same materialized bodies.
+    // Exercised coercions: string-or-int components values (S4), created_unix
+    // -> timestamp -> epoch round trip (S5), camelCase featureId + strname
+    // string arrays (S6), rate.remaining int (S7), empty-results responses
+    // (R2's no-panic case — rows vanish in both engines).
+    "geo_provider_json" -> ((s, dir) => {
+      val raw = providerJsonTable(s)
+      val keep = Seq("provider", "resp_id", "result_rank", "ref_id", "label",
+        "lon", "lat", "meta").map(col)
+      val nom = graft.sources.ProviderJson
+        .parseNominatim(raw.filter(col("provider") === "nominatim"), col("body"))
+        .withColumn("result_rank", col("result_rank").cast("int"))
+        .withColumn("ref_id", col("place_id").cast("string"))
+        .withColumn("label", col("display_name"))
+        .withColumn("meta",
+          concat_ws(";", col("address.city"), col("address.postcode")))
+        .select(keep: _*)
+      val oc = graft.sources.ProviderJson
+        .parseOpencage(raw.filter(col("provider") === "opencage"), col("body"))
+        .withColumn("result_rank", col("result_rank").cast("int"))
+        .withColumn("ref_id", col("confidence").cast("string"))
+        .withColumn("label", col("formatted"))
+        .withColumn("meta", concat_ws(";",
+          col("remaining_calls").cast("string"),
+          unix_timestamp(col("created_ts")).cast("string"),
+          element_at(col("components"), "postcode")))
+        .select(keep: _*)
+      val gaf = graft.sources.ProviderJson
+        .parseGeoAdminForward(raw.filter(col("provider") === "geoadmin_fwd"), col("body"))
+        .withColumn("result_rank", col("result_rank").cast("int"))
+        .withColumn("ref_id", col("result_id").cast("string"))
+        .withColumn("meta", concat_ws(";", col("origin"),
+          col("rank").cast("string"), col("num").cast("string")))
+        .select(keep: _*)
+      val gar = graft.sources.ProviderJson
+        .parseGeoAdminReverse(raw.filter(col("provider") === "geoadmin_rev"), col("body"))
+        .withColumn("result_rank", col("result_rank").cast("int"))
+        .withColumn("ref_id", col("featureId"))
+        .withColumn("label", col("formatted"))
+        .withColumn("lon", lit(null).cast("double"))
+        .withColumn("lat", lit(null).cast("double"))
+        .withColumn("meta", concat_ws("|", col("strname")))
+        .select(keep: _*)
+      nom.unionByName(oc).unionByName(gaf).unionByName(gar)
+    }),
+
     // E10 — lineage/resume under the driver's determinism check: a two-stage
     // checkpointed pipeline run COLD then RESUMED against a fresh ckpt dir;
     // output = per-stage lineage rolled up partition-independently (sum rows,
@@ -936,6 +1001,62 @@ object SparkEntry {
          |  ${ccCase("country_code", _.timezone)} AS ann_timezone,
          |  ${ccCase("country_code", _.flag)} AS ann_flag
          |FROM cn""".stripMargin,
+    "geo_provider_json" ->
+      s"""WITH src AS (SELECT provider, resp_id, body
+         |  FROM read_parquet('$OracleDir/provider_json/*.parquet')),
+         |nom0 AS (SELECT provider, resp_id,
+         |    unnest(CAST(json_extract(body, '$$.features') AS JSON[])) AS f,
+         |    generate_subscripts(CAST(json_extract(body, '$$.features') AS JSON[]), 1) AS rr
+         |  FROM src WHERE provider = 'nominatim'),
+         |nom AS (SELECT provider, resp_id, CAST(rr AS INT) AS result_rank,
+         |    json_extract_string(f, '$$.properties.place_id') AS ref_id,
+         |    json_extract_string(f, '$$.properties.display_name') AS label,
+         |    CAST(json_extract(f, '$$.geometry.coordinates[0]') AS DOUBLE) AS lon,
+         |    CAST(json_extract(f, '$$.geometry.coordinates[1]') AS DOUBLE) AS lat,
+         |    concat_ws(';', json_extract_string(f, '$$.properties.address.city'),
+         |      json_extract_string(f, '$$.properties.address.postcode')) AS meta
+         |  FROM nom0),
+         |oc0 AS (SELECT provider, resp_id, body,
+         |    unnest(CAST(json_extract(body, '$$.results') AS JSON[])) AS r,
+         |    generate_subscripts(CAST(json_extract(body, '$$.results') AS JSON[]), 1) AS rr
+         |  FROM src WHERE provider = 'opencage'),
+         |oc AS (SELECT provider, resp_id, CAST(rr AS INT) AS result_rank,
+         |    json_extract_string(r, '$$.confidence') AS ref_id,
+         |    json_extract_string(r, '$$.formatted') AS label,
+         |    CAST(json_extract(r, '$$.geometry.lng') AS DOUBLE) AS lon,
+         |    CAST(json_extract(r, '$$.geometry.lat') AS DOUBLE) AS lat,
+         |    concat_ws(';', json_extract_string(body, '$$.rate.remaining'),
+         |      json_extract_string(body, '$$.timestamp.created_unix'),
+         |      json_extract_string(r, '$$.components.postcode')) AS meta
+         |  FROM oc0),
+         |gf0 AS (SELECT provider, resp_id,
+         |    unnest(CAST(json_extract(body, '$$.results') AS JSON[])) AS r,
+         |    generate_subscripts(CAST(json_extract(body, '$$.results') AS JSON[]), 1) AS rr
+         |  FROM src WHERE provider = 'geoadmin_fwd'),
+         |gf AS (SELECT provider, resp_id, CAST(rr AS INT) AS result_rank,
+         |    json_extract_string(r, '$$.id') AS ref_id,
+         |    json_extract_string(r, '$$.attrs.label') AS label,
+         |    CAST(json_extract(r, '$$.attrs.lon') AS DOUBLE) AS lon,
+         |    CAST(json_extract(r, '$$.attrs.lat') AS DOUBLE) AS lat,
+         |    concat_ws(';', json_extract_string(r, '$$.attrs.origin'),
+         |      json_extract_string(r, '$$.attrs.rank'),
+         |      json_extract_string(r, '$$.attrs.num')) AS meta
+         |  FROM gf0),
+         |gr0 AS (SELECT provider, resp_id,
+         |    unnest(CAST(json_extract(body, '$$.results') AS JSON[])) AS r,
+         |    generate_subscripts(CAST(json_extract(body, '$$.results') AS JSON[]), 1) AS rr
+         |  FROM src WHERE provider = 'geoadmin_rev'),
+         |gr AS (SELECT provider, resp_id, CAST(rr AS INT) AS result_rank,
+         |    json_extract_string(r, '$$.featureId') AS ref_id,
+         |    json_extract_string(r, '$$.properties.strname_deinr') || ', ' ||
+         |      json_extract_string(r, '$$.properties.dplz4') || ' ' ||
+         |      json_extract_string(r, '$$.properties.dplzname') AS label,
+         |    CAST(NULL AS DOUBLE) AS lon, CAST(NULL AS DOUBLE) AS lat,
+         |    array_to_string(CAST(json_extract(r, '$$.properties.strname')
+         |      AS VARCHAR[]), '|') AS meta
+         |  FROM gr0)
+         |SELECT * FROM nom UNION ALL SELECT * FROM oc
+         |UNION ALL SELECT * FROM gf UNION ALL SELECT * FROM gr""".stripMargin,
     "geo_forward_pages" ->
       s"""WITH $extractCtes,
          |nc AS (SELECT n.url, n.surface, g.place_id, g.name, g.lon, g.lat,

@@ -168,8 +168,10 @@ object ProviderJson {
     df.withColumn("__resp", from_json(jsonCol, geoAdminForwardSchema))
       .select(col("*"), posexplode(col("__resp.results")).as(Seq("__pos", "result")))
       .withColumn("result_rank", col("__pos") + 1)
+      .withColumn("result_id", col("result.id"))
       .withColumn("label", col("result.attrs.label"))
       .withColumn("origin", col("result.attrs.origin"))
+      .withColumn("num", col("result.attrs.num"))
       .withColumn("rank", col("result.attrs.rank"))
       .withColumn("weight", col("result.attrs.weight"))
       .withColumn("lon", col("result.attrs.lon"))
