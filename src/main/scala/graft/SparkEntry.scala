@@ -663,18 +663,26 @@ object SparkEntry {
       nom.unionByName(oc).unionByName(gaf).unionByName(gar)
     }),
 
-    // E10 — lineage/resume under the driver's determinism check: a two-stage
+    // E10 — lineage/resume under the driver's ORACLE check: a two-stage
     // checkpointed pipeline run COLD then RESUMED against a fresh ckpt dir;
     // output = per-stage lineage rolled up partition-independently (sum rows,
-    // bit_xor checksums), excluding wall times. Deterministic across reruns
-    // and parallelism levels; rows-only (lineage is engine-internal state).
+    // bit_xor checksums), excluding wall times. Checksums use the PORTABLE
+    // sha60 row hash over each stage's identity columns, so DuckDB
+    // independently recomputes rows AND checksums from the materialized
+    // stage parquet — resumability is oracle-proven, not just deterministic
+    // (the resumed run must reproduce the cold run's lineage exactly, and
+    // both must match what is actually on disk).
     "ops_lineage" -> ((s, dir) => {
       val ck = s"$OracleDir/ckpt_contract"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ck), true)
       val (_, idx, polys, cells, scanner) = world(s)
       val pages = Synth.pages(s, 1000, 8).toDF()
-      val cfg = Pipeline.Config(ckptDir = Some(ck), runId = "cold")
+      val cfg = Pipeline.Config(ckptDir = Some(ck), runId = "cold",
+        lineageKeys = Map(
+          "mentions" -> Seq("url", "surface", "kind", "text_sha256"),
+          "hits" -> Seq("url", "surface", "verb", "ref_id", "tile_x", "tile_y",
+            "text_sha256")))
       Pipeline.geocode(s, pages, idx, polys, cells, scanner, cfg).count()
       Pipeline.geocode(s, pages, idx, polys, cells, scanner,
         cfg.copy(runId = "resume")).count()
@@ -954,6 +962,13 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
 
+  /** DuckDB sha60: first 60 bits of sha256(x) as a BIGINT via a base-16 hex
+    * fold — bit-identical to Spark's conv(substring(sha2(x,256),1,15),16,10)
+    * (the validated portable-hash family used by every sketch oracle). */
+  private def sha60Sql(x: String): String =
+    s"list_reduce(list_transform(range(15), j -> CAST(strpos('0123456789abcdef', " +
+    s"substr(sha256($x), j+1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
     * the engine folds into its plan — built programmatically so the oracle
     * can never drift from the engine's table. */
@@ -1001,6 +1016,24 @@ object SparkEntry {
          |  ${ccCase("country_code", _.timezone)} AS ann_timezone,
          |  ${ccCase("country_code", _.flag)} AS ann_flag
          |FROM cn""".stripMargin,
+    // E10 oracle: DuckDB recomputes each stage's lineage (row count +
+    // bit_xor of portable sha60 row checksums over the identity columns)
+    // DIRECTLY from the materialized checkpoint parquet, and asserts the
+    // cold and resumed runs both reported exactly those values.
+    "ops_lineage" ->
+      s"""WITH m AS (SELECT count(*) AS n, bit_xor(${sha60Sql(
+             "concat_ws('|', url, surface, kind, text_sha256)")}) AS checksum
+         |  FROM read_parquet('$OracleDir/ckpt_contract/mentions/*.parquet')),
+         |h AS (SELECT count(*) AS n, bit_xor(${sha60Sql(
+             "concat_ws('|', url, surface, verb, CAST(ref_id AS VARCHAR), " +
+             "CAST(tile_x AS VARCHAR), CAST(tile_y AS VARCHAR), text_sha256)")})
+         |    AS checksum
+         |  FROM read_parquet('$OracleDir/ckpt_contract/hits/*.parquet'))
+         |SELECT 'mentions' AS stage, 'cold' AS run_id, false AS resumed,
+         |  n AS "rows", checksum FROM m
+         |UNION ALL SELECT 'mentions', 'resume', true, n, checksum FROM m
+         |UNION ALL SELECT 'hits', 'cold', false, n, checksum FROM h
+         |UNION ALL SELECT 'hits', 'resume', true, n, checksum FROM h""".stripMargin,
     "geo_provider_json" ->
       s"""WITH src AS (SELECT provider, resp_id, body
          |  FROM read_parquet('$OracleDir/provider_json/*.parquet')),

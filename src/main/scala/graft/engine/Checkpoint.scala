@@ -27,11 +27,26 @@ object Checkpoint {
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir, "_SUCCESS"))
 
-  /** Per-partition lineage for a materialized stage output. */
+  /** Per-partition lineage for a materialized stage output.
+    *
+    * Default row hash is xxhash64 over ALL columns (fast, codegen). With
+    * `portableKeyCols` set, the hash is instead the PORTABLE sha60 — the
+    * first 60 bits of sha256 over a '|'-joined string projection of the
+    * given identity-bearing columns — which an independent engine (the
+    * driver's DuckDB oracle) can recompute from the materialized parquet:
+    * resumability then isn't just deterministic, it's oracle-proven. Key
+    * columns should be strings/ints (row identity), never floats whose
+    * engine-specific rendering would diverge. */
   private def lineage(df: DataFrame, stage: String, wallMs: Long,
-                      resumed: Boolean, runId: String): DataFrame = {
+                      resumed: Boolean, runId: String,
+                      portableKeyCols: Seq[String] = Nil): DataFrame = {
+    val rowHash =
+      if (portableKeyCols.isEmpty) xxhash64(df.columns.map(col): _*)
+      else conv(substring(sha2(
+        concat_ws("|", portableKeyCols.map(c => col(c).cast("string")): _*), 256),
+        1, 15), 16, 10).cast("long")
     val hashed = df.select(spark_partition_id().as("partition_id"),
-      xxhash64(df.columns.map(col): _*).as("__h"))
+      rowHash.as("__h"))
     hashed.groupBy("partition_id")
       .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
       .withColumn("stage", lit(stage))
@@ -82,7 +97,7 @@ object Checkpoint {
    * content scan would defeat the point of resuming).
    */
   def stage(spark: SparkSession, ckptDir: String, name: String, runId: String = "run",
-            fingerprint: String = "")
+            fingerprint: String = "", portableKeyCols: Seq[String] = Nil)
            (build: => DataFrame): DataFrame = {
     val outPath = s"$ckptDir/$name"
     val linPath = s"$ckptDir/_lineage/$name"
@@ -94,7 +109,7 @@ object Checkpoint {
       storedFingerprint(spark, outPath).contains(fingerprint)
     if (exists(spark, outPath) && fpOk) {
       val df = spark.read.parquet(outPath)
-      lineage(df, name, 0L, resumed = true, runId)
+      lineage(df, name, 0L, resumed = true, runId, portableKeyCols)
         .write.mode("append").parquet(linPath)
       df
     } else {
@@ -103,7 +118,7 @@ object Checkpoint {
       val wallMs = (System.nanoTime() - t0) / 1000000
       if (fingerprint.nonEmpty) writeFingerprint(spark, outPath, fingerprint)
       val persisted = spark.read.parquet(outPath)
-      lineage(persisted, name, wallMs, resumed = false, runId)
+      lineage(persisted, name, wallMs, resumed = false, runId, portableKeyCols)
         .write.mode("append").parquet(linPath)
       persisted
     }

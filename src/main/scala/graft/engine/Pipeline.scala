@@ -24,14 +24,19 @@ object Pipeline {
       ckptDir: Option[String] = None,
       runId: String = "run",
       fwdParams: ForwardParams = ForwardParams(limit = Some(1)),
-      revParams: ReverseParams = ReverseParams())
+      revParams: ReverseParams = ReverseParams(),
+      // stage name -> identity columns for PORTABLE lineage checksums
+      // (sha60 over a string projection an external engine can recompute
+      // from the stage parquet); empty = fast xxhash64 over all columns
+      lineageKeys: Map[String, Seq[String]] = Map.empty)
 
   private def maybeStage(spark: SparkSession, cfg: Config, name: String,
                          fingerprint: String)
                         (build: => DataFrame): DataFrame =
     cfg.ckptDir match {
       case Some(dir) =>
-        Checkpoint.stage(spark, dir, name, cfg.runId, fingerprint)(build)
+        Checkpoint.stage(spark, dir, name, cfg.runId, fingerprint,
+          cfg.lineageKeys.getOrElse(name, Nil))(build)
       case None => build
     }
 
