@@ -614,6 +614,37 @@ object SparkEntry {
         dim = 16)
         .select(col("url"), round(col("feat_norm"), 6).as("feat_norm"))),
 
+    // STREAMING under the driver contract: the SAME StreamGeocode.geocodeStream
+    // operator the streaming surface exposes (watermarked 5-min windows,
+    // per-(window,url,mention) max_by top-1, tile assignment), run as a real
+    // Structured Streaming query (readStream parquet source -> append-mode
+    // parquet sink, Trigger.AvailableNow) over the materialized pages. The
+    // oracle recomputes the batch-equivalent SQL INCLUDING append-mode's
+    // watermark finalization rule: only windows whose end <= max(event_time)
+    // - 10min (the watermark at end-of-stream) are emitted.
+    "geo_stream_forward" -> ((s, dir) => {
+      val (_, idx, _, _, scanner) = world(s)
+      oracleWorldTables(s)
+      oraclePages(s, dir)
+      val sink = s"$OracleDir/stream_sink"
+      val ckpt = s"$OracleDir/stream_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val schema = s.read.parquet(s"$OracleDir/pages").schema
+      val src = s.readStream.schema(schema).parquet(s"$OracleDir/pages")
+      val out = graft.streaming.StreamGeocode.geocodeStream(s, src, idx, scanner)
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("url"), col("surface"), col("place_id"), col("name"),
+          col("lon"), col("lat"), col("text_sha256"),
+          col("tile_x"), col("tile_y"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    }),
+
     // D4/S4/S5/S6/S7 — typed provider-JSON decode as a direct contract row:
     // all four response families parsed through the ProviderJson from_json
     // schemas into one normalized projection; the oracle re-extracts the same
@@ -1016,6 +1047,33 @@ object SparkEntry {
          |  ${ccCase("country_code", _.timezone)} AS ann_timezone,
          |  ${ccCase("country_code", _.flag)} AS ann_flag
          |FROM cn""".stripMargin,
+    "geo_stream_forward" ->
+      s"""WITH $extractCtes,
+         |pw AS (SELECT url, warc_ts, sha256(text) AS text_sha256
+         |  FROM read_parquet('$OracleDir/pages/*.parquet')),
+         |mx AS (SELECT max(warc_ts) AS mt FROM pw),
+         |nc AS (SELECT n.url, n.surface, p.warc_ts, p.text_sha256,
+         |    g.place_id, g.name, g.lon, g.lat, g.weight, g.importance
+         |  FROM names n JOIN gaz g ON n.surface = g.gaz_key
+         |  JOIN pw p ON p.url = n.url),
+         |wb AS (SELECT *, time_bucket(INTERVAL '5 minutes', warc_ts) AS wstart
+         |  FROM nc),
+         |best AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY wstart, url, surface
+         |      ORDER BY weight DESC, importance DESC, place_id) AS rn
+         |    FROM wb) WHERE rn = 1),
+         |fin AS (SELECT b.* FROM best b, mx
+         |  WHERE b.wstart + INTERVAL '5 minutes' <= mx.mt - INTERVAL '10 minutes'),
+         |tl AS (SELECT *, least(greatest(lat, CAST(-85.05112878 AS DOUBLE)),
+         |    CAST(85.05112878 AS DOUBLE)) AS latc FROM fin)
+         |SELECT epoch_us(wstart) AS win_us, url, surface, place_id, name,
+         |  lon, lat, text_sha256,
+         |  least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+         |    / CAST(360.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_x,
+         |  least(greatest(CAST(floor((CAST(1.0 AS DOUBLE)
+         |    - ln(tan(radians(latc)) + CAST(1.0 AS DOUBLE) / cos(radians(latc))) / pi())
+         |    / CAST(2.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_y
+         |FROM tl""".stripMargin,
     // E10 oracle: DuckDB recomputes each stage's lineage (row count +
     // bit_xor of portable sha60 row checksums over the identity columns)
     // DIRECTLY from the materialized checkpoint parquet, and asserts the
