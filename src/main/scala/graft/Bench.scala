@@ -79,28 +79,37 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // 1. per-query timings on the sf dir at the driver-requested parallelism
+    // 1. per-query timings on the sf dir at the driver-requested parallelism.
+    // TWO in-session reps per query: the first (cold) pays codegen/AQE/
+    // first-scan warmup, the second (warm) is the steady-state number a
+    // long-lived session sees. The headline "queries" map reports WARM;
+    // "queries_cold" carries the first rep so any cold-vs-warm gap is
+    // attributed in-artifact instead of reading as an unexplained regression
+    // (round-3 lesson: geo_knn 0.66 -> 2.93 s was session-ordering warmup).
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
     // A failing query must NOT masquerade as a fast one: failures are
     // recorded by name and surfaced in the JSON artifact.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+    val (results, resultsCold) =
+      if (skipQueries) (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
       else {
         val spark = session(cpus)
         // input-table preparation (materialized oracle parquet), NOT operator
         // work — excluded from per-query timings like the bench pages table
         SparkEntry.prepareOracleInputs(spark, sfDir)
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              errors(name) = e.getClass.getSimpleName
+        def rep(): Seq[(String, Double)] =
+          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                errors(name) = e.getClass.getSimpleName
+            }
+            name -> (System.nanoTime() - t0) / 1e9
           }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
+        val cold = rep()
+        val warm = rep()
         spark.stop()
-        r
+        (warm, cold)
       }
 
     // 2. scaling evidence: same input, N vs 4N cores (taskset-pinned child
@@ -143,13 +152,37 @@ object Bench {
     // cycles, not single-accepted-cycle, is the honest estimator.
     val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_GATE", "0.85").toDouble
     val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.82").toDouble
+    // ESTIMATOR HYGIENE (round-3 findings): efficiency > 1.0 is physically
+    // impossible for this job — a paired ratio above 1.0 means the TINY rep
+    // was contended (small/low runs are sequential subprocesses, so a
+    // contended tiny run inflates the ratio AND the pl/pt probe gate in the
+    // same direction). So a cycle is QUIET-ACCEPTED only if (a) its
+    // register-only probe scaled >= gate across the tiny->low pair, (b) its
+    // paired ratio is <= 1.05 (beyond that the tiny rep was provably
+    // contended — counted in contended_pairs), and (c) its tiny-probe
+    // ABSOLUTE throughput is within 10% of the best tiny probe seen (an
+    // absolute quiet gate the ratio alone can't provide). Reported paired
+    // figures are clamped at 1.0, and the per-cycle values + their median
+    // are recorded so the max-over-cycles figure can be sanity-checked.
+    case class Cyc(tt: Double, tl: Double, th: Double,
+                   pt: Double, pl: Double, ph: Double) {
+      def paired: Double = (tl / tt) / (nLow.toDouble / nTiny)
+      def probeSmall: Double = if (pt > 0) (pl / pt) / (nLow.toDouble / nTiny) else 0.0
+      def probeHigh: Double = if (pl > 0) (ph / pl) / (cpus.toDouble / nLow) else 0.0
+    }
+    val cycleLog = scala.collection.mutable.ArrayBuffer.empty[Cyc]
     var hits = 0L
-    var thrTiny = 0.0; var thrLow = 0.0; var thrHigh = 0.0
-    var effSmallPaired = 0.0; var pairedQuiet = 0.0
-    var probeSmallEff = 0.0; var probeEff = 0.0
-    var accepted = 0
+    def acceptedCycles: Seq[Cyc] = {
+      val maxPt = if (cycleLog.isEmpty) 0.0 else cycleLog.map(_.pt).max
+      cycleLog.toSeq.filter(c => c.probeSmall >= gate && c.paired <= 1.05 &&
+        c.pt >= 0.9 * maxPt)
+    }
+    def bestAcceptedPaired: Double = {
+      val a = acceptedCycles
+      if (a.isEmpty) 0.0 else a.map(c => math.min(1.0, c.paired)).max
+    }
     var cyc = 0
-    while ((cyc < cycles || accepted == 0 || effSmallPaired < target) &&
+    while ((cyc < cycles || acceptedCycles.isEmpty || bestAcceptedPaired < target) &&
         (cyc == 0 || System.currentTimeMillis() - tScaling < budgetMs)) {
       // identical input at all three levels — "the same job at two (pairs
       // of) parallelism levels"; each child piggy-backs the CPU probe so the
@@ -158,20 +191,24 @@ object Bench {
       val (tl, _, pl) = throughputAt(nLow, scalePages, reps = 4, probe = true)
       val (th, h, ph) = throughputAt(cpus, scalePages, reps = 4, probe = true)
       hits = h
-      val paired = (tl / tt) / (nLow.toDouble / nTiny)
-      val probeSmall = if (pt > 0) (pl / pt) / (nLow.toDouble / nTiny) else 0.0
-      val probeHigh = if (pl > 0) (ph / pl) / (cpus.toDouble / nLow) else 0.0
-      thrTiny = math.max(thrTiny, tt); thrLow = math.max(thrLow, tl)
-      thrHigh = math.max(thrHigh, th)
-      effSmallPaired = math.max(effSmallPaired, paired)
-      probeSmallEff = math.max(probeSmallEff, probeSmall)
-      probeEff = math.max(probeEff, probeHigh)
-      if (probeSmall >= gate) {
-        accepted += 1
-        pairedQuiet = math.max(pairedQuiet, paired)
-      }
+      cycleLog += Cyc(tt, tl, th, pt, pl, ph)
       cyc += 1
     }
+    val thrTiny = cycleLog.map(_.tt).max
+    val thrLow = cycleLog.map(_.tl).max
+    val thrHigh = cycleLog.map(_.th).max
+    val accepted = acceptedCycles
+    val contendedPairs = cycleLog.count(_.paired > 1.05)
+    val effSmallPaired = math.min(1.0, cycleLog.map(_.paired).max)
+    val pairedQuiet = bestAcceptedPaired
+    val pairedMedian = if (accepted.isEmpty) 0.0 else {
+      val v = accepted.map(_.paired).sorted
+      v((v.size - 1) / 2)
+    }
+    val probeSmallEff = cycleLog.map(_.probeSmall).max
+    val probeEff = cycleLog.map(_.probeHigh).max
+    val probeTinyAbs = cycleLog.map(_.pt).max
+    val pairedCyclesJson = cycleLog.map(c => f"${c.paired}%.3f").mkString("[", ",", "]")
     val eff = (thrHigh / thrLow) / (cpus.toDouble / nLow)
     val effSmall = (thrLow / thrTiny) / (nLow.toDouble / nTiny)
 
@@ -191,20 +228,28 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsCold = resultsCold.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCold = resultsCold.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""total_cold":$totalCold%.1f,"queries_cold":$qsCold,""" +
       s""""query_errors":$errJson,"sf":"$sfDir",""" +
       s""""pipeline_pages":$scalePages,"pipeline_hits":$hits,""" +
       f""""pages_per_sec_n$nLow":$thrLow%.1f,"pages_per_sec_n$cpus":$thrHigh%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""pages_per_sec_n$nTiny":$thrTiny%.1f,""" +
-      f""""scaling_efficiency_n${nTiny}_n$nLow":$effSmall%.3f,""" +
+      f""""scaling_efficiency_n${nTiny}_n$nLow":${math.min(1.0, effSmall)}%.3f,""" +
       f""""scaling_efficiency_n${nTiny}_n${nLow}_paired":$effSmallPaired%.3f,""" +
-      f""""accepted_cycles":$accepted,"probe_gate":$gate%.2f,""" +
+      f""""accepted_cycles":${accepted.size},"probe_gate":$gate%.2f,""" +
       f""""scaling_paired_quiet_cycle":$pairedQuiet%.3f,""" +
+      f""""scaling_paired_median_accepted":$pairedMedian%.3f,""" +
+      s""""scaling_paired_cycles":$pairedCyclesJson,""" +
+      f""""contended_pairs":$contendedPairs,""" +
+      f""""probe_tiny_abs":$probeTinyAbs%.1f,""" +
       f""""cpu_probe_scaling_n${nTiny}_n$nLow":$probeSmallEff%.3f,""" +
       f""""cpu_probe_scaling_n${nLow}_n$cpus":$probeEff%.3f,""" +
       f""""worldscale_polys":$wsPolys,"worldscale_pages":$wsPages,""" +
