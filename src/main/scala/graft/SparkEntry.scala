@@ -596,6 +596,31 @@ object SparkEntry {
           nlist = 16, nprobe = 16, iters = 1)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // LSH-kNN with the PORTABLE sha256 hyperplane family: corpus bucket
+    // keys, query multi-probe (key + all 1-bit flips), candidate set, exact
+    // cosine, and rank are ALL recomputed by the oracle — the oracle-backed
+    // sibling of emb_knn_lsh (identical plan shape, portable hashes)
+    "emb_knn_lsh_portable" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.portableLshKnn(e.filter(col("vec_id") < 8), e, k = 5,
+          dim = 64, bits = 8, tables = 4)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+    // the world-scale IVF layout under the contract: posting lists persisted
+    // as a list-bucketed table (write amortizes like the packed polygon
+    // index), queries bucket-prune the scan via a driver-resolved IN filter;
+    // exhaustive probe (nprobe = nlist) makes it provably equal to the
+    // brute-force oracle, while the plan is the zero-corpus-exchange
+    // deployment shape (plan-asserted in ScaleFixesSpec)
+    "emb_knn_ivf_bucketed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, nlist = 16, iters = 1)
+      Similarity.writeIvfBucketed(s, e, cents, "graft_ivf_contract",
+        s"$OracleDir/ivf_bucketed", buckets = 8)
+      Similarity.ivfKnnBucketed(s, "graft_ivf_contract",
+          e.filter(col("vec_id") < 8), k = 5, nprobe = 16, cents)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(oraclePages(s, dir))
         .select("url", "bin_len", "mime", "content_hash")),
@@ -1711,6 +1736,56 @@ object SparkEntry {
     // the IVF contract query probes ALL nlist lists (exhaustive), so the
     // posting-list plan must reproduce the brute-force top-k bit-for-bit
     "emb_knn_ivf" -> EmbKnnBruteSql,
+    // same exhaustive-probe argument for the BUCKETED-layout variant: the
+    // persisted posting-list table + bucket-pruned scan must reproduce the
+    // brute-force top-k exactly
+    "emb_knn_ivf_bucketed" -> EmbKnnBruteSql,
+    // the full portable LSH-kNN plan recomputed from raw vectors: sha256
+    // Rademacher planes ('hp:t:j:d', the emb_neardup_portable family),
+    // ordered-fold projections, per-table bucket keys, multi-probe = key
+    // plus all 1-bit flips, distinct collision candidates, exact cosine,
+    // rank — bit-for-bit the engine's portableLshKnn
+    "emb_knn_lsh_portable" ->
+      """WITH pl AS (SELECT t, j, list_transform(range(64), d -> CASE WHEN
+        |    (list_reduce(list_transform(range(15), kk -> CAST(
+        |      strpos('0123456789abcdef', substr(sha256(
+        |        'hp:' || t || ':' || j || ':' || d), kk+1, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) & 1) = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
+        |  FROM range(4) tt(t), range(8) jj(j)),
+        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |cd AS (SELECT item_id, t, j, list_sum(list_transform(range(64),
+        |    d -> CAST(cv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
+        |  FROM c, pl),
+        |ck AS (SELECT item_id, t, CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
+        |  FROM cd GROUP BY 1, 2),
+        |qd AS (SELECT query_id, t, j, list_sum(list_transform(range(64),
+        |    d -> CAST(qv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
+        |  FROM q, pl),
+        |qk AS (SELECT query_id, t, CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
+        |  FROM qd GROUP BY 1, 2),
+        |pr AS (SELECT query_id, t, CASE WHEN pp = 0 THEN bk
+        |    ELSE xor(bk, (CAST(1 AS BIGINT) << CAST(pp - 1 AS INT))) END AS bucket
+        |  FROM qk, range(9) zz(pp)),
+        |cand AS (SELECT DISTINCT p2.query_id, k2.item_id
+        |  FROM pr p2 JOIN ck k2 ON k2.t = p2.t AND k2.bk = p2.bucket
+        |  WHERE k2.item_id <> p2.query_id),
+        |cs AS (SELECT c2.query_id, c2.item_id,
+        |  list_sum(list_transform(list_zip(q.qv, c.cv),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand c2 JOIN q ON q.query_id = c2.query_id
+        |    JOIN c ON c.item_id = c2.item_id),
+        |r AS (SELECT query_id, item_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM cs)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id,
+        |  round(cos, 6) AS cos
+        |FROM r WHERE rn <= 5""".stripMargin,
         "q11_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER

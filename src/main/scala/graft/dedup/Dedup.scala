@@ -417,18 +417,10 @@ object Dedup {
                                     idCol: String = "vec_id", vecCol: String = "embedding",
                                     dim: Int = 64, bits: Int = 12, bands: Int = 6,
                                     maxBucket: Int = 1024): DataFrame = {
-    def sign(t: Int, j: Int, d: Int): Double = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val hex = md.digest(s"hp:$t:$j:$d".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1.0 else -1.0
-    }
     // flattened plane matrix as ONE literal array; keys computed by a single
     // codegen StaticInvoke per row (native left-fold dots — bit-identical to
     // the oracle's ordered list_sum, ~100x an interpreted per-(t,j) lambda)
-    val flat: Seq[Double] = for {
-      t <- 0 until bands; j <- 0 until bits; d <- 0 until dim
-    } yield sign(t, j, d)
+    val flat: Seq[Double] = graft.sim.VecCore.portablePlanes(dim, bits, bands)
     val base = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
     val rows = base.select(col("doc_id"),
       posexplode(graft.functions.TextFunctions.portableKeys(col("v"),

@@ -52,6 +52,9 @@ object TextInternal {
   def multiProbe(sig: Int, bits: Int): ArrayData =
     new GenericArrayData(VecCore.multiProbe(sig, bits))
 
+  def multiProbeLong(key: Long, bits: Int): ArrayData =
+    new GenericArrayData(VecCore.multiProbeLong(key, bits))
+
   def nearestCentroid(v: ArrayData, flat: ArrayData): Int =
     VecCore.nearestCentroid(v.toFloatArray(), flat.toFloatArray())
 
@@ -147,6 +150,8 @@ object TextFunctions {
     invoke(IntegerType, "lshSigBand", v, bits, band)
   def multiProbe(sig: Column, bits: Column): Column =
     invoke(ArrayType(IntegerType, containsNull = false), "multiProbe", sig, bits)
+  def multiProbeLong(key: Column, bits: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "multiProbeLong", key, bits)
   def nearestCentroid(v: Column, flat: Column): Column =
     invoke(IntegerType, "nearestCentroid", v, flat)
   def portableKeys(v: Column, flat: Column, bits: Column, bands: Column): Column =

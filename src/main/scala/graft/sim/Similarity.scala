@@ -74,6 +74,40 @@ object Similarity {
       .select("query_id", "knn_rank", "item_id", "cos")
   }
 
+  /** [[lshKnn]] with the PORTABLE sha256-derived hyperplane family
+    * (VecCore.portablePlaneSign — the same 'hp:t:j:d' planes as
+    * Dedup.portableEmbeddingNearDupPairs): corpus bucketed per table by the
+    * portable Long keys, queries probe their key plus all 1-bit flips, exact
+    * cosine + top-k over the collisions. Identical plan shape to the
+    * production lshKnn; every stage (planes, ordered-fold dots, bucket keys,
+    * probes, candidate set, cosine, rank) is recomputable by an ANSI oracle —
+    * the cross-engine proof of the LSH-kNN *plan*. */
+  def portableLshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dim: Int = 64, bits: Int = 8, tables: Int = 4,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val fl = typedLit(VecCore.portablePlanes(dim, bits, tables))
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("cv"))
+      .select(col("item_id"), col("cv"),
+        posexplode(portableKeys(col("cv"), fl, lit(bits), lit(tables)))
+          .as(Seq("band_idx", "bucket")))
+    val q = broadcast(
+      queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+        .select(col("query_id"), col("qv"),
+          posexplode(portableKeys(col("qv"), fl, lit(bits), lit(tables)))
+            .as(Seq("band_idx", "key")))
+        .select(col("query_id"), col("qv"), col("band_idx"),
+          explode(multiProbeLong(col("key"), lit(bits))).as("bucket")))
+    val scored = c.join(q, Seq("band_idx", "bucket"))
+      .filter(col("item_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "item_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "cos")
+  }
+
   /** IVF coarse quantizer: Lloyd's k-means over a (deterministic) sample of
     * the corpus. Returns the nlist centroids row-major as one flat
     * Array[Float] (nlist x dim — a few KB, travels as a plan literal).
@@ -129,6 +163,48 @@ object Similarity {
     // a corpus vector lives in exactly one list, so (query, item) pairs are
     // unique by construction — no dedup needed
     val scored = c.join(q, Seq("list"))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "cos")
+  }
+
+  /** World-scale IVF layout: the posting lists PERSISTED as a list-bucketed
+    * table (mirror of Reverse.writePackedBucketed) — the corpus is assigned
+    * once (map-only nearest-centroid) and written bucketed+sorted by `list`,
+    * so every subsequent query batch reads ONLY its probed lists (bucket
+    * pruning on the scan) and pays ZERO exchange on the corpus side. The
+    * write amortizes over every batch, exactly like the packed polygon
+    * index. */
+  def writeIvfBucketed(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                       centroids: Array[Float], table: String, path: String,
+                       buckets: Int = 8,
+                       cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val c = corpus.select(col(cId).as("item_id"), col(cVec).as("cv"))
+      .withColumn("list", nearestCentroid(col("cv"), typedLit(centroids.toSeq)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    c.write.bucketBy(buckets, "list").sortBy("list")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** Query batches over a [[writeIvfBucketed]] layout: probe lists are
+    * resolved driver-side (<= nlist ints — the same plan-literal budget as
+    * the centroids) and pushed as an IN filter, so the scan bucket-prunes to
+    * the probed posting lists; queries broadcast; the corpus side has no
+    * exchange anywhere in the plan. */
+  def ivfKnnBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, k: Int, nprobe: Int,
+                     centroids: Array[Float],
+                     qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    val cents = typedLit(centroids.toSeq)
+    val q0 = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("list", explode(nearestCentroids(col("qv"), cents, lit(nprobe))))
+    val lists = q0.select("list").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.table(table)
+      .filter(col("list").isin(lists.map(Int.box): _*))
+    val scored = c.join(broadcast(q0), Seq("list"))
       .filter(col("item_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))

@@ -75,6 +75,31 @@ object VecCore {
     sig
   }
 
+  /** [[multiProbe]] for the portable Long bucket keys ([[portableKeys]]). */
+  def multiProbeLong(key: Long, bits: Int): Array[Long] = {
+    val out = new Array[Long](bits + 1)
+    out(0) = key
+    var b = 0
+    while (b < bits) { out(b + 1) = key ^ (1L << b); b += 1 }
+    out
+  }
+
+  /** PORTABLE Rademacher plane component: +1 iff the first 60 bits of
+    * sha256("hp:t:j:d") are even — the hash family every portable-hyperplane
+    * operator (and its DuckDB oracle twin) derives its planes from. */
+  def portablePlaneSign(t: Int, j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"hp:$t:$j:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Flattened portable plane matrix (bands x bits x dim) for
+    * [[portableKeys]], derived from [[portablePlaneSign]]. */
+  def portablePlanes(dim: Int, bits: Int, bands: Int): Seq[Double] =
+    for { t <- 0 until bands; j <- 0 until bits; d <- 0 until dim }
+      yield portablePlaneSign(t, j, d)
+
   /** Multi-probe buckets: the signature plus all 1-bit flips — recall boost
     * without widening the join fan-out beyond bits+1 buckets per query. */
   def multiProbe(sig: Int, bits: Int): Array[Int] = {

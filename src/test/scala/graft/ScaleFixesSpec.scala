@@ -148,4 +148,40 @@ class ScaleFixesSpec extends AnyFunSuite {
     assert(auto === fixed)
     assert(auto.size === 30)
   }
+
+  test("bucketed IVF: bucket-pruned scan, zero corpus-side shuffle, equals in-memory IVF") {
+    import graft.sim.Similarity
+    val n = 400
+    val emb = spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod($"id" * 31 + d * 17, lit(97)) / lit(97.0) - 0.5).cast("float"))
+        .as("embedding")).cache()
+    val cents = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivf_bucketed").toString
+    Similarity.writeIvfBucketed(spark, emb, cents, "graft_ivf_test",
+      s"$dir/ivf", buckets = 4)
+    val q = emb.filter($"vec_id" < 5)
+    val knn = Similarity.ivfKnnBucketed(spark, "graft_ivf_test", q, k = 3,
+      nprobe = 2, cents)
+    val plan = knn.queryExecution.executedPlan
+    // the probed-list IN filter must bucket-prune the posting-list scan
+    val scanStr = plan.toString
+    assert(scanStr.contains("SelectedBucketsCount"),
+      s"expected bucket pruning in plan:\n$scanStr")
+    // corpus side never shuffles: the only allowed exchanges are the
+    // queries' broadcast and the final per-query top-k rollup
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"unexpected corpus shuffle:\n$plan")
+    // and at nprobe = nlist the bucketed path equals the in-memory operator
+    val a = Similarity.ivfKnnBucketed(spark, "graft_ivf_test", q, k = 3,
+        nprobe = 8, cents)
+      .select("query_id", "knn_rank", "item_id").collect().map(_.toString).sorted.toSeq
+    val b = Similarity.ivfKnn(q, emb, k = 3, nlist = 8, nprobe = 8, iters = 2)
+      .select("query_id", "knn_rank", "item_id").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_test")
+    emb.unpersist()
+  }
 }
