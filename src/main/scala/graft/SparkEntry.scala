@@ -275,6 +275,30 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
           grouping("l_returnflag").as("g_rf"), grouping("l_linestatus").as("g_ls"))),
+    // value-based (RANGE) window frame: per-supplier trailing-30-day
+    // quantity — the frame is defined by ORDER-BY VALUE distance, not row
+    // position, so ties (same ship day) are peers and the frame width varies
+    // per row; completes §2.8's frame-spec coverage next to q9's ROWS frame
+    "q17_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+        .rangeBetween(-30, 0)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("d",
+          datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date")))
+        .withColumn("qty_30d", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "d", "qty_30d")
+    }),
+    // unpivot/melt — the inverse of q15's pivot, via the native Dataset
+    // .unpivot operator (wide flag columns back to (flag, value) rows);
+    // nulls dropped explicitly to pin both engines to the same semantics
+    "q18_unpivot" -> ((s, dir) => {
+      val wide = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))
+      wide.unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "flag", "sum_qty")
+        .filter(col("sum_qty").isNotNull)
+    }),
     "q2_join_topk" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1493,6 +1517,20 @@ object SparkEntry {
         |CAST(grouping(l_returnflag) AS INT) AS g_rf,
         |CAST(grouping(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q17_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, CAST(d AS INT) AS d,
+        |sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY d
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS qty_30d
+        |FROM (SELECT *, datediff('day', DATE '1995-01-01',
+        |  CAST(l_shipdate AS DATE)) AS d FROM lineitem)""".stripMargin,
+    "q18_unpivot" ->
+      """WITH wide AS (SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, flag, sum_qty
+        |FROM wide UNPIVOT (sum_qty FOR flag IN (A, N, R))""".stripMargin,
     "q2_join_topk" ->
       """SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice
         |  * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
