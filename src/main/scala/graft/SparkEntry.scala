@@ -669,8 +669,11 @@ object SparkEntry {
     // Structured Streaming query (readStream parquet source -> append-mode
     // parquet sink, Trigger.AvailableNow) over the materialized pages. The
     // oracle recomputes the batch-equivalent SQL INCLUDING append-mode's
-    // watermark finalization rule: only windows whose end <= max(event_time)
-    // - 10min (the watermark at end-of-stream) are emitted.
+    // watermark finalization rule: only windows whose end <= watermark at
+    // end-of-stream are emitted, where the watermark advances from the max
+    // event time of the CANDIDATE rows (the stream withWatermark is applied
+    // to, post-filter/join — pages whose mentions all miss the gazetteer
+    // never advance it) minus the 10-minute delay.
     "geo_stream_forward" -> ((s, dir) => {
       val (_, idx, _, _, scanner) = world(s)
       oracleWorldTables(s)
@@ -691,7 +694,10 @@ object SparkEntry {
         .option("path", sink).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(sink)
+      // explicit schema: a run in which no window finalizes leaves a sink
+      // with only _spark_metadata, and schema inference would throw where
+      // the correct answer is an empty result (matching the oracle's 0 rows)
+      s.read.schema(out.schema).parquet(sink)
     }),
 
     // D4/S4/S5/S6/S7 — typed provider-JSON decode as a direct contract row:
@@ -1100,11 +1106,11 @@ object SparkEntry {
       s"""WITH $extractCtes,
          |pw AS (SELECT url, warc_ts, sha256(text) AS text_sha256
          |  FROM read_parquet('$OracleDir/pages/*.parquet')),
-         |mx AS (SELECT max(warc_ts) AS mt FROM pw),
          |nc AS (SELECT n.url, n.surface, p.warc_ts, p.text_sha256,
          |    g.place_id, g.name, g.lon, g.lat, g.weight, g.importance
          |  FROM names n JOIN gaz g ON n.surface = g.gaz_key
          |  JOIN pw p ON p.url = n.url),
+         |mx AS (SELECT max(warc_ts) AS mt FROM nc),
          |wb AS (SELECT *, time_bucket(INTERVAL '5 minutes', warc_ts) AS wstart
          |  FROM nc),
          |best AS (SELECT * FROM (SELECT *, row_number() OVER (

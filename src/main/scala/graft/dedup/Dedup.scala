@@ -287,7 +287,7 @@ object Dedup {
     * oracle. ~20x slower per shingle than xxh64; use for verification runs,
     * `minhash`/`minhashLshPairs` for crawl-scale jobs. */
   def sha60(prefix: Column, s: Column): Column =
-    conv(substring(sha2(concat(prefix, lit(":"), s), 256), 1, 15), 16, 10).cast("long")
+    graft.functions.TextFunctions.sha60(concat(prefix, lit(":"), s))
 
   /** Portable MinHash signature: sig[i] = min over shingles of sha60(i, s). */
   def portableMinhashSig(text: Column, perms: Int = 16): Column = {

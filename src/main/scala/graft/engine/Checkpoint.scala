@@ -42,9 +42,8 @@ object Checkpoint {
                       portableKeyCols: Seq[String] = Nil): DataFrame = {
     val rowHash =
       if (portableKeyCols.isEmpty) xxhash64(df.columns.map(col): _*)
-      else conv(substring(sha2(
-        concat_ws("|", portableKeyCols.map(c => col(c).cast("string")): _*), 256),
-        1, 15), 16, 10).cast("long")
+      else graft.functions.TextFunctions.sha60(
+        concat_ws("|", portableKeyCols.map(c => col(c).cast("string")): _*))
     val hashed = df.select(spark_partition_id().as("partition_id"),
       rowHash.as("__h"))
     hashed.groupBy("partition_id")

@@ -126,6 +126,15 @@ object TextFunctions {
   private def invoke(dt: DataType, name: String, args: Column*): Column =
     col_(StaticInvoke(cls, dt, name, args.map(ex), returnNullable = false))
 
+  /** First 60 bits of sha256(s) as a Long — THE portable cross-engine hash:
+    * DuckDB recomputes it as a base-16 fold over the hex digest
+    * (SparkEntry.sha60Sql). Every portable-oracle path (sketch families,
+    * lineage checksums) must route through this single definition. */
+  def sha60(s: Column): Column =
+    org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
   def minhash(text: Column, shingleN: Column, perms: Column): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhash", text, shingleN, perms)
 

@@ -199,8 +199,12 @@ object Similarity {
                      centroids: Array[Float],
                      qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
     val cents = typedLit(centroids.toSeq)
+    // cached: the centroid-assignment map work is paid once, not re-run by
+    // the driver-side distinct-lists probe AND the join (the query batch is
+    // broadcast-sized by construction)
     val q0 = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
       .withColumn("list", explode(nearestCentroids(col("qv"), cents, lit(nprobe))))
+      .cache()
     val lists = q0.select("list").distinct().collect().map(_.getInt(0)).sorted
     val c = spark.table(table)
       .filter(col("list").isin(lists.map(Int.box): _*))

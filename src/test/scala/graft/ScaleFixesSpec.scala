@@ -161,19 +161,29 @@ class ScaleFixesSpec extends AnyFunSuite {
     Similarity.writeIvfBucketed(spark, emb, cents, "graft_ivf_test",
       s"$dir/ivf", buckets = 4)
     val q = emb.filter($"vec_id" < 5)
-    val knn = Similarity.ivfKnnBucketed(spark, "graft_ivf_test", q, k = 3,
-      nprobe = 2, cents)
-    val plan = knn.queryExecution.executedPlan
-    // the probed-list IN filter must bucket-prune the posting-list scan
-    val scanStr = plan.toString
-    assert(scanStr.contains("SelectedBucketsCount"),
-      s"expected bucket pruning in plan:\n$scanStr")
-    // corpus side never shuffles: the only allowed exchanges are the
-    // queries' broadcast and the final per-query top-k rollup
-    val shuffles = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shuffles.size <= 1, s"unexpected corpus shuffle:\n$plan")
+    // plan-shape assertions need the CONCRETE plan: under AQE the top node
+    // is an AdaptiveSparkPlanExec leaf and a collect{ShuffleExchangeExec}
+    // over it is vacuously empty — disable AQE for the shape check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val knn = Similarity.ivfKnnBucketed(spark, "graft_ivf_test", q, k = 3,
+        nprobe = 2, cents)
+      val plan = knn.queryExecution.executedPlan
+      // the probed-list IN filter must bucket-prune the posting-list scan
+      val scanStr = plan.toString
+      assert(scanStr.contains("SelectedBucketsCount"),
+        s"expected bucket pruning in plan:\n$scanStr")
+      // corpus side never shuffles: the only allowed exchanges are the
+      // queries' broadcast and the final per-query top-k rollup
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size == 1, s"unexpected corpus shuffle:\n$plan")
+      val broadcasts = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+      assert(broadcasts.size == 1, s"expected broadcast query side:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // and at nprobe = nlist the bucketed path equals the in-memory operator
     val a = Similarity.ivfKnnBucketed(spark, "graft_ivf_test", q, k = 3,
         nprobe = 8, cents)
