@@ -299,6 +299,16 @@ object SparkEntry {
           Array(col("A"), col("N"), col("R")), "flag", "sum_qty")
         .filter(col("sum_qty").isNotNull)
     }),
+    // generator/UDTF surface as its own row: lateral posexplode of the
+    // tokenization (one row per token with its position) — the explode
+    // runs inside the scan stage (no shuffle), and the oracle re-derives
+    // the token lists and zip-aligns positions via parallel unnest
+    "q19_explode" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+"),
+        t => length(t) > 0)
+      docs(s, dir).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    }),
     "q2_join_topk" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1523,6 +1533,14 @@ object SparkEntry {
         |CAST(grouping(l_returnflag) AS INT) AS g_rf,
         |CAST(grouping(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q19_explode" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM tok""".stripMargin,
     "q17_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, CAST(d AS INT) AS d,
         |sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY d
