@@ -66,6 +66,43 @@ class AsOfSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("maxBands")), msgs(ex).mkString(" | "))
   }
 
+  test("NULL keys never equi-match: left kept with null payload, right dropped") {
+    val left = Seq((Some(1L), 10L, "a"), (None: Option[Long], 10L, "nullkey"))
+      .toDF("k", "ts", "l")
+    val right = Seq((Some(1L), 5L, "v5"), (None: Option[Long], 5L, "poison"))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts")
+      .select("l", "r_v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") === Some("v5"))
+    assert(out("nullkey") === None) // NOT the NULL-key right "poison" row
+    assert(out.size === 2)
+  }
+
+  test("reserved scaffolding names and prefix collisions fail loudly") {
+    val ok = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(ok.withColumnRenamed("v", "__side"), ok, Seq("k"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      // right column "v" with default prefix collides with left column "r_v"
+      AsOf.asofJoin(ok.withColumnRenamed("v", "r_v"), ok, Seq("k"), "ts")
+    }
+  }
+
+  test("range join bands exactly on negative values and values past 2^53") {
+    // negative v: double-floor and integral-floor agree here, but the huge
+    // magnitudes only band consistently under exact integral division
+    val big = (1L << 60) + 12345L
+    val points = Seq((1L, -7201L), (2L, big)).toDF("k", "v")
+    val ivs = Seq((1L, -10800L, -7200L), (2L, big - 1L, big + 1L))
+      .toDF("k", "lo", "hi")
+    val out = graft.engine.RangeJoin.rangeJoin(points, ivs, Seq("k"),
+        "v", "lo", "hi", bandSize = 3600L)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 2L)) // both true matches survive banding
+  }
+
   test("right payload carried atomically when a payload column is null") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     // latest right row has a NULL b — the matched (a, b) must BOTH come from

@@ -94,6 +94,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[java.sql.Timestamp]("sess_start") === ts(120))
   }
 
+  test("sessionization merges a cross-batch out-of-order event by extending sess_start") {
+    val dir = Files.createTempDirectory("graft-stream-ooo").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 02:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    // batch 1: the session opens at t=10
+    Seq((7L, 1L, ts(10))).toDF("user_id", "event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamGeocode.sessionizeStream(spark, stream, gapMinutes = 30)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("stream_sess_ooo")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an EARLIER event (t=5), legal within the 1h watermark —
+      // must extend the open session's start, not just its end
+      Seq((7L, 2L, ts(5))).toDF("user_id", "event_id", "ts")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // batch 3: advance the watermark past the gap deadline to close it
+      Seq((99L, 9L, ts(300))).toDF("user_id", "event_id", "ts")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("select * from stream_sess_ooo where user_id = 7").collect()
+    assert(out.length === 1, out.mkString("; "))
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[java.sql.Timestamp]("sess_start") === ts(5))
+    assert(out(0).getAs[java.sql.Timestamp]("sess_end") === ts(10))
+  }
+
   test("forward geocoding runs as a structured stream with watermarked top-1") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // stage synthesized pages as the file-stream source
