@@ -309,6 +309,34 @@ object SparkEntry {
       docs(s, dir).filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
     }),
+    // CUBE completes the grouping-sets family next to q12's ROLLUP: all four
+    // grouping sets in one pass, subtotal NULLs disambiguated by grouping()
+    "q20_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping("l_returnflag").as("g_rf"), grouping("l_linestatus").as("g_ls"))),
+    // INTERSECT completes the set-op family next to q6's EXCEPT
+    "q21_intersect" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet").select(col("p_partkey").as("k"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") > 45).select(col("l_partkey").as("k"))
+      p.intersect(l)
+    }),
+    // corpus-composition report — the per-source/language mix table every
+    // training-data pipeline publishes before sampling: counts, volume, and
+    // each cell's share of the whole corpus via a window over the aggregate
+    // (an unpartitioned window over grouped rows — cheap because it runs
+    // over the AGGREGATE, never the raw docs)
+    "doc_corpus_mix" -> ((s, dir) => {
+      val agg = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      val w = Window.partitionBy()
+      agg.withColumn("doc_share",
+          round(col("n_docs") / sum(col("n_docs")).over(w), 6))
+        .withColumn("char_share",
+          round(col("total_chars") / sum(col("total_chars")).over(w), 6))
+    }),
     "q2_join_topk" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1533,6 +1561,24 @@ object SparkEntry {
         |CAST(grouping(l_returnflag) AS INT) AS g_rf,
         |CAST(grouping(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q20_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n_rows,
+        |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q21_intersect" ->
+      """SELECT p_partkey AS k FROM part
+        |INTERSECT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45""".stripMargin,
+    "doc_corpus_mix" ->
+      """WITH agg AS (SELECT source, lang, count(*) AS n_docs,
+        |    sum(n_chars) AS total_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, total_chars,
+        |  round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+        |  round(total_chars / CAST(sum(total_chars) OVER () AS DOUBLE), 6)
+        |    AS char_share
+        |FROM agg""".stripMargin,
     "q19_explode" ->
       """WITH tok AS (SELECT doc_id, list_filter(
         |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
