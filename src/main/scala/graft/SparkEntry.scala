@@ -337,6 +337,77 @@ object SparkEntry {
         .withColumn("char_share",
           round(col("total_chars") / sum(col("total_chars")).over(w), 6))
     }),
+    // deterministic train/val/test split — every doc's assignment is a pure
+    // function of (salt, doc_id) via the portable sha60, so splits are
+    // replayable across reruns and engines; map-only, no shuffle at any scale
+    "doc_split" -> ((s, dir) =>
+      graft.text.Corpus.withSplit(docs(s, dir), col("doc_id"))
+        .select("doc_id", "split_bucket", "split")),
+    // stratified deterministic sampling to a target language mixture: rates
+    // folded into the plan as a CASE literal, survival decided per-row by the
+    // portable hash — changing one stratum's rate never perturbs another's
+    "doc_sample_stratified" -> ((s, dir) =>
+      graft.text.Corpus.sampleStratified(docs(s, dir), col("lang"),
+          col("doc_id"), Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.6)
+        .select("doc_id", "lang")),
+    // fixed-window document chunking with overlap (size 200, stride 150) —
+    // the context-window preparation step; a map-side generator that streams
+    // inside the scan stage (same shape as q19's lateral explode)
+    "doc_chunks" -> ((s, dir) =>
+      graft.text.Corpus.chunk(
+          docs(s, dir).filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          col("text"), size = 200, stride = 150)
+        .select("doc_id", "chunk_id", "chunk_off", "chunk_text", "chunk_chars")),
+    // top-k vocabulary with deterministic tie-break: partial map-side agg →
+    // one shuffle over distinct tokens → TakeOrdered top-k → rank window
+    // over ≤ k rows (never a global sort of the vocabulary)
+    "doc_vocab" -> ((s, dir) =>
+      graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // correlated scalar subquery (per-brand max) — exercises Catalyst's
+    // subquery decorrelation into an aggregate + join; max is order-exact so
+    // the double comparison is bit-stable in both engines
+    "q22_corr_scalar" -> ((s, dir) => {
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("graft_part")
+      s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM graft_part p
+               WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+                 FROM graft_part p2 WHERE p2.p_brand = p.p_brand)""")
+    }),
+    // correlated NOT EXISTS with an extra non-equi predicate — decorrelates
+    // to a left-anti join with a compound condition (q5 covers the plain
+    // anti-join; this is the subquery-surface route to it)
+    "q23_not_exists" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("graft_orders")
+      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("graft_lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM graft_orders o
+               WHERE o_totalprice > 100000 AND NOT EXISTS (
+                 SELECT 1 FROM graft_lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)""")
+    }),
+    // analytic-function family: lag/lead/ntile/first_value over a unique
+    // (date, key) ordering so every engine agrees on ties
+    "q24_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+    }),
+    // higher-order array functions (transform/filter/aggregate/exists) over
+    // the shared tokenizer — DuckDB recomputes them with its list lambdas
+    "q25_higher_order" -> ((s, dir) => {
+      val toks = graft.text.TextAnalysis.tokens(col("text"))
+      docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          size(filter(toks, t => length(t) > 3)).as("n_long"),
+          aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .as("total_len"),
+          coalesce(array_max(transform(toks, t => length(t))), lit(0))
+            .as("max_len"),
+          exists(toks, t => t === "the").as("has_the"))
+    }),
     "q2_join_topk" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1579,6 +1650,72 @@ object SparkEntry {
         |  round(total_chars / CAST(sum(total_chars) OVER () AS DOUBLE), 6)
         |    AS char_share
         |FROM agg""".stripMargin,
+    "doc_split" ->
+      s"""SELECT doc_id,
+         |  CAST(${sha60Sql("'split:v1:' || CAST(doc_id AS VARCHAR)")} % 100
+         |    AS INT) AS split_bucket,
+         |  CASE WHEN ${sha60Sql("'split:v1:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${sha60Sql("'split:v1:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |    THEN 'val' ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "doc_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sha60Sql("'sample:v1:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < CASE WHEN lang = 'en' THEN ${graft.text.Corpus.ppm(0.3)}
+         |         WHEN lang = 'zh' THEN ${graft.text.Corpus.ppm(0.8)}
+         |         ELSE ${graft.text.Corpus.ppm(0.6)} END""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    generate_series(0, greatest(length(text) - 1, 0), 150) AS offs
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |e AS (SELECT doc_id, text,
+        |    CAST(generate_subscripts(offs, 1) - 1 AS INT) AS chunk_id,
+        |    CAST(unnest(offs) AS INT) AS chunk_off
+        |  FROM t)
+        |SELECT doc_id, chunk_id, chunk_off,
+        |  substr(text, chunk_off + 1, 200) AS chunk_text,
+        |  CAST(length(substr(text, chunk_off + 1, 200)) AS INT) AS chunk_chars
+        |FROM e""".stripMargin,
+    "doc_vocab" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1)
+        |SELECT token, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+        |    AS INT) AS vocab_id
+        |FROM c ORDER BY vocab_id LIMIT 100""".stripMargin,
+    "q22_corr_scalar" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q23_not_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 100000 AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)""".stripMargin,
+    "q24_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q25_higher_order" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> length(x) > 3)) AS INT) AS n_long,
+        |  COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS INT), 0)
+        |    AS total_len,
+        |  COALESCE(CAST(list_max(list_transform(toks, x -> length(x))) AS INT), 0)
+        |    AS max_len,
+        |  len(list_filter(toks, x -> x = 'the')) > 0 AS has_the
+        |FROM t""".stripMargin,
     "q19_explode" ->
       """WITH tok AS (SELECT doc_id, list_filter(
         |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),

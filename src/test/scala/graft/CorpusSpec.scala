@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Corpus
+
+/** Corpus-preparation operators: deterministic splits, stratified sampling,
+  * chunking, vocabulary. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("withSplit: deterministic, exhaustive, and approximately proportional") {
+    val a = Corpus.withSplit(docs, $"doc_id").select("doc_id", "split")
+    val b = Corpus.withSplit(docs, $"doc_id").select("doc_id", "split")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val byShare = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(byShare.values.sum === n.toLong) // every doc assigned exactly once
+    assert(byShare("train") / n > 0.80 && byShare("train") / n < 0.97)
+    assert(byShare.keySet === Set("train", "val", "test"))
+    // a different salt reshuffles assignments (some doc changes split)
+    val resalted = Corpus.withSplit(docs, $"doc_id", salt = "v2")
+      .select("doc_id", "split")
+    assert(a.except(resalted).count() > 0)
+  }
+
+  test("withSplit is map-only (no Exchange in the plan)") {
+    val plan = Corpus.withSplit(docs, $"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleStratified: monotone in rate, stratum-independent") {
+    val lo = Corpus.sampleStratified(docs, $"lang", $"doc_id",
+      Map("en" -> 0.2), defaultRate = 0.5).select("doc_id")
+    val hi = Corpus.sampleStratified(docs, $"lang", $"doc_id",
+      Map("en" -> 0.6), defaultRate = 0.5).select("doc_id")
+    // raising one stratum's rate only ADDS rows, never removes any
+    assert(lo.except(hi).count() === 0)
+    assert(hi.count() > lo.count())
+    // non-en strata are untouched by the en-rate change
+    val loOther = Corpus.sampleStratified(docs, $"lang", $"doc_id",
+      Map("en" -> 0.2), defaultRate = 0.5).filter($"lang" =!= "en")
+    val hiOther = Corpus.sampleStratified(docs, $"lang", $"doc_id",
+      Map("en" -> 0.6), defaultRate = 0.5).filter($"lang" =!= "en")
+    assert(loOther.count() === hiOther.count())
+    // rate 1.0 keeps everything, 0.0 keeps nothing
+    assert(Corpus.sampleStratified(docs, $"lang", $"doc_id", Map.empty,
+      defaultRate = 1.0).count() === docs.count())
+    assert(Corpus.sampleStratified(docs, $"lang", $"doc_id", Map.empty,
+      defaultRate = 0.0).count() === 0)
+  }
+
+  test("chunk: windows cover the text, stride/size honored, reassembly exact") {
+    val d = Seq((1L, "a" * 500), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val c = Corpus.chunk(d, $"text", size = 200, stride = 150)
+      .select("doc_id", "chunk_id", "chunk_off", "chunk_text", "chunk_chars")
+      .as[(Long, Int, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: offsets 0,150,300,450 — sizes 200,200,200,50
+    val d1 = c.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq === Seq(0, 150, 300, 450))
+    assert(d1.map(_._5).toSeq === Seq(200, 200, 200, 50))
+    // stride < size ⇒ consecutive chunks overlap by size - stride chars
+    d1.sliding(2).foreach { case Array(p, q) =>
+      assert(p._4.takeRight(50) === q._4.take(50))
+    }
+    // non-overlapped reassembly reproduces the original text exactly
+    val rebuilt = d1.map(_._4.take(150)).mkString.take(500) + d1.last._4.drop(150)
+    assert(rebuilt.length >= 500 && rebuilt.startsWith("a" * 500))
+    // short doc: one chunk, whole text; empty doc: one empty chunk (kept)
+    assert(c.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, "xy", 2)))
+    assert(c.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0, "", 0)))
+  }
+
+  test("vocabTopK: rank ordered by count desc then token asc, capped at k") {
+    val d = Seq("b b b a a c", "a c d").map(Tuple1(_)).toDF("text")
+    val v = Corpus.vocabTopK(d, $"text", k = 3)
+      .select("vocab_id", "token", "n_occurrences")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    // counts: a=3, b=3, c=2, d=1 → tie a/b broken by token asc
+    assert(v.toSeq === Seq((0, "a", 3L), (1, "b", 3L), (2, "c", 2L)))
+  }
+}
