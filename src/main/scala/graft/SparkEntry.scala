@@ -363,6 +363,21 @@ object SparkEntry {
     // over ≤ k rows (never a global sort of the vocabulary)
     "doc_vocab" -> ((s, dir) =>
       graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // per-source quality gate: drop docs under their source's p25 quality —
+    // thresholds are one broadcast row per source; scores rounded to 6
+    // digits before BOTH the percentile and the comparison (bit-stable gate)
+    "doc_quality_gate" -> ((s, dir) =>
+      graft.text.Corpus.qualityGate(docs(s, dir), col("source"), pct = 0.25)
+        .select("doc_id", "source", "quality_score", "quality_thr")),
+    // per-source cap (host-level cap): keep the 10 best-quality docs per
+    // source, doc_id breaking ties — one hash shuffle + a bounded window
+    "doc_domain_cap" -> ((s, dir) => {
+      val scored = TextAnalysis.withQuality(docs(s, dir))
+        .withColumn("quality_score", round(col("quality_score"), 6))
+      graft.text.Corpus.capPerStratum(scored, col("source"), col("doc_id"),
+          col("quality_score"), n = 10)
+        .select("doc_id", "source", "quality_score", "strat_rank")
+    }),
     // correlated scalar subquery (per-brand max) — exercises Catalyst's
     // subquery decorrelation into an aggregate + join; max is order-exact so
     // the double comparison is bit-stable in both engines
@@ -1686,6 +1701,24 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
         |    AS INT) AS vocab_id
         |FROM c ORDER BY vocab_id LIMIT 100""".stripMargin,
+    "doc_quality_gate" ->
+      s"""WITH ${qualityCtes("documents")},
+         |s AS (SELECT q.doc_id, d.source, q.quality_score
+         |  FROM q JOIN documents d USING (doc_id)),
+         |thr AS (SELECT source, quantile_cont(quality_score, 0.25)
+         |    AS quality_thr FROM s GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.quality_score, thr.quality_thr
+         |FROM s JOIN thr USING (source)
+         |WHERE s.quality_score >= thr.quality_thr""".stripMargin,
+    "doc_domain_cap" ->
+      s"""WITH ${qualityCtes("documents")},
+         |s AS (SELECT q.doc_id, d.source, q.quality_score
+         |  FROM q JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, source, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality_score DESC, doc_id) AS INT) AS strat_rank FROM s)
+         |SELECT doc_id, source, quality_score, strat_rank
+         |FROM r WHERE strat_rank <= 10""".stripMargin,
     "q22_corr_scalar" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part p
         |WHERE p_retailprice = (SELECT max(p2.p_retailprice)

@@ -74,6 +74,37 @@ object Corpus {
       .withColumn("chunk_chars", length(col("chunk_text")))
   }
 
+  /** Per-stratum quality gate: drop every document whose quality score falls
+    * below its stratum's pct-th exact interpolated percentile. The threshold
+    * table is one row per stratum (a broadcast join); the percentile runs
+    * over the per-stratum AGGREGATE paths Spark distributes, so nothing here
+    * is a global sort. Scores are rounded to 6 digits BEFORE both the
+    * percentile and the comparison so the gate is bit-stable across engines.
+    */
+  def qualityGate(docs: DataFrame, stratum: Column, pct: Double): DataFrame = {
+    require(pct > 0.0 && pct < 1.0, "pct in (0,1)")
+    val scored = TextAnalysis.withQuality(docs)
+      .withColumn("quality_score", round(col("quality_score"), 6))
+    val thr = scored.groupBy(stratum.as("__stratum"))
+      .agg(expr(s"percentile(quality_score, $pct)").as("quality_thr"))
+    scored.join(broadcast(thr), stratum === col("__stratum"))
+      .filter(col("quality_score") >= col("quality_thr"))
+      .drop("__stratum")
+  }
+
+  /** Per-stratum cap: keep at most n documents per stratum, best quality
+    * first (doc id breaks ties) — the host-level cap crawl cleaning applies
+    * so no single domain dominates the corpus. One hash shuffle on the
+    * stratum + a bounded window; never a global sort. */
+  def capPerStratum(docs: DataFrame, stratum: Column, key: Column,
+                    quality: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(quality.desc, key)
+    docs.withColumn("strat_rank", row_number().over(w))
+      .filter(col("strat_rank") <= n)
+  }
+
   /** Top-k token vocabulary with deterministic tie-break (count desc, token
     * asc) and a dense `vocab_id` rank. Partial map-side aggregation collapses
     * each partition to its distinct tokens before the single shuffle; the

@@ -77,6 +77,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(c.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0, "", 0)))
   }
 
+  test("qualityGate: per-stratum threshold, broadcast join, keeps >= pct share") {
+    val gated = graft.text.Corpus.qualityGate(docs, $"source", pct = 0.25)
+    val kept = gated.count().toDouble
+    val total = docs.count().toDouble
+    // p25 gate keeps at least 75% of every stratum (ties can keep more)
+    assert(kept / total >= 0.70 && kept < total)
+    // every kept row satisfies its own threshold
+    assert(gated.filter($"quality_score" < $"quality_thr").count() === 0)
+    // threshold table joins via broadcast, not a shuffle of the docs side
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("capPerStratum: at most n per stratum, best-quality-first, ties by key") {
+    val d = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
+      ("b", 5L, 0.7)).toDF("source", "doc_id", "q")
+    val capped = graft.text.Corpus.capPerStratum(d, $"source", $"doc_id", $"q", n = 2)
+      .select("source", "doc_id", "strat_rank")
+      .as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    // tie at 0.9 broken by doc_id asc; doc 3/4 dropped; stratum b unaffected
+    assert(capped.toSeq === Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
+  }
+
   test("vocabTopK: rank ordered by count desc then token asc, capped at k") {
     val d = Seq("b b b a a c", "a c d").map(Tuple1(_)).toDF("text")
     val v = Corpus.vocabTopK(d, $"text", k = 3)
