@@ -363,6 +363,47 @@ object SparkEntry {
     // over ≤ k rows (never a global sort of the vocabulary)
     "doc_vocab" -> ((s, dir) =>
       graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // corpus-wide segment-level exact dedup (the CCNet/RefinedWeb line-dedup
+    // step) over the planted-dup corpus: 20-char windows as segments, first
+    // occurrence wins via a COMBINABLE min(struct) — the hot-segment shuffle
+    // collapses map-side, never through one window task
+    "doc_line_dedup" -> ((s, dir) => {
+      val segs = graft.text.Corpus.chunk(docsWithNearDups(s, dir),
+        col("text"), size = 20, stride = 20)
+      graft.text.Corpus.dedupSegments(segs, col("doc_id"), col("chunk_id"),
+        col("chunk_text"))
+    }),
+    // C4-style boilerplate segment rules, each flag exposed for audit;
+    // map-only over the same 30-char segmentation
+    "doc_boilerplate" -> ((s, dir) =>
+      graft.text.Corpus.segmentFlags(
+          graft.text.Corpus.chunk(docs(s, dir).select("doc_id", "text"),
+            col("text"), size = 30, stride = 30),
+          col("chunk_text"), minWords = 3,
+          blacklist = Seq("javascript", "lorem"))
+        .select("doc_id", "chunk_id", "flag_too_short", "flag_blacklist",
+          "flag_brace", "seg_keep")),
+    // benchmark decontamination: every training doc sharing a 6-gram with
+    // the (broadcast) eval subset is flagged with its collision count
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Corpus.decontaminate(d.select("doc_id", "text"),
+          col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 6)
+        .select("doc_id", "n_contaminated_grams", "contaminated")
+    }),
+    // GPT-style sequence packing: concat-and-cut at 64 tokens within 4
+    // shards, exploded to per-(doc, sequence) slice rows — pure integer
+    // window math, bit-replayable by any engine
+    "doc_pack_sequences" -> ((s, dir) => {
+      val packed = graft.text.Corpus.packSequences(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        pmod(col("doc_id"), lit(4L)), col("doc_id"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")), seqLen = 64)
+      graft.text.Corpus.packExplode(packed, seqLen = 64)
+        .select("doc_id", "shard", "seq_id", "doc_tok_off", "seq_tok_off",
+          "n_toks")
+    }),
     // per-source quality gate: drop docs under their source's p25 quality —
     // thresholds are one broadcast row per source; scores rounded to 6
     // digits before BOTH the percentile and the comparison (bit-stable gate)
@@ -1719,6 +1760,73 @@ object SparkEntry {
          |    ORDER BY quality_score DESC, doc_id) AS INT) AS strat_rank FROM s)
          |SELECT doc_id, source, quality_score, strat_rank
          |FROM r WHERE strat_rank <= 10""".stripMargin,
+    // independent re-derivation: DuckDB picks winners with a row_number
+    // window (a different algorithm than Spark's min-struct aggregate)
+    "doc_line_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, text,
+        |    generate_series(0, greatest(length(text) - 1, 0), 20) AS offs
+        |  FROM all_docs),
+        |e AS (SELECT doc_id,
+        |    CAST(generate_subscripts(offs, 1) - 1 AS INT) AS seg_idx,
+        |    substr(text, CAST(unnest(offs) AS INT) + 1, 20) AS seg_text FROM t),
+        |w AS (SELECT doc_id, seg_idx, seg_text,
+        |    row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY seg_text) AS n_copies FROM e)
+        |SELECT doc_id AS doc_key, seg_idx, seg_text, n_copies
+        |FROM w WHERE rn = 1""".stripMargin,
+    "doc_boilerplate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    generate_series(0, greatest(length(text) - 1, 0), 30) AS offs
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    CAST(generate_subscripts(offs, 1) - 1 AS INT) AS chunk_id,
+        |    substr(text, CAST(unnest(offs) AS INT) + 1, 30) AS seg FROM t),
+        |f AS (SELECT doc_id, chunk_id,
+        |    len(list_filter(string_split_regex(lower(seg), '[^\p{L}\p{Nd}]+'),
+        |      x -> length(x) > 0)) < 3 AS flag_too_short,
+        |    (contains(lower(seg), 'javascript') OR contains(lower(seg), 'lorem'))
+        |      AS flag_blacklist,
+        |    (contains(seg, '{') OR contains(seg, '}')) AS flag_brace FROM e)
+        |SELECT doc_id, chunk_id, flag_too_short, flag_blacklist, flag_brace,
+        |  (NOT flag_too_short AND NOT flag_blacklist AND NOT flag_brace)
+        |    AS seg_keep
+        |FROM f""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 5), i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |    toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6])))
+        |    AS gram FROM tok WHERE len(toks) >= 6),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n FROM g
+        |  JOIN bg USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "doc_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS cnt FROM documents),
+        |w AS (SELECT doc_id, shard, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+        |      AS tok_end FROM tok),
+        |c AS (SELECT doc_id, shard, tok_end, tok_end - cnt AS tok_start,
+        |    (tok_end - cnt) // 64 AS seq_first, (tok_end - 1) // 64 AS seq_last
+        |  FROM w WHERE cnt > 0),
+        |e AS (SELECT doc_id, shard, tok_start, tok_end,
+        |    unnest(generate_series(seq_first, seq_last)) AS seq_id FROM c)
+        |SELECT doc_id, shard, seq_id,
+        |  greatest(seq_id * 64 - tok_start, 0) AS doc_tok_off,
+        |  greatest(tok_start - seq_id * 64, 0) AS seq_tok_off,
+        |  least(tok_end, (seq_id + 1) * 64)
+        |    - greatest(tok_start, seq_id * 64) AS n_toks
+        |FROM e""".stripMargin,
     "q22_corr_scalar" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part p
         |WHERE p_retailprice = (SELECT max(p2.p_retailprice)

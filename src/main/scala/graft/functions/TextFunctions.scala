@@ -15,6 +15,11 @@ object TextInternal {
   def minhash(text: UTF8String, shingleN: Int, perms: Int): ArrayData =
     new GenericArrayData(TextCore.minhash(if (text == null) "" else text.toString, shingleN, perms))
 
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val grams = TextCore.wordNgrams(if (text == null) "" else text.toString, n)
+    new GenericArrayData(grams.map(UTF8String.fromString(_)))
+  }
+
   def bandHashes(sig: ArrayData, bands: Int): ArrayData =
     new GenericArrayData(TextCore.bandHashes(sig.toLongArray(), bands))
 
@@ -137,6 +142,9 @@ object TextFunctions {
 
   def minhash(text: Column, shingleN: Column, perms: Column): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhash", text, shingleN, perms)
+
+  def wordNgrams(text: Column, n: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "wordNgrams", text, n)
 
   def bandHashes(sig: Column, bands: Column): Column =
     invoke(ArrayType(LongType, containsNull = false), "bandHashes", sig, bands)

@@ -105,6 +105,139 @@ object Corpus {
       .filter(col("strat_rank") <= n)
   }
 
+  /** Corpus-wide segment-level exact dedup (the CCNet / RefinedWeb
+    * line-dedup step): across ALL documents, each distinct segment text
+    * survives exactly once, at its first occurrence in (docKey, segIdx)
+    * order. One shuffle on the segment text with a COMBINABLE aggregate —
+    * `min(struct(key, idx))` partial-aggregates map-side, so a boilerplate
+    * segment repeated 10^9 times collapses to one row per input partition
+    * before the exchange (a row_number window would funnel the hot segment
+    * through one task). Output: one row per distinct segment with its winning
+    * position and its corpus-wide copy count. */
+  def dedupSegments(segs: DataFrame, docKey: Column, segIdx: Column,
+                    segText: Column): DataFrame =
+    segs.groupBy(segText.as("seg_text"))
+      .agg(min(struct(docKey.as("k"), segIdx.as("i"))).as("__first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__first.k").as("doc_key"), col("__first.i").as("seg_idx"),
+        col("seg_text"), col("n_copies"))
+
+  /** Rebuild per-document text from surviving segments: sort each document's
+    * segments by index and join with `sep`. One shuffle on the document key;
+    * the sort happens inside `array_sort` per group (struct ordering is
+    * lexicographic, so the index field leads), never as a global sort. */
+  def reassembleSegments(segs: DataFrame, docKey: Column, segIdx: Column,
+                         segText: Column, sep: String): DataFrame =
+    segs.groupBy(docKey.as("doc_key"))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(segIdx.as("i"), segText.as("t")))),
+        s => s.getField("t"))).as("text"),
+        count(lit(1)).as("n_segments"))
+
+  /** C4-style boilerplate segment rules, each surfaced as its own flag so a
+    * pipeline can audit WHY a segment dropped: fewer than `minWords` tokens
+    * (shared tokenizer), a blacklist phrase (policy/boilerplate markers),
+    * curly braces (leaked code/CSS), and — optional, for corpora where prose
+    * carries punctuation — a missing terminal punctuation mark. Map-only. */
+  def segmentFlags(segs: DataFrame, segText: Column, minWords: Int,
+                   blacklist: Seq[String],
+                   requireTerminalPunct: Boolean = false): DataFrame = {
+    require(minWords >= 0, "minWords must be >= 0")
+    val low = lower(segText)
+    val black = blacklist.sorted
+      .map(b => low.contains(b.toLowerCase(java.util.Locale.ROOT)))
+      .foldLeft(lit(false))(_ || _)
+    val noPunct =
+      if (requireTerminalPunct) !segText.rlike("[.!?\"']\\s*$") else lit(false)
+    segs
+      .withColumn("flag_too_short",
+        size(TextAnalysis.tokens(segText)) < minWords)
+      .withColumn("flag_blacklist", black)
+      .withColumn("flag_brace", segText.contains("{") || segText.contains("}"))
+      .withColumn("flag_no_punct", noPunct)
+      .withColumn("seg_keep", !col("flag_too_short") && !col("flag_blacklist")
+        && !col("flag_brace") && !col("flag_no_punct"))
+  }
+
+  /** Distinct word n-grams of `text` under the shared tokenizer; documents
+    * with fewer than n tokens yield none (no collision is possible). The
+    * n-gram is materialized as the space-joined token run — the SAME string
+    * an external engine rebuilds, so collision sets are portable. A codegen
+    * StaticInvoke ([[TextCore.wordNgrams]]): the HOF-lambda formulation
+    * re-tokenizes per element after CollapseProject inlining (~10x). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    TextFunctions.wordNgrams(text, lit(n))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word n-gram with the evaluation set (the n-gram-collision
+    * rule the GPT-3/Llama corpus papers apply before training). The bench
+    * n-gram set is distinct-aggregated and BROADCAST — eval suites are tiny
+    * next to the corpus — so the per-doc collision count is a map-side
+    * semi-probe; the only exchanges are the bench-side distinct and the
+    * final count-per-doc aggregate over matched grams (narrow rows). */
+  def decontaminate(docs: DataFrame, docKey: Column, text: Column,
+                    bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(benchText, n)).as("__gram")).distinct()
+    val hits = docs
+      .select(docKey.as("__k"), explode(wordNgrams(text, n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .groupBy(col("__k")).agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.join(hits, docKey === col("__k"), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+      .drop("__k")
+  }
+
+  /** GPT-style sequence packing coordinates: within each shard, documents
+    * are concatenated in `key` order and cut every `seqLen` tokens; each
+    * document learns its token span [tok_start, tok_end) and the range of
+    * training sequences it lands in. Pure integer window math — one running
+    * sum per shard (shards bound the sort; there is no global order), so
+    * the layout is bit-replayable by any engine. Zero-token documents carry
+    * their boundary position with seq_first = seq_last = the sequence the
+    * boundary falls in. */
+  def packSequences(docs: DataFrame, shard: Column, key: Column,
+                    tokenCount: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(key)
+    val cnt = tokenCount.cast("long")
+    // offsets are non-negative, so integral DIV is floor division — double
+    // arithmetic would lose token resolution past 2^53 (a real number for
+    // cumulative token offsets at 100 TB)
+    docs.withColumn("shard", shard)
+      .withColumn("tok_end", sum(cnt).over(w))
+      .withColumn("tok_start", col("tok_end") - cnt)
+      .withColumn("seq_first", expr(s"tok_start DIV ${seqLen.toLong}"))
+      .withColumn("seq_last",
+        when(cnt > 0, expr(s"(tok_end - 1) DIV ${seqLen.toLong}"))
+          .otherwise(expr(s"tok_start DIV ${seqLen.toLong}")))
+      .withColumn("seq_off", pmod(col("tok_start"), lit(seqLen.toLong)))
+  }
+
+  /** Explode [[packSequences]] coordinates into per-(document, sequence)
+    * slice rows — the writer's unit of work: which run of the document's
+    * tokens lands in which training sequence, at which offset. A map-side
+    * generator over the packed coordinates; empty documents emit nothing. */
+  def packExplode(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val L = lit(seqLen.toLong)
+    packed.filter(col("tok_end") > col("tok_start"))
+      .select(col("*"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("doc_tok_off",
+        greatest(col("seq_id") * L - col("tok_start"), lit(0L)))
+      .withColumn("seq_tok_off",
+        greatest(col("tok_start") - col("seq_id") * L, lit(0L)))
+      .withColumn("n_toks",
+        least(col("tok_end"), (col("seq_id") + 1) * L)
+          - greatest(col("tok_start"), col("seq_id") * L))
+  }
+
   /** Top-k token vocabulary with deterministic tie-break (count desc, token
     * asc) and a dense `vocab_id` rank. Partial map-side aggregation collapses
     * each partition to its distinct tokens before the single shuffle; the

@@ -32,6 +32,30 @@ object TextCore {
     if (text == null || text.isEmpty) Array.empty
     else text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty)
 
+  /** Distinct word n-grams as space-joined strings, first-occurrence order;
+    * texts with fewer than n tokens yield none (decontamination semantics:
+    * no collision is possible). One JVM call per row — a Catalyst HOF lambda
+    * here would re-tokenize per element once CollapseProject inlines the
+    * token expression. */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** Word n-gram shingle hashes. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val toks = tokenize(text)

@@ -101,6 +101,92 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped.toSeq === Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
   }
 
+  test("dedupSegments: first occurrence wins, copies counted; reassembly") {
+    val segs = Seq(
+      (1L, 0, "alpha"), (1L, 1, "boiler"), (1L, 2, "beta"),
+      (2L, 0, "boiler"), (2L, 1, "gamma"),
+      (3L, 0, "boiler"), (3L, 1, "alpha")).toDF("doc_id", "seg_idx", "seg")
+    val d = Corpus.dedupSegments(segs, $"doc_id", $"seg_idx", $"seg")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // "boiler" survives only at (1,1) with 3 copies; "alpha" at (1,0) with 2
+    assert(d.toSeq === Seq((1L, 0, "alpha", 2L), (1L, 1, "boiler", 3L),
+      (1L, 2, "beta", 1L), (2L, 1, "gamma", 1L)))
+    val re = Corpus.reassembleSegments(
+        Corpus.dedupSegments(segs, $"doc_id", $"seg_idx", $"seg"),
+        $"doc_key", $"seg_idx", $"seg_text", sep = " ")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(re.toSeq === Seq((1L, "alpha boiler beta", 3L), (2L, "gamma", 1L)))
+  }
+
+  test("segmentFlags: each C4 rule fires independently") {
+    val segs = Seq(
+      "a perfectly fine prose segment.",
+      "ok",                               // too short
+      "please enable javascript to view", // blacklist
+      "body { color: red }",              // brace (and blacklist-free)
+      "no terminal punctuation here"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "seg")
+    val f = Corpus.segmentFlags(segs, $"seg", minWords = 3,
+        blacklist = Seq("javascript", "lorem ipsum"),
+        requireTerminalPunct = true)
+      .select("id", "flag_too_short", "flag_blacklist", "flag_brace",
+        "flag_no_punct", "seg_keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(f.map(_._6).toSeq === Seq(true, false, false, false, false))
+    assert(f(1)._2 && f(2)._3 && f(3)._4 && f(4)._5)
+    // without the punctuation rule, the last segment is kept
+    val lax = Corpus.segmentFlags(segs, $"seg", minWords = 3,
+      blacklist = Seq("javascript"))
+    assert(lax.filter($"id" === 4 && $"seg_keep").count() === 1)
+  }
+
+  test("decontaminate: n-gram collision with the bench set flags the doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated training text with other words"),
+      (3L, "short")).toDF("doc_id", "text")
+    val bench = Seq("quick brown fox jumps over benchmarks", "zzz")
+      .map(Tuple1(_)).toDF("btext")
+    val d = Corpus.decontaminate(train, $"doc_id", $"text",
+        bench, $"btext", n = 4)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc 1 shares 2 distinct 4-grams ("quick brown fox jumps",
+    // "brown fox jumps over"); docs 2 and 3 (< n tokens) are clean
+    assert(d.toSeq === Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("packSequences + packExplode: exact concat-and-cut coordinates") {
+    val d = Seq((0L, 0, 7L), (1L, 0, 0L), (2L, 0, 12L), (3L, 0, 5L),
+      (10L, 1, 25L)).toDF("doc_id", "shard", "cnt")
+    val packed = Corpus.packSequences(d, $"shard", $"doc_id", $"cnt", seqLen = 10)
+    val p = packed.select("doc_id", "tok_start", "tok_end", "seq_first",
+        "seq_last", "seq_off")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(p.toSeq === Seq(
+      (0L, 0L, 7L, 0L, 0L, 0L),    // fits in seq 0
+      (1L, 7L, 7L, 0L, 0L, 7L),    // empty doc carries its boundary
+      (2L, 7L, 19L, 0L, 1L, 7L),   // straddles seqs 0 and 1
+      (3L, 19L, 24L, 1L, 2L, 9L),  // straddles seqs 1 and 2
+      (10L, 0L, 25L, 0L, 2L, 0L))) // shard 1 restarts at token 0
+    val e = Corpus.packExplode(packed, seqLen = 10)
+      .select("doc_id", "seq_id", "doc_tok_off", "seq_tok_off", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(e.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 7L),
+      (2L, 0L, 0L, 7L, 3L), (2L, 1L, 3L, 0L, 9L),
+      (3L, 1L, 0L, 9L, 1L), (3L, 2L, 1L, 0L, 4L),
+      (10L, 0L, 0L, 0L, 10L), (10L, 1L, 10L, 0L, 10L), (10L, 2L, 20L, 0L, 5L)))
+    // every shard's sequence slots are tiled exactly: per (shard, seq_id)
+    // the slice lengths sum to seqLen except the final partial sequence
+    val perSeq = Corpus.packExplode(packed, seqLen = 10)
+      .groupBy("shard", "seq_id").agg(sum("n_toks").as("n"))
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(perSeq.toSeq === Seq((0, 0L, 10L), (0, 1L, 10L), (0, 2L, 4L),
+      (1, 0L, 10L), (1, 1L, 10L), (1, 2L, 5L)))
+  }
+
   test("vocabTopK: rank ordered by count desc then token asc, capped at k") {
     val d = Seq("b b b a a c", "a c d").map(Tuple1(_)).toDF("text")
     val v = Corpus.vocabTopK(d, $"text", k = 3)
