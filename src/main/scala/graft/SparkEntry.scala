@@ -129,6 +129,79 @@ object SparkEntry {
   /** Planted near-dup corpus + tokenization + distinct-3-gram shingles —
     * the DuckDB re-derivation of [[Dedup.shingleCol]] over
     * [[docsWithNearDups]]. */
+  /** Planted messy-URL corpus (deterministic from doc_id): both engines build
+    * the IDENTICAL raw strings — scheme/host case noise, www., default and
+    * non-default ports, trailing slashes, shuffled + tracking query params,
+    * fragments — then each canonicalizes independently (Spark via
+    * etl/UrlOps expressions, DuckDB via its own regexp/list functions). */
+  private def docsWithUrls(s: SparkSession, dir: String) = {
+    val d = col("doc_id")
+    docs(s, dir).select(d,
+      concat(
+        when(pmod(d, lit(2L)) === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(pmod(d, lit(4L)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Host"), pmod(d, lit(5L)).cast("string"),
+        lit(".Example"), pmod(d, lit(4L)).cast("string"), lit(".COM"),
+        when(pmod(d, lit(8L)) === 0, lit(":80"))
+          .when(pmod(d, lit(8L)) === 1, lit(":8080")).otherwise(lit("")),
+        lit("/Dir/p"), pmod(d, lit(7L)).cast("string"),
+        when(pmod(d, lit(9L)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(d, lit(16L)) < 8,
+          concat(lit("?b=2&id="), pmod(d, lit(3L)).cast("string"),
+            lit("&utm_source=feed")))
+          .otherwise(concat(lit("?id="), pmod(d, lit(3L)).cast("string"),
+            lit("&utm_source=feed&b=2"))),
+        when(pmod(d, lit(8L)) === 2, lit("&fbclid=XyZ123")).otherwise(lit("")),
+        when(pmod(d, lit(6L)) === 0, lit("#Section-2")).otherwise(lit(""))
+      ).as("url"))
+  }
+
+  /** DuckDB twin of docsWithUrls + an independent re-derivation of the
+    * UrlOps canonicalization rules (fragment, case, www., default ports,
+    * trailing slashes, tracking-param filter + bytewise param sort). */
+  private val urlCanonCtes: String =
+    """u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Host' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '.Example' || CAST(doc_id % 4 AS VARCHAR) || '.COM' ||
+      |    (CASE WHEN doc_id % 8 = 0 THEN ':80'
+      |          WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/Dir/p' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 16 < 8
+      |          THEN '?b=2&id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=feed'
+      |          ELSE '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=feed&b=2' END) ||
+      |    (CASE WHEN doc_id % 8 = 2 THEN '&fbclid=XyZ123' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |p2 AS (SELECT doc_id, url,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p1),
+      |p3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+      |    regexp_replace(rest, '^[^/?]*', '') AS pq FROM p2),
+      |p4 AS (SELECT *,
+      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '')
+      |      AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port0,
+      |    regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') AS path,
+      |    CASE WHEN contains(pq, '?')
+      |         THEN regexp_replace(pq, '^[^?]*\?', '') ELSE '' END AS q0
+      |  FROM p3),
+      |p5 AS (SELECT *,
+      |    CASE WHEN port0 = '' THEN ''
+      |         WHEN scheme = 'http' AND port0 = '80' THEN ''
+      |         WHEN scheme = 'https' AND port0 = '443' THEN ''
+      |         ELSE ':' || port0 END AS port,
+      |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$'))), '&') AS q
+      |  FROM p4),
+      |c AS (SELECT doc_id, url, scheme, host, port, path, q,
+      |    scheme || '://' || host || port || path ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url FROM p5)""".stripMargin
+
   private val nearDupShingleCtes: String =
     """all_docs AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
@@ -1116,7 +1189,28 @@ object SparkEntry {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
         .filter(col("n_bands") >= 2)
-    })
+    }),
+    // canonical-URL projection over the planted messy-URL corpus — host/
+    // domain/reverse-host/path-depth all map-only codegen'd expressions
+    "web_url_canon" -> ((s, dir) => {
+      val u = docsWithUrls(s, dir)
+      val host = graft.etl.UrlOps.urlHost(col("url"))
+      u.select(col("doc_id"), col("url"),
+        graft.etl.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        host.as("url_host"),
+        graft.etl.UrlOps.registeredDomain(host).as("url_domain"),
+        graft.etl.UrlOps.reverseHost(host).as("rev_host"),
+        graft.etl.UrlOps.pathDepth(graft.etl.UrlOps.urlPath(col("url")))
+          .as("path_depth"))
+    }),
+    // URL-level exact dedup: raw spelling variants (case/www/port/fragment/
+    // tracking-param noise) collapse onto one canonical winner
+    "web_url_dedup" -> ((s, dir) =>
+      graft.etl.UrlOps.dedupByCanonical(docsWithUrls(s, dir), col("url"),
+        col("doc_id"))),
+    // per-registered-domain crawl stats (pages / canonical urls / hosts)
+    "web_host_stats" -> ((s, dir) =>
+      graft.etl.UrlOps.hostStats(docsWithUrls(s, dir), col("url")))
   )
 
   // ---- oracle SQL fragments for the materialized-input pipeline queries ---
@@ -2272,7 +2366,27 @@ object SparkEntry {
         |     ('il','la','di','che','e','per','con','del','una','sono')))
         |     / CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': 'it'}]) AS best FROM t)
         |SELECT doc_id, CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |  WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM s""".stripMargin
+        |  WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM s""".stripMargin,
+    "web_url_canon" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canon_url, host AS url_host,
+         |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS url_domain,
+         |  array_to_string(list_reverse(string_split(host, '.')), '.')
+         |    AS rev_host,
+         |  CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+         |    AS INT) AS path_depth
+         |FROM c""".stripMargin,
+    "web_url_dedup" ->
+      s"""WITH $urlCanonCtes
+         |SELECT canon_url, min(doc_id) AS winner, count(*) AS n_copies,
+         |  count(DISTINCT url) AS n_raw_variants
+         |FROM c GROUP BY 1""".stripMargin,
+    "web_host_stats" ->
+      s"""WITH $urlCanonCtes
+         |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+         |  count(*) AS n_pages, count(DISTINCT canon_url) AS n_canon_urls,
+         |  count(DISTINCT host) AS n_hosts
+         |FROM c GROUP BY 1""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

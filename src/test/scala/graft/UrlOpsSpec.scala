@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.UrlOps
+
+/** Canonical-URL operators: normalization rules, dedup, host stats. */
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url").select(UrlOps.canonicalUrl($"url")).as[String].head()
+
+  test("canonicalUrl: case, www, default port, fragment, tracking params, sort") {
+    assert(canon("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=1&b=2#frag")
+      === "http://example.com/a/b?b=2&id=1")
+    assert(canon("https://Example.com:443/") === "https://example.com")
+    assert(canon("https://example.com:8080/P") === "https://example.com:8080/P")
+    assert(canon("http://example.com:8080/x") === "http://example.com:8080/x")
+  }
+
+  test("canonicalUrl: path case preserved, root and trailing slashes, no query") {
+    assert(canon("http://a.b/Dir/Page///") === "http://a.b/Dir/Page")
+    assert(canon("http://a.b/") === "http://a.b")
+    assert(canon("http://a.b") === "http://a.b")
+    // all params tracking -> no '?' at all
+    assert(canon("http://a.b/p?utm_medium=m&fbclid=z&gclid=1&ref=r")
+      === "http://a.b/p")
+    // bare tracking name without '=' also dropped; empties dropped
+    assert(canon("http://a.b/p?ref&&x=1") === "http://a.b/p?x=1")
+  }
+
+  test("canonicalUrl: schemeless input is opaque (lowercased, defragmented)") {
+    assert(canon("  Example.COM/Path#f  ") === "example.com/path")
+  }
+
+  test("canonicalUrl is idempotent") {
+    val raws = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=1&b=2#frag",
+      "https://Example.com:443/", "https://h.io:8080/Q?z=1&a=2",
+      "no-scheme.org/X#y")
+    raws.foreach { r =>
+      val once = canon(r)
+      assert(canon(once) === once, r)
+    }
+  }
+
+  test("host helpers: registered domain, reverse host, path depth") {
+    val df = Seq("https://WWW.News.Sub.Example.co:443/a//b/c?x=1").toDF("url")
+      .select(UrlOps.urlHost($"url").as("h"), UrlOps.urlPath($"url").as("p"))
+      .select($"h", UrlOps.registeredDomain($"h").as("d"),
+        UrlOps.reverseHost($"h").as("r"), UrlOps.pathDepth($"p").as("n"))
+    val row = df.as[(String, String, String, Int)].head()
+    assert(row === (("news.sub.example.co", "example.co",
+      "co.example.sub.news", 3)))
+  }
+
+  test("dedupByCanonical merges raw variants; winner is min key") {
+    val df = Seq(
+      (1L, "HTTP://WWW.A.com/x?utm_source=s"),
+      (2L, "http://a.com/x/"),
+      (3L, "http://a.com/x#top"),
+      (9L, "https://b.com/y")).toDF("id", "url")
+    val out = UrlOps.dedupByCanonical(df, $"url", $"id")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("http://a.com/x", 1L, 3L, 3L),
+      ("https://b.com/y", 9L, 1L, 1L)))
+  }
+
+  test("hostStats counts pages, canonical urls, hosts per registered domain") {
+    val df = Seq(
+      "http://a.example.com/1", "http://b.example.com/1",
+      "http://b.example.com/1#frag", "https://other.org/z").toDF("url")
+    val out = UrlOps.hostStats(df, $"url")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("example.com", 3L, 2L, 2L), ("other.org", 1L, 1L, 1L)))
+  }
+
+  test("canonicalization is map-only (no Exchange in the plan)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(lit("http://h"), $"doc_id", lit(".ex.com/p")).as("url"))
+    val plan = docs.select(UrlOps.canonicalUrl($"url"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke"), plan)
+  }
+}
