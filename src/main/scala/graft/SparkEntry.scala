@@ -1210,7 +1210,27 @@ object SparkEntry {
         col("doc_id"))),
     // per-registered-domain crawl stats (pages / canonical urls / hosts)
     "web_host_stats" -> ((s, dir) =>
-      graft.etl.UrlOps.hostStats(docsWithUrls(s, dir), col("url")))
+      graft.etl.UrlOps.hostStats(docsWithUrls(s, dir), col("url"))),
+    // recrawl snapshot selection: latest capture per canonical URL, winner
+    // via a combinable max(struct(ts, key)) — deterministic under ties
+    "web_url_latest" -> ((s, dir) =>
+      graft.etl.UrlOps.latestByCanonical(
+        docsWithUrls(s, dir).withColumn("fetch_ts",
+          lit(1700000000L) + pmod(col("doc_id"), lit(97L)) * lit(86400L)
+            + col("doc_id")),
+        col("url"), col("doc_id"), col("fetch_ts"))),
+    // tile pyramid: base zoom pays the only hit-level shuffle, coarser
+    // zooms roll up the previous level by exact integer halving; the oracle
+    // recomputes every level DIRECTLY from the points (a different
+    // algorithm) and must agree bit-for-bit
+    "geo_tile_pyramid" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .select(((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0)
+            .as("lon"),
+          ((col("o_orderkey") * 104729 % 170000) / lit(1000.0) - 85.0)
+            .as("lat"))
+      graft.engine.Tiler.pyramid(pts, zMin = 4, zMax = 8)
+    })
   )
 
   // ---- oracle SQL fragments for the materialized-input pipeline queries ---
@@ -2386,7 +2406,27 @@ object SparkEntry {
          |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
          |  count(*) AS n_pages, count(DISTINCT canon_url) AS n_canon_urls,
          |  count(DISTINCT host) AS n_hosts
-         |FROM c GROUP BY 1""".stripMargin
+         |FROM c GROUP BY 1""".stripMargin,
+    "web_url_latest" ->
+      s"""WITH $urlCanonCtes,
+         |t AS (SELECT canon_url, doc_id,
+         |    1700000000 + (doc_id % 97) * 86400 + doc_id AS fetch_ts FROM c)
+         |SELECT canon_url, max(fetch_ts) AS latest_ts,
+         |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
+         |FROM t GROUP BY 1""".stripMargin,
+    "geo_tile_pyramid" ->
+      """WITH pts AS (SELECT
+        |  (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+        |  (o_orderkey * 104729 % 170000) / CAST(1000.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS lat
+        |  FROM orders),
+        |z AS (SELECT unnest(generate_series(4, 8)) AS zz),
+        |a AS (SELECT zz,
+        |  CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * (1 << zz)) AS BIGINT) AS tile_x,
+        |  CAST(floor((CAST(1.0 AS DOUBLE) - ln(tan(radians(lat)) + CAST(1.0 AS DOUBLE) / cos(radians(lat))) / pi())
+        |    / CAST(2.0 AS DOUBLE) * (1 << zz)) AS BIGINT) AS tile_y
+        |  FROM pts CROSS JOIN z)
+        |SELECT CAST(zz AS INT) AS tile_z, tile_x, tile_y, count(*) AS n_hits
+        |FROM a GROUP BY 1, 2, 3""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

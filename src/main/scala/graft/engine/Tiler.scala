@@ -28,6 +28,27 @@ object Tiler {
       .agg(count(lit(1)).as("n_hits"),
         approx_count_distinct(col(idCol)).as("approx_pages"))
 
+  /** Tile pyramid: per-tile hit counts at every zoom in [zMin, zMax]. The
+    * base level pays the single hit-level shuffle; every coarser level
+    * aggregates the PREVIOUS level's exponentially smaller tile table by
+    * integer-halving x/y (`shiftright`, exact for the non-negative tile
+    * domain) — raw hits are scanned exactly once no matter how many zooms
+    * are emitted, which is what makes a 20-level pyramid affordable at
+    * crawl scale. Valid because floor(floor(a)/2) == floor(a/2) for a >= 0:
+    * halving a zoom-z index IS the zoom-(z-1) index. */
+  def pyramid(hits: DataFrame, zMin: Int, zMax: Int): DataFrame = {
+    require(0 <= zMin && zMin <= zMax, s"bad zoom range [$zMin, $zMax]")
+    val base = assign(hits, zMax)
+      .groupBy("tile_z", "tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_hits"))
+    Iterator.iterate(base)(prev =>
+        prev.groupBy((col("tile_z") - 1).as("tile_z"),
+            shiftright(col("tile_x"), 1).as("tile_x"),
+            shiftright(col("tile_y"), 1).as("tile_y"))
+          .agg(sum(col("n_hits")).as("n_hits")))
+      .take(zMax - zMin + 1).reduce(_ unionByName _)
+  }
+
   /** Vector side: decode tile ids back to their lon/lat bounding box
     * (raster->vector direction). Inverse of the assignment math. */
   def tileBounds(tiles: DataFrame): DataFrame = {

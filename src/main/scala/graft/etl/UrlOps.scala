@@ -118,6 +118,23 @@ object UrlOps {
       .agg(min(col("__key")).as("winner"), count(lit(1)).as("n_copies"),
         countDistinct(col("__raw")).as("n_raw_variants"))
 
+  /**
+   * Recrawl dedup: keep the LATEST capture per canonical URL. The winner is
+   * a combinable max over (ts, key) structs — deterministic even under tied
+   * timestamps (key breaks the tie), collapses map-side, and the shuffle
+   * carries only (canon_url, ts, key). This is the snapshot-selection step
+   * a crawl corpus runs before any content-level dedup.
+   */
+  def latestByCanonical(df: DataFrame, urlCol: Column, keyCol: Column,
+      tsCol: Column): DataFrame =
+    df.select(canonicalUrl(urlCol).as("canon_url"), keyCol.as("__key"),
+        tsCol.as("__ts"))
+      .groupBy("canon_url")
+      .agg(max(struct(col("__ts"), col("__key"))).as("__w"),
+        count(lit(1)).as("n_captures"))
+      .select(col("canon_url"), col("__w").getField("__ts").as("latest_ts"),
+        col("__w").getField("__key").as("latest_doc"), col("n_captures"))
+
   /** Per-registered-domain crawl stats: pages, distinct canonical URLs,
     * distinct hosts. One hash aggregation keyed by domain (narrow rows);
     * the distinct counts are exact for the contract — approx_count_distinct

@@ -248,6 +248,26 @@ class GeocodingParitySpec extends AnyFunSuite {
     assert(agg.length === 2)
   }
 
+  test("tile pyramid: rollup levels agree with direct per-level assignment") {
+    val hits = Seq(("u1", 11.5884858, 48.1700887), ("u2", 11.5884858, 48.1700887),
+      ("u3", 2.12870, 41.40139), ("u4", -73.9857, 40.7484))
+      .toDF("url", "lon", "lat")
+    val pyr = Tiler.pyramid(hits, zMin = 3, zMax = 6).collect()
+    // every zoom level present, each conserving the total hit count
+    (3 to 6).foreach { z =>
+      val lvl = pyr.filter(_.getAs[Int]("tile_z") === z)
+      assert(lvl.map(_.getAs[Long]("n_hits")).sum === 4, s"z=$z")
+      // rolled-up coordinates match direct assignment at that zoom
+      val direct = Tiler.assign(hits, z)
+        .groupBy("tile_x", "tile_y").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val rolled = lvl
+        .map(r => (r.getAs[Long]("tile_x"), r.getAs[Long]("tile_y")) ->
+          r.getAs[Long]("n_hits")).toMap
+      assert(rolled === direct, s"z=$z")
+    }
+  }
+
   test("tileBounds inverts tile assignment") {
     val tiles = Seq((12, 2179L, 1433L)).toDF("tile_z", "tile_x", "tile_y")
     val b = Tiler.tileBounds(tiles).collect()(0)

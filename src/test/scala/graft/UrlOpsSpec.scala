@@ -70,6 +70,21 @@ class UrlOpsSpec extends AnyFunSuite {
       ("https://b.com/y", 9L, 1L, 1L)))
   }
 
+  test("latestByCanonical keeps the newest capture; key breaks ts ties") {
+    val df = Seq(
+      (1L, 100L, "http://a.com/x"),
+      (2L, 300L, "HTTP://WWW.A.com/x#old"),   // same canonical, newest ts
+      (3L, 200L, "http://a.com/x/"),
+      (7L, 50L, "https://b.com/y"),
+      (8L, 50L, "https://b.com/y?utm_source=s")) // tied ts -> max key wins
+      .toDF("id", "ts", "url")
+    val out = UrlOps.latestByCanonical(df, $"url", $"id", $"ts")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("http://a.com/x", 300L, 2L, 3L),
+      ("https://b.com/y", 50L, 8L, 2L)))
+  }
+
   test("hostStats counts pages, canonical urls, hosts per registered domain") {
     val df = Seq(
       "http://a.example.com/1", "http://b.example.com/1",
