@@ -1230,6 +1230,13 @@ object SparkEntry {
           ((col("o_orderkey") * 104729 % 170000) / lit(1000.0) - 85.0)
             .as("lat"))
       graft.engine.Tiler.pyramid(pts, zMin = 4, zMax = 8)
+    }),
+    // vector-side polygon analytics over the SAME packed-ring parquet the
+    // reverse-geocode PIP scans: shoelace area + area-weighted centroid as
+    // one ordered per-row fold (bit-deterministic), bbox, ring/vertex counts
+    "geo_polygon_stats" -> ((s, dir) => {
+      oracleWorldTables(s)
+      graft.engine.PolyStats.stats(s.read.parquet(s"$OracleDir/polys"))
     })
   )
 
@@ -2426,7 +2433,44 @@ object SparkEntry {
         |    / CAST(2.0 AS DOUBLE) * (1 << zz)) AS BIGINT) AS tile_y
         |  FROM pts CROSS JOIN z)
         |SELECT CAST(zz AS INT) AS tile_z, tile_x, tile_y, count(*) AS n_hits
-        |FROM a GROUP BY 1, 2, 3""".stripMargin
+        |FROM a GROUP BY 1, 2, 3""".stripMargin,
+    "geo_polygon_stats" ->
+      s"""WITH polys AS (SELECT * FROM read_parquet('$OracleDir/polys/*.parquet')),
+         |px AS (SELECT polygon_id, ring_offsets, ring_lons, ring_lats,
+         |    CAST(len(ring_lons) AS INT) AS nv FROM polys),
+         |pr AS (SELECT *, list_transform(range(nv), i -> CASE
+         |      WHEN i + 1 < nv AND NOT list_contains(ring_offsets, i + 1)
+         |        THEN i + 1
+         |      ELSE list_max(list_filter(ring_offsets, o -> o <= i)) END)
+         |    AS nexts FROM px),
+         |f AS (SELECT polygon_id, ring_offsets, ring_lons, ring_lats, nv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(nv), i ->
+         |        ring_lons[i+1] * ring_lats[nexts[i+1]+1]
+         |          - ring_lons[nexts[i+1]+1] * ring_lats[i+1])),
+         |      (a, b) -> a + b) AS a2,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(nv), i ->
+         |        (ring_lons[i+1] + ring_lons[nexts[i+1]+1])
+         |          * (ring_lons[i+1] * ring_lats[nexts[i+1]+1]
+         |             - ring_lons[nexts[i+1]+1] * ring_lats[i+1]))),
+         |      (a, b) -> a + b) AS cx6,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(nv), i ->
+         |        (ring_lats[i+1] + ring_lats[nexts[i+1]+1])
+         |          * (ring_lons[i+1] * ring_lats[nexts[i+1]+1]
+         |             - ring_lons[nexts[i+1]+1] * ring_lats[i+1]))),
+         |      (a, b) -> a + b) AS cy6
+         |  FROM pr)
+         |SELECT polygon_id, CAST(len(ring_offsets) AS INT) AS n_rings,
+         |  nv AS n_vertices, a2 / CAST(2.0 AS DOUBLE) AS area_deg2,
+         |  CASE WHEN a2 <> CAST(0.0 AS DOUBLE)
+         |       THEN cx6 / (CAST(3.0 AS DOUBLE) * a2) END AS centroid_lon,
+         |  CASE WHEN a2 <> CAST(0.0 AS DOUBLE)
+         |       THEN cy6 / (CAST(3.0 AS DOUBLE) * a2) END AS centroid_lat,
+         |  list_min(ring_lons) AS min_lon, list_max(ring_lons) AS max_lon,
+         |  list_min(ring_lats) AS min_lat, list_max(ring_lats) AS max_lat
+         |FROM f""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature
