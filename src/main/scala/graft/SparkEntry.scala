@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 import graft.engine._
 import graft.fixtures.Synth
 import graft.functions.GeoFunctions
+import graft.geo.Mgrs
 import graft.model.ReverseParams
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
@@ -1237,6 +1238,18 @@ object SparkEntry {
     "geo_polygon_stats" -> ((s, dir) => {
       oracleWorldTables(s)
       graft.engine.PolyStats.stats(s.read.parquet(s"$OracleDir/polys"))
+    }),
+    // MGRS annotation (closes the opencage.rs:582 schema slot): Krüger UTM
+    // with hyperbolics expanded through exp/ln in a fixed operation order,
+    // so DuckDB replays the identical IEEE sequence — zone exceptions
+    // (Norway/Svalbard) and both hemispheres exercised by the point domain
+    "geo_mgrs" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 163800) / lit(1000.0) - 79.9).as("lat"))
+        .select(col("o_orderkey"), col("lon"), col("lat"),
+          GeoFunctions.mgrs(col("lon"), col("lat")).as("mgrs"))
     })
   )
 
@@ -2470,7 +2483,62 @@ object SparkEntry {
          |       THEN cy6 / (CAST(3.0 AS DOUBLE) * a2) END AS centroid_lat,
          |  list_min(ring_lons) AS min_lon, list_max(ring_lons) AS max_lon,
          |  list_min(ring_lats) AS min_lat, list_max(ring_lats) AS max_lat
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+    "geo_mgrs" ->
+      s"""WITH pts AS (SELECT o_orderkey,
+         |    (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+         |    (o_orderkey * 104729 % 163800) / CAST(1000.0 AS DOUBLE) - CAST(79.9 AS DOUBLE) AS lat
+         |  FROM orders),
+         |z AS (SELECT *, CASE
+         |    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 0.0 AND lon < 9.0 THEN 31
+         |    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 9.0 AND lon < 21.0 THEN 33
+         |    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 21.0 AND lon < 33.0 THEN 35
+         |    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 33.0 AND lon < 42.0 THEN 37
+         |    WHEN lat >= 56.0 AND lat < 64.0 AND lon >= 3.0 AND lon < 12.0 THEN 32
+         |    ELSE CAST(floor((lon + 180.0) / 6.0) AS INT) % 60 + 1 END AS zone
+         |  FROM pts),
+         |t1 AS (SELECT *, lat * CAST(${Mgrs.DegToRad} AS DOUBLE) AS phi,
+         |    (lon - ((zone - 1) * 6.0 - 180.0 + 3.0)) * CAST(${Mgrs.DegToRad} AS DOUBLE) AS lam
+         |  FROM z),
+         |t2 AS (SELECT *, sin(phi) AS sphi FROM t1),
+         |t3 AS (SELECT *, exp(
+         |    0.5 * ln((1.0 + sphi) / (1.0 - sphi)) -
+         |    CAST(${Mgrs.Cc} AS DOUBLE) * (0.5 * ln((1.0 + CAST(${Mgrs.Cc} AS DOUBLE) * sphi)
+         |      / (1.0 - CAST(${Mgrs.Cc} AS DOUBLE) * sphi)))) AS eu FROM t2),
+         |t4 AS (SELECT *, (eu - 1.0 / eu) / 2.0 AS t FROM t3),
+         |t5 AS (SELECT *, atan(t / cos(lam)) AS xip,
+         |    sin(lam) / sqrt(1.0 + t * t) AS w FROM t4),
+         |t6 AS (SELECT *, 0.5 * ln((1.0 + w) / (1.0 - w)) AS etap FROM t5),
+         |t7 AS (SELECT *, exp(2.0 * etap) AS x2, exp(4.0 * etap) AS x4,
+         |    exp(6.0 * etap) AS x6 FROM t6),
+         |t8 AS (SELECT *,
+         |    xip + CAST(${Mgrs.Al1} AS DOUBLE) * sin(2.0 * xip) * ((x2 + 1.0 / x2) / 2.0)
+         |        + CAST(${Mgrs.Al2} AS DOUBLE) * sin(4.0 * xip) * ((x4 + 1.0 / x4) / 2.0)
+         |        + CAST(${Mgrs.Al3} AS DOUBLE) * sin(6.0 * xip) * ((x6 + 1.0 / x6) / 2.0) AS xi,
+         |    etap + CAST(${Mgrs.Al1} AS DOUBLE) * cos(2.0 * xip) * ((x2 - 1.0 / x2) / 2.0)
+         |         + CAST(${Mgrs.Al2} AS DOUBLE) * cos(4.0 * xip) * ((x4 - 1.0 / x4) / 2.0)
+         |         + CAST(${Mgrs.Al3} AS DOUBLE) * cos(6.0 * xip) * ((x6 - 1.0 / x6) / 2.0) AS eta
+         |  FROM t7),
+         |t9 AS (SELECT o_orderkey, lon, lat, zone,
+         |    500000.0 + CAST(${Mgrs.K0} AS DOUBLE) * CAST(${Mgrs.AA} AS DOUBLE) * eta AS ee,
+         |    CAST(${Mgrs.K0} AS DOUBLE) * CAST(${Mgrs.AA} AS DOUBLE) * xi +
+         |      CASE WHEN lat < 0.0 THEN 10000000.0 ELSE 0.0 END AS nn
+         |  FROM t8),
+         |m AS (SELECT *,
+         |    substr('CDEFGHJKLMNPQRSTUVWX',
+         |      least(CAST(floor((lat + 80.0) / 8.0) AS INT), 19) + 1, 1) AS band,
+         |    CAST(floor(ee / 100000.0) AS INT) AS col_idx,
+         |    CAST((CAST(floor(nn / 100000.0) AS BIGINT) % 20 +
+         |      CASE WHEN zone % 2 = 0 THEN 5 ELSE 0 END) % 20 AS INT) AS row_idx
+         |  FROM t9)
+         |SELECT o_orderkey, lon, lat,
+         |  lpad(CAST(zone AS VARCHAR), 2, '0') || band ||
+         |  substr('ABCDEFGHJKLMNPQRSTUVWXYZ', ((zone - 1) % 3) * 8 + col_idx, 1) ||
+         |  substr('ABCDEFGHJKLMNPQRSTUV', row_idx + 1, 1) ||
+         |  lpad(CAST(CAST(floor(ee) AS BIGINT) % 100000 AS VARCHAR), 5, '0') ||
+         |  lpad(CAST(CAST(floor(nn) AS BIGINT) % 100000 AS VARCHAR), 5, '0')
+         |    AS mgrs
+         |FROM m""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

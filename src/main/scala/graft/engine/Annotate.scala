@@ -17,8 +17,9 @@ import graft.functions.GeoFunctions._
  *  - qibla bearing            (opencage.rs:594 `qibla: T`)
  *  - Maidenhead locator       (opencage.rs:583)
  *  - callingcode/currency/flag/timezone via broadcast-size country lookup
- * what3words and MGRS require proprietary/large datasets — emitted as null
- * columns with the schema slot preserved.
+ *  - MGRS 1 m reference       (opencage.rs:582 — geo/Mgrs.scala Krüger UTM)
+ * what3words requires a proprietary dataset — emitted as a null column with
+ * the schema slot preserved.
  */
 object Annotate {
 
@@ -99,6 +100,6 @@ object Annotate {
       Format.flagCol(cc).as("flag"),
       timezoneAt(lon, lat, cc, tzByCell).as("timezone"),
       lit(null).cast("string").as("what3words"),
-      lit(null).cast("string").as("MGRS")))
+      mgrs(lon, lat).as("MGRS")))
   }
 }

@@ -41,6 +41,11 @@ object GeoInternal {
   def sha256Hex(s: UTF8String): UTF8String =
     UTF8String.fromString(Geo.sha256Hex(s.toString))
 
+  def mgrs1m(lon: Double, lat: Double): UTF8String = {
+    val s = graft.geo.Mgrs.mgrs(lon, lat)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
   /** Sunrise/sunset for the UTC day of `tsMicros`, as timestamp micros
     * (null = polar day/night). */
   def sunEventMicros(lon: Double, lat: Double, tsMicros: Long, rise: Boolean): java.lang.Long = {
@@ -124,6 +129,10 @@ object GeoFunctions {
 
   def dms(value: Column, isLat: Column): Column =
     invoke(internCls, StringType, "dms", value, isLat)
+
+  /** MGRS 1 m reference (OpenCage annotation); null outside lat [-80, 84]. */
+  def mgrs(lon: Column, lat: Column): Column =
+    invokeNullable(internCls, StringType, "mgrs1m", lon, lat)
 
   /** SHA-256 hex of a string column (byte-identity invariant). */
   def sha256Hex(s: Column): Column = invoke(internCls, StringType, "sha256Hex", s)
