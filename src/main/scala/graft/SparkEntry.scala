@@ -1250,6 +1250,24 @@ object SparkEntry {
           ((col("o_orderkey") * 104729 % 163800) / lit(1000.0) - 79.9).as("lat"))
         .select(col("o_orderkey"), col("lon"), col("lat"),
           GeoFunctions.mgrs(col("lon"), col("lat")).as("mgrs"))
+    }),
+    // qibla bearing + Maidenhead locator (E8 annotations, opencage.rs:583/
+    // 594) — pure spherical-trig / grid arithmetic DuckDB re-derives with
+    // the same operation order (incl. Spark's pmod-on-double semantics)
+    "geo_qibla_maidenhead" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 163800) / lit(1000.0) - 79.9).as("lat"))
+        .select(col("o_orderkey"),
+          // micro-degree truncation: JVM and DuckDB libm sin/atan2 differ in
+          // the last ulp (~1e-13 deg), so the contract quantity is the
+          // integer µdeg — boundary-flip probability ~1e-7/row, and the
+          // fixed input set makes a green run deterministic forever
+          floor(graft.engine.Annotate.qibla(col("lon"), col("lat"))
+            * lit(1000000.0)).as("qibla_udeg"),
+          graft.engine.Annotate.maidenhead(col("lon"), col("lat"))
+            .as("maidenhead"))
     })
   )
 
@@ -2538,7 +2556,42 @@ object SparkEntry {
          |  lpad(CAST(CAST(floor(ee) AS BIGINT) % 100000 AS VARCHAR), 5, '0') ||
          |  lpad(CAST(CAST(floor(nn) AS BIGINT) % 100000 AS VARCHAR), 5, '0')
          |    AS mgrs
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    "geo_qibla_maidenhead" ->
+      """WITH pts AS (SELECT o_orderkey,
+        |    (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+        |    (o_orderkey * 104729 % 163800) / CAST(1000.0 AS DOUBLE) - CAST(79.9 AS DOUBLE) AS lat
+        |  FROM orders),
+        |q1 AS (SELECT *,
+        |    (CAST(39.8262 AS DOUBLE) / CAST(180.0 AS DOUBLE)) * pi()
+        |      - (lon / CAST(180.0 AS DOUBLE)) * pi() AS dlon,
+        |    (lat / CAST(180.0 AS DOUBLE)) * pi() AS la,
+        |    (CAST(21.4225 AS DOUBLE) / CAST(180.0 AS DOUBLE)) * pi() AS mlat
+        |  FROM pts),
+        |q2 AS (SELECT *, sin(dlon) * cos(mlat) AS y,
+        |    cos(la) * sin(mlat) - sin(la) * cos(mlat) * cos(dlon) AS x
+        |  FROM q1),
+        |q3 AS (SELECT *,
+        |    atan2(y, x) * CAST(180.0 AS DOUBLE) / pi() AS deg FROM q2)
+        |SELECT o_orderkey,
+        |  CAST(floor((CASE WHEN fmod(deg, CAST(360.0 AS DOUBLE)) < 0
+        |       THEN fmod(deg, CAST(360.0 AS DOUBLE)) + CAST(360.0 AS DOUBLE)
+        |       ELSE fmod(deg, CAST(360.0 AS DOUBLE)) END)
+        |    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS qibla_udeg,
+        |  chr(65 + CAST(floor((lon + CAST(180.0 AS DOUBLE))
+        |    / CAST(20.0 AS DOUBLE)) AS INT)) ||
+        |  chr(65 + CAST(floor((lat + CAST(90.0 AS DOUBLE))
+        |    / CAST(10.0 AS DOUBLE)) AS INT)) ||
+        |  CAST(CAST(floor(fmod(lon + CAST(180.0 AS DOUBLE),
+        |    CAST(20.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS INT) AS VARCHAR) ||
+        |  CAST(CAST(floor(fmod(lat + CAST(90.0 AS DOUBLE),
+        |    CAST(10.0 AS DOUBLE))) AS INT) AS VARCHAR) ||
+        |  chr(97 + CAST(floor(fmod(lon + CAST(180.0 AS DOUBLE),
+        |    CAST(2.0 AS DOUBLE)) * CAST(12.0 AS DOUBLE)) AS INT)) ||
+        |  chr(97 + CAST(floor(fmod(lat + CAST(90.0 AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE)) * CAST(24.0 AS DOUBLE)) AS INT))
+        |    AS maidenhead
+        |FROM q3""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

@@ -25,7 +25,7 @@ object Annotate {
 
   /** Great-circle initial bearing (degrees 0..360) to the Kaaba — the
     * OpenCage `qibla` annotation. */
-  private def qibla(lon: Column, lat: Column): Column = {
+  def qibla(lon: Column, lat: Column): Column = {
     val mLat = radians(lit(21.4225))
     val mLon = radians(lit(39.8262))
     val la = radians(lat)
@@ -36,7 +36,7 @@ object Annotate {
   }
 
   /** Maidenhead grid locator (6 chars). Pure arithmetic on lon/lat. */
-  private def maidenhead(lon: Column, lat: Column): Column = {
+  def maidenhead(lon: Column, lat: Column): Column = {
     val adjLon = lon + lit(180.0)
     val adjLat = lat + lit(90.0)
     val f1 = chr(lit(65) + floor(adjLon / 20.0).cast("int"))
