@@ -41,6 +41,14 @@ object SparkEntry {
   // packed rings), ranking, formatting, and tiling from the same raw bytes.
   private val OracleDir = sys.env.getOrElse("GRAFT_ORACLE_DIR", "/tmp/graft_oracle")
 
+  /** DOUBLE-cast literal for DuckDB oracle SQL (bare float literals parse
+    * as DECIMAL there and overflow/diverge in float math). */
+  private def D(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  /** cos(90.833°) — the official-zenith constant, same op order as
+    * geo/Geo.SunZenithCos so the interpolated literal is bit-identical. */
+  private val SunZenithCos: Double = math.cos(90.833 * (math.Pi / 180.0))
+
   /** Synthesized pages for `dir`'s scale factor, materialized to parquet
     * (content-fingerprinted marker; rewritten when sf or synthesis change). */
   private def oraclePages(s: SparkSession, dir: String): DataFrame = synchronized {
@@ -1268,6 +1276,23 @@ object SparkEntry {
             * lit(1000000.0)).as("qibla_udeg"),
           graft.engine.Annotate.maidenhead(col("lon"), col("lat"))
             .as("maidenhead"))
+    }),
+    // sunrise/sunset annotation (opencage.rs:592-598): the classic USNO
+    // almanac algorithm, date keyed by the row's timestamp — DuckDB replays
+    // the identical op order incl. Java's %-based angle normalization and
+    // Math.round (floor(x+0.5)); polar day/night rows stay NULL in both
+    "geo_sun" -> ((s, dir) => {
+      val ts = (col("epoch_day") * 86400L + 43200L).cast("timestamp")
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 163800) / lit(1000.0) - 79.9).as("lat"),
+          (lit(20500L) + col("o_orderkey") % 365).as("epoch_day"))
+        .select(col("o_orderkey"), col("lon"), col("lat"), col("epoch_day"),
+          GeoFunctions.sunrise(col("lon"), col("lat"), ts).cast("long")
+            .as("sunrise_epoch"),
+          GeoFunctions.sunset(col("lon"), col("lat"), ts).cast("long")
+            .as("sunset_epoch"))
     })
   )
 
@@ -2591,7 +2616,64 @@ object SparkEntry {
         |  chr(97 + CAST(floor(fmod(lat + CAST(90.0 AS DOUBLE),
         |    CAST(1.0 AS DOUBLE)) * CAST(24.0 AS DOUBLE)) AS INT))
         |    AS maidenhead
-        |FROM q3""".stripMargin
+        |FROM q3""".stripMargin,
+    "geo_sun" ->
+      s"""WITH pts AS (SELECT o_orderkey,
+         |    (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+         |    (o_orderkey * 104729 % 163800) / CAST(1000.0 AS DOUBLE) - CAST(79.9 AS DOUBLE) AS lat,
+         |    20500 + o_orderkey % 365 AS epoch_day
+         |  FROM orders),
+         |e AS (SELECT p.*, r.rise FROM pts p
+         |  CROSS JOIN (SELECT unnest([true, false]) AS rise) r),
+         |c1 AS (SELECT *,
+         |    CAST(dayofyear(DATE '1970-01-01' + CAST(epoch_day AS INT))
+         |      AS DOUBLE) AS doy,
+         |    lon / CAST(15.0 AS DOUBLE) AS lngh FROM e),
+         |c2 AS (SELECT *, doy + (((CASE WHEN rise THEN CAST(6.0 AS DOUBLE)
+         |      ELSE CAST(18.0 AS DOUBLE) END) - lngh) / CAST(24.0 AS DOUBLE))
+         |    AS t FROM c1),
+         |c3 AS (SELECT *, CAST(0.9856 AS DOUBLE) * t - CAST(3.289 AS DOUBLE)
+         |    AS m FROM c2),
+         |c4 AS (SELECT *, fmod(fmod(
+         |    m + CAST(1.916 AS DOUBLE) * sin(m * ${D(Mgrs.DegToRad)})
+         |      + CAST(0.020 AS DOUBLE) * sin(CAST(2.0 AS DOUBLE) * m
+         |        * ${D(Mgrs.DegToRad)}) + CAST(282.634 AS DOUBLE),
+         |    CAST(360.0 AS DOUBLE)) + CAST(360.0 AS DOUBLE),
+         |    CAST(360.0 AS DOUBLE)) AS l FROM c3),
+         |c5 AS (SELECT *, fmod(fmod(
+         |    atan(CAST(0.91764 AS DOUBLE) * tan(l * ${D(Mgrs.DegToRad)}))
+         |      / ${D(Mgrs.DegToRad)},
+         |    CAST(360.0 AS DOUBLE)) + CAST(360.0 AS DOUBLE),
+         |    CAST(360.0 AS DOUBLE)) AS ra0 FROM c4),
+         |c6 AS (SELECT *, (ra0 + (floor(l / CAST(90.0 AS DOUBLE))
+         |      * CAST(90.0 AS DOUBLE)) - (floor(ra0 / CAST(90.0 AS DOUBLE))
+         |      * CAST(90.0 AS DOUBLE))) / CAST(15.0 AS DOUBLE) AS ra,
+         |    CAST(0.39782 AS DOUBLE) * sin(l * ${D(Mgrs.DegToRad)}) AS sindec
+         |  FROM c5),
+         |c7 AS (SELECT *, (${D(SunZenithCos)} - sindec
+         |      * sin(lat * ${D(Mgrs.DegToRad)}))
+         |    / (cos(asin(sindec)) * cos(lat * ${D(Mgrs.DegToRad)})) AS cosh
+         |  FROM c6),
+         |c8 AS (SELECT *, CASE
+         |    WHEN cosh > CAST(1.0 AS DOUBLE) OR cosh < CAST(-1.0 AS DOUBLE)
+         |      THEN NULL
+         |    ELSE (CASE WHEN rise THEN CAST(360.0 AS DOUBLE)
+         |        - acos(cosh) / ${D(Mgrs.DegToRad)}
+         |      ELSE acos(cosh) / ${D(Mgrs.DegToRad)} END) / CAST(15.0 AS DOUBLE)
+         |    END AS h FROM c7),
+         |c9 AS (SELECT *, fmod(fmod(
+         |    (h + ra - CAST(0.06571 AS DOUBLE) * t - CAST(6.622 AS DOUBLE))
+         |      - lngh,
+         |    CAST(24.0 AS DOUBLE)) + CAST(24.0 AS DOUBLE),
+         |    CAST(24.0 AS DOUBLE)) AS ut FROM c8),
+         |s AS (SELECT o_orderkey, lon, lat, epoch_day, rise,
+         |    CASE WHEN ut IS NULL THEN NULL
+         |      ELSE epoch_day * 86400 + CAST(floor(ut * CAST(3600.0 AS DOUBLE)
+         |        + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS secs FROM c9)
+         |SELECT o_orderkey, lon, lat, epoch_day,
+         |  max(CASE WHEN rise THEN secs END) AS sunrise_epoch,
+         |  max(CASE WHEN NOT rise THEN secs END) AS sunset_epoch
+         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature
