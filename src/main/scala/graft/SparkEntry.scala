@@ -946,6 +946,34 @@ object SparkEntry {
       // the correct answer is an empty result (matching the oracle's 0 rows)
       s.read.schema(out.schema).parquet(sink)
     }),
+    // the STATELESS streaming shape under the contract, next to
+    // geo_stream_forward's stateful (watermark + windowed max_by) one:
+    // StreamGeocode.reverseStream is a stream-static broadcast join + map-side
+    // ray-cast/best-pick, so append mode needs no watermark and EVERY input
+    // row emits — the oracle is exactly the batch PIP re-derivation (same
+    // packed rings, same even-odd edge rule, same most-specific pick) with
+    // no finalization clause.
+    "geo_stream_reverse" -> ((s, dir) => {
+      val (_, _, polys, cells, scanner) = world(s)
+      oracleWorldTables(s)
+      oraclePages(s, dir)
+      val sink = s"$OracleDir/stream_rev_sink"
+      val ckpt = s"$OracleDir/stream_rev_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val schema = s.read.parquet(s"$OracleDir/pages").schema
+      val src = s.readStream.schema(schema).parquet(s"$OracleDir/pages")
+      val out = graft.streaming.StreamGeocode.reverseStream(s, src, polys, cells, scanner)
+        .select(col("url"), col("surface"), col("lon"), col("lat"),
+          col("polygon_id"), col("name"),
+          col("admin_level").cast("int").as("admin_level"), col("geocode_status"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(out.schema).parquet(sink)
+    }),
 
     // D4/S4/S5/S6/S7 — typed provider-JSON decode as a direct contract row:
     // all four response families parsed through the ProviderJson from_json
@@ -1471,6 +1499,22 @@ object SparkEntry {
          |    - ln(tan(radians(latc)) + CAST(1.0 AS DOUBLE) / cos(radians(latc))) / pi())
          |    / CAST(2.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_y
          |FROM tl""".stripMargin,
+    "geo_stream_reverse" ->
+      s"""WITH $extractCtes,
+         |$pipCtes,
+         |best AS (SELECT query_id, polygon_id FROM (
+         |    SELECT i.query_id, i.polygon_id,
+         |      row_number() OVER (PARTITION BY i.query_id
+         |        ORDER BY p.admin_level DESC, i.polygon_id) AS rn
+         |    FROM inside i JOIN polys p USING (polygon_id)) WHERE rn = 1),
+         |pts AS (SELECT url, surface, url || '|' || surface AS query_id, lon, lat
+         |  FROM coords)
+         |SELECT pt.url, pt.surface, pt.lon, pt.lat, b.polygon_id, p.name,
+         |  CAST(p.admin_level AS INT) AS admin_level,
+         |  CASE WHEN b.polygon_id IS NOT NULL THEN 'ok' ELSE 'no_result' END
+         |    AS geocode_status
+         |FROM pts pt LEFT JOIN best b USING (query_id)
+         |LEFT JOIN polys p ON p.polygon_id = b.polygon_id""".stripMargin,
     // E10 oracle: DuckDB recomputes each stage's lineage (row count +
     // bit_xor of portable sha60 row checksums over the identity columns)
     // DIRECTLY from the materialized checkpoint parquet, and asserts the
