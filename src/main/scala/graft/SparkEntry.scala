@@ -1256,6 +1256,27 @@ object SparkEntry {
           lit(1700000000L) + pmod(col("doc_id"), lit(97L)) * lit(86400L)
             + col("doc_id")),
         col("url"), col("doc_id"), col("fetch_ts"))),
+    // link-graph centrality: 3 synchronous PageRank iterations over a
+    // deterministic doc-derived edge list, in FIXED-POINT arithmetic
+    // (scaled longs + explicit integral division) so the distributed sum is
+    // order-insensitive and the oracle replays every iteration bit-exactly
+    // — the link-based quality signal of a crawl corpus
+    "web_pagerank" -> ((s, dir) =>
+      graft.web.LinkGraph.pageRank(
+        docs(s, dir).select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 17 + 29) % 64).as("dst")),
+        iters = 3)),
+    // KMV distinct-count sketch per host over canonical URLs: the portable
+    // (sha60) cardinality estimator whose k-th-minimum state and rounded
+    // estimate the oracle recomputes exactly; n_exact rides along so the
+    // sketch error is inspectable in-result
+    "web_distinct_kmv" -> ((s, dir) => {
+      val u = docsWithUrls(s, dir)
+      graft.sketch.Kmv.kmvDistinct(u,
+          graft.etl.UrlOps.urlHost(col("url")),
+          graft.etl.UrlOps.canonicalUrl(col("url")), k = 16)
+        .withColumnRenamed("key", "host")
+    }),
     // tile pyramid: base zoom pays the only hit-level shuffle, coarser
     // zooms roll up the previous level by exact integer halving; the oracle
     // recomputes every level DIRECTLY from the points (a different
@@ -1424,6 +1445,32 @@ object SparkEntry {
   private def sha60Sql(x: String): String =
     s"list_reduce(list_transform(range(15), j -> CAST(strpos('0123456789abcdef', " +
     s"substr(sha256($x), j+1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** PageRank oracle: the iteration chain unrolled as CTEs, generated for
+    * the same iteration count the engine runs — DuckDB's `//` (integral
+    * floor division) matches Spark's `div` on the all-positive fixed-point
+    * domain, so every iteration agrees bit-for-bit. */
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      """e0 AS (SELECT DISTINCT doc_id % 64 AS src,
+        |    (doc_id * 17 + 29) % 64 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT src AS v FROM e0
+        |  UNION SELECT DISTINCT dst FROM e0),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+        |r0 AS (SELECT v, (1000000000000 // (SELECT n FROM nn)) AS r
+        |  FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS v, sum((r.r * 85) // (od.outdeg * 100)) AS s
+         |  FROM e0 e JOIN r${i - 1} r ON r.v = e.src
+         |  JOIN od ON od.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.v,
+         |    ((15 * 1000000000000) // (100 * (SELECT n FROM nn)))
+         |      + COALESCE(c$i.s, 0) AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$steps\nSELECT v AS node, r AS rank_scaled FROM r$iters"
+  }
 
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
     * the engine folds into its plan — built programmatically so the oracle
@@ -2521,6 +2568,22 @@ object SparkEntry {
          |SELECT canon_url, max(fetch_ts) AS latest_ts,
          |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
          |FROM t GROUP BY 1""".stripMargin,
+    "web_pagerank" -> pageRankSql(3),
+    "web_distinct_kmv" ->
+      s"""WITH $urlCanonCtes,
+         |hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),
+         |rk AS (SELECT host, h,
+         |    row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM hh),
+         |agg AS (SELECT host, count(*) AS n_in_k, max(h) AS h_k
+         |  FROM rk WHERE rn <= 16 GROUP BY host),
+         |ex AS (SELECT host, count(*) AS n_exact FROM hh GROUP BY host)
+         |SELECT a.host, CAST(a.n_in_k AS INT) AS kmv_k, a.h_k,
+         |  CASE WHEN a.n_in_k < 16 THEN CAST(a.n_in_k AS BIGINT)
+         |    ELSE CAST(round((CAST(15 AS DOUBLE)
+         |      * CAST(1152921504606846976 AS DOUBLE)) / a.h_k) AS BIGINT) END
+         |    AS est_distinct,
+         |  e.n_exact
+         |FROM agg a JOIN ex e USING (host)""".stripMargin,
     "geo_tile_pyramid" ->
       """WITH pts AS (SELECT
         |  (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
