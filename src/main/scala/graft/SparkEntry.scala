@@ -134,6 +134,15 @@ object SparkEntry {
         concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
 
+  /** Query terms for the BM25 contract row — drawn from the synthetic corpus
+    * vocabulary so df spans common ("table") to rarer ("vector") terms. */
+  private val Bm25QueryTerms = Seq("spark", "vector", "merge", "customer")
+  /** Count-Min sketch dimensions for the heavy-hitter contract row: 4 rows
+    * of 512 cells — small enough for DuckDB to rebuild every cell, wide
+    * enough that top-gram estimates stay near-exact. */
+  private val CmDepth = 4
+  private val CmWidth = 512
+
   // ---- shared oracle-SQL fragments ----------------------------------------
   /** Planted near-dup corpus + tokenization + distinct-3-gram shingles —
     * the DuckDB re-derivation of [[Dedup.shingleCol]] over
@@ -445,6 +454,34 @@ object SparkEntry {
     // over ≤ k rows (never a global sort of the vocabulary)
     "doc_vocab" -> ((s, dir) =>
       graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // exact duplicated-substring spans (the suffix-array-style substring
+    // dedup step, window-granular): 8-token windows repeated corpus-wide,
+    // merged gaps-and-islands per doc — one combinable count on the window
+    // text + a per-doc bounded window, never a global sort
+    "doc_substring_dedup" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.duplicatedSpans(
+        docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
+    // BM25 ranked retrieval: query-term filter BEFORE the postings
+    // exchange, 1-row stats + query-sized df broadcast, TakeOrdered top-k
+    "doc_bm25" -> ((s, dir) =>
+      graft.text.Search.bm25(docs(s, dir), col("doc_id"), col("text"),
+        queryTerms = Bm25QueryTerms, topK = 20)),
+    // heavy hitters: exact top-20 3-grams (tie-break gram asc) checked
+    // against the portable Count-Min sketch (4x512, sha60 family) — the
+    // sketch is bounded cells regardless of stream size and broadcast to
+    // the estimate join; cm_est >= n_true by construction
+    "doc_heavy_hitters" -> ((s, dir) => {
+      val grams = graft.dedup.SubstringDedup.tokenWindows(
+          docs(s, dir), col("doc_id"), col("text"), k = 3)
+        .select(col("win_text").as("gram"))
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("gram")).limit(20)
+      val sk = graft.sketch.CountMin.sketch(grams, col("gram"),
+        depth = CmDepth, width = CmWidth)
+      graft.sketch.CountMin.estimate(sk, top, col("gram"), CmDepth, CmWidth)
+        .join(top, col("item") === col("gram"))
+        .select(col("gram"), col("n_true"), col("cm_est"))
+    }),
     // corpus-wide segment-level exact dedup (the CCNet/RefinedWeb line-dedup
     // step) over the planted-dup corpus: 20-char windows as segments, first
     // occurrence wins via a COMBINABLE min(struct) — the hot-segment shuffle
@@ -2010,6 +2047,93 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
         |    AS INT) AS vocab_id
         |FROM c ORDER BY vocab_id LIMIT 100""".stripMargin,
+    // independent re-derivation of the gaps-and-islands span merge: DuckDB
+    // rebuilds the 8-token windows, the corpus-wide copy counts, and the
+    // island sums from the same planted-dup corpus
+    "doc_substring_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM all_docs),
+        |e AS (SELECT doc_id,
+        |    CAST(unnest(range(len(toks) - 7)) AS INT) AS win_idx,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS win_text
+        |  FROM tok WHERE len(toks) >= 8),
+        |dup AS (SELECT win_text, count(*) AS n_copies FROM e
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT e.doc_id, e.win_idx, dup.n_copies FROM e JOIN dup USING (win_text)),
+        |m AS (SELECT doc_id, win_idx, n_copies,
+        |    CASE WHEN win_idx - lag(win_idx) OVER
+        |      (PARTITION BY doc_id ORDER BY win_idx) <= 8 THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl AS (SELECT doc_id, win_idx, n_copies,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY win_idx) AS island FROM m),
+        |sp AS (SELECT doc_id AS doc_key, island,
+        |    min(win_idx) AS span_start, CAST(max(win_idx) + 8 AS INT) AS span_end,
+        |    CAST(count(*) AS INT) AS n_windows, max(n_copies) AS max_copies
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_key,
+        |  CAST(row_number() OVER (PARTITION BY doc_key ORDER BY span_start) AS INT)
+        |    AS span_id,
+        |  span_start, span_end, span_end - span_start AS span_tokens,
+        |  n_windows, max_copies
+        |FROM sp""".stripMargin,
+    // DuckDB replays the identical double arithmetic (same operation order,
+    // literals cast to DOUBLE) and the same per-term 7-dp DECIMAL rounding,
+    // so every score reproduces bit-for-bit
+    "doc_bm25" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tok),
+        |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tok),
+        |q AS (SELECT doc_id AS doc_key, dl, token, count(*) AS tf FROM ex
+        |  WHERE token IN ('spark', 'vector', 'merge', 'customer')
+        |  GROUP BY 1, 2, 3),
+        |docfreq AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+        |term AS (SELECT q.doc_key,
+        |    CAST(round(
+        |      ln(CAST(1.0 AS DOUBLE)
+        |        + (s.n_docs - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * ((q.tf * CAST(2.2 AS DOUBLE))
+        |        / (q.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * q.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))),
+        |      7) AS DECIMAL(20,7)) AS term_score
+        |  FROM q JOIN docfreq f USING (token) CROSS JOIN stats s),
+        |scored AS (SELECT doc_key, CAST(count(*) AS INT) AS n_terms,
+        |    CAST(sum(term_score) AS DOUBLE) AS bm25_score
+        |  FROM term GROUP BY 1)
+        |SELECT doc_key, n_terms, bm25_score,
+        |  CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_key) AS INT) AS rank
+        |FROM scored ORDER BY bm25_score DESC, doc_key LIMIT 20""".stripMargin,
+    // DuckDB rebuilds every Count-Min cell (sha60 family, pmod width) from
+    // the full 3-gram stream and re-estimates the exact top-20 — proving
+    // both the exact counts and the sketch plan
+    "doc_heavy_hitters" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |    x -> length(x) > 0) AS toks FROM documents),
+         |g AS (SELECT unnest(list_transform(range(len(toks) - 2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+         |  FROM tok WHERE len(toks) >= 3),
+         |top AS (SELECT gram, count(*) AS n_true FROM g GROUP BY 1
+         |  ORDER BY n_true DESC, gram LIMIT 20),
+         |cells AS (SELECT gram, unnest(range(4)) AS r FROM g),
+         |sk AS (SELECT r,
+         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c,
+         |    count(*) AS cm_cnt
+         |  FROM cells GROUP BY 1, 2),
+         |tc AS (SELECT gram, n_true, unnest(range(4)) AS r FROM top),
+         |tcell AS (SELECT gram, n_true, r,
+         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c
+         |  FROM tc)
+         |SELECT t.gram, t.n_true,
+         |  min(coalesce(sk.cm_cnt, CAST(0 AS BIGINT))) AS cm_est
+         |FROM tcell t LEFT JOIN sk ON sk.r = t.r AND sk.c = t.c
+         |GROUP BY 1, 2""".stripMargin,
     "doc_quality_gate" ->
       s"""WITH ${qualityCtes("documents")},
          |s AS (SELECT q.doc_id, d.source, q.quality_score
