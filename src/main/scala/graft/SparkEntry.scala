@@ -461,6 +461,11 @@ object SparkEntry {
     "doc_substring_dedup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.duplicatedSpans(
         docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
+    // the substring-dedup REWRITER: duplicated spans removed from the token
+    // stream — one bounded span-fold aggregate + a hash join back to docs
+    "doc_substring_strip" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.stripSpans(
+        docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
     // BM25 ranked retrieval: query-term filter BEFORE the postings
     // exchange, 1-row stats + query-sized df broadcast, TakeOrdered top-k
     "doc_bm25" -> ((s, dir) =>
@@ -2081,6 +2086,45 @@ object SparkEntry {
         |  span_start, span_end, span_end - span_start AS span_tokens,
         |  n_windows, max_copies
         |FROM sp""".stripMargin,
+    // the rewriter re-derived relationally: DuckDB marks covered token
+    // positions with a span range-join instead of Spark's per-row lambda
+    "doc_substring_strip" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id,
+        |    text || ' near duplicate tail' AS text FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM all_docs),
+        |e AS (SELECT doc_id,
+        |    CAST(unnest(range(len(toks) - 7)) AS INT) AS win_idx,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS win_text
+        |  FROM tok WHERE len(toks) >= 8),
+        |dup AS (SELECT win_text, count(*) AS n_copies FROM e
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT e.doc_id, e.win_idx FROM e JOIN dup USING (win_text)),
+        |m AS (SELECT doc_id, win_idx,
+        |    CASE WHEN win_idx - lag(win_idx) OVER
+        |      (PARTITION BY doc_id ORDER BY win_idx) <= 8 THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl AS (SELECT doc_id, win_idx,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY win_idx) AS island FROM m),
+        |sp AS (SELECT doc_id, island,
+        |    min(win_idx) AS span_start, CAST(max(win_idx) + 8 AS INT) AS span_end
+        |  FROM isl GROUP BY 1, 2),
+        |ti AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
+        |    unnest(toks) AS tok FROM tok),
+        |cov AS (SELECT DISTINCT t.doc_id, t.pos FROM ti t JOIN sp
+        |  ON sp.doc_id = t.doc_id
+        |    AND t.pos >= sp.span_start AND t.pos < sp.span_end),
+        |kept AS (SELECT ti.doc_id, ti.pos, ti.tok FROM ti LEFT JOIN cov
+        |  ON cov.doc_id = ti.doc_id AND cov.pos = ti.pos
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT tok.doc_id AS doc_key, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(tok.toks) - coalesce(agg.n_kept, 0) AS INT) AS n_removed_tokens
+        |FROM tok LEFT JOIN agg USING (doc_id)""".stripMargin,
     // DuckDB replays the identical double arithmetic (same operation order,
     // literals cast to DOUBLE) and the same per-term 7-dp DECIMAL rounding,
     // so every score reproduces bit-for-bit
