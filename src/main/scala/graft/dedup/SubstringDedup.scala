@@ -38,13 +38,10 @@ object SubstringDedup {
     * Pure map-side generator — one posexplode inside the scan stage. */
   def tokenWindows(docs: DataFrame, key: Column, text: Column, k: Int): DataFrame = {
     require(k >= 1, "window size k must be >= 1")
-    val toks = TextAnalysis.tokens(text)
-    // guard the sequence: for size < k Spark's sequence(0, negative) would
-    // COUNT DOWN (default step -1); emit an empty array instead
-    val wins = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " "))
-    ).otherwise(array().cast("array<string>"))
+    // one codegen StaticInvoke call per row (tokenize once, emit all
+    // windows) — a HOF lambda over the token array would re-tokenize per
+    // element once CollapseProject inlines the token expression
+    val wins = graft.functions.TextFunctions.windowNgrams(text, lit(k))
     docs.select(key.as("doc_key"), posexplode(wins).as(Seq("win_idx", "win_text")))
   }
 

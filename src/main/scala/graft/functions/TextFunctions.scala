@@ -20,6 +20,11 @@ object TextInternal {
     new GenericArrayData(grams.map(UTF8String.fromString(_)))
   }
 
+  def windowNgrams(text: UTF8String, n: Int): ArrayData = {
+    val wins = TextCore.windowNgrams(if (text == null) "" else text.toString, n)
+    new GenericArrayData(wins.map(UTF8String.fromString(_)))
+  }
+
   def bandHashes(sig: ArrayData, bands: Int): ArrayData =
     new GenericArrayData(TextCore.bandHashes(sig.toLongArray(), bands))
 
@@ -145,6 +150,9 @@ object TextFunctions {
 
   def wordNgrams(text: Column, n: Column): Column =
     invoke(ArrayType(StringType, containsNull = false), "wordNgrams", text, n)
+
+  def windowNgrams(text: Column, n: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "windowNgrams", text, n)
 
   def bandHashes(sig: Column, bands: Column): Column =
     invoke(ArrayType(LongType, containsNull = false), "bandHashes", sig, bands)

@@ -56,6 +56,30 @@ object TextCore {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** ALL word n-gram windows in positional order, with multiplicity — the
+    * substring-dedup window stream (wordNgrams above dedups; this keeps one
+    * entry per token offset, so posexplode yields the window's 0-based start
+    * offset). Texts with fewer than n tokens yield none. One JVM call per
+    * row for the same CollapseProject reason as wordNgrams. */
+  def windowNgrams(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** Word n-gram shingle hashes. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val toks = tokenize(text)
