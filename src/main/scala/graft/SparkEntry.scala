@@ -142,6 +142,11 @@ object SparkEntry {
     * enough that top-gram estimates stay near-exact. */
   private val CmDepth = 4
   private val CmWidth = 512
+  /** Bloom filter dimensions for the blocklist contract row: 3 hashes over
+    * 1024 bits — small enough for DuckDB to rebuild every set bit, sized so
+    * a ~1% false-positive tail is actually exercised. */
+  private val BloomK = 3
+  private val BloomM = 1024
 
   // ---- shared oracle-SQL fragments ----------------------------------------
   /** Planted near-dup corpus + tokenization + distinct-3-gram shingles —
@@ -461,6 +466,36 @@ object SparkEntry {
     "doc_substring_dedup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.duplicatedSpans(
         docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
+    // temperature-scaled source mixing: one tiny integer mass agg + a
+    // window over the AGGREGATE + a broadcast rate join; the sha60 coin
+    // keeps the kept-set replayable at any cluster size
+    "doc_source_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      graft.text.Corpus.temperatureMix(d, col("source"), col("doc_id"),
+          col("n_tok"), alpha = 0.5, budgetFraction = 0.5)
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+    }),
+    // unigram-LM quality score (the CCNet perplexity-gate analog): vocab is
+    // ONE combinable count, scoring a hash join + per-doc decimal sum
+    "doc_lm_score" -> ((s, dir) =>
+      graft.text.TextAnalysis.lmScore(docs(s, dir), col("doc_id"), col("text"))),
+    // Bloom-filter blocklist membership: the filter is <= m rows no matter
+    // how large the blocklist, broadcast to the probe — candidates never
+    // shuffle; misses exact, false positives bounded and audited here
+    "web_bloom" -> ((s, dir) => {
+      val canon = docsWithUrls(s, dir)
+        .select(col("doc_id"), graft.etl.UrlOps.canonicalUrl(col("url")).as("canon_url"))
+      val urls = canon.select("canon_url").distinct()
+      val block = canon.filter(col("doc_id") % 7 === 0)
+        .select("canon_url").distinct()
+      val bf = graft.sketch.Bloom.build(block, col("canon_url"), BloomK, BloomM)
+      graft.sketch.Bloom.mightContain(bf, urls, col("canon_url"), BloomK, BloomM)
+        .join(block.withColumn("in_blocklist", lit(true)),
+          col("item") === col("canon_url"), "left")
+        .select(col("item").as("canon_url"), col("bloom_hit"),
+          coalesce(col("in_blocklist"), lit(false)).as("in_blocklist"))
+    }),
     // the substring-dedup REWRITER: duplicated spans removed from the token
     // stream — one bounded span-fold aggregate + a hash join back to docs
     "doc_substring_strip" -> ((s, dir) =>
@@ -2086,6 +2121,43 @@ object SparkEntry {
         |  span_start, span_end, span_end - span_start AS span_tokens,
         |  n_windows, max_copies
         |FROM sp""".stripMargin,
+    // DuckDB re-derives the integer masses, replays the same pow/ratio
+    // double arithmetic (operation order mirrored, literals cast to DOUBLE),
+    // lands on the same integer ppm thresholds, and re-flips the sha60 coin
+    "doc_source_mix" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS n_tok FROM documents),
+         |m AS (SELECT source, sum(n_tok) AS mass FROM tok GROUP BY 1),
+         |r AS (SELECT source, mass,
+         |    pow(CAST(mass AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w,
+         |    sum(pow(CAST(mass AS DOUBLE), CAST(0.5 AS DOUBLE))) OVER () AS sumw,
+         |    sum(mass) OVER () AS summass FROM m),
+         |rp AS (SELECT source,
+         |    CAST(round(least(CAST(1.0 AS DOUBLE), (w / sumw) *
+         |      ((CAST(0.5 AS DOUBLE) * CAST(summass AS DOUBLE)) / CAST(mass AS DOUBLE)))
+         |      * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS rate_ppm FROM r)
+         |SELECT t.doc_id, t.source, rp.rate_ppm
+         |FROM tok t JOIN rp USING (source)
+         |WHERE ${sha60Sql("'mix:v1:' || CAST(t.doc_id AS VARCHAR)")} % 1000000
+         |  < rp.rate_ppm""".stripMargin,
+    // DuckDB retrains the unigram LM (one count over the vocab) and replays
+    // the same ln + 7-dp decimal rounding per token occurrence
+    "doc_lm_score" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tok),
+        |vocab AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM ex),
+        |sc AS (SELECT e.doc_id, e.dl,
+        |    sum(CAST(round(ln(CAST(v.cnt AS DOUBLE) / t.total), 7)
+        |      AS DECIMAL(20,7))) AS sdec
+        |  FROM ex e JOIN vocab v USING (token) CROSS JOIN tot t
+        |  GROUP BY 1, 2)
+        |SELECT tok.doc_id AS doc_key, CAST(len(tok.toks) AS INT) AS n_tokens,
+        |  CAST(sc.sdec AS DOUBLE) / sc.dl AS lm_logprob
+        |FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id""".stripMargin,
     // the rewriter re-derived relationally: DuckDB marks covered token
     // positions with a span range-join instead of Spark's per-row lambda
     "doc_substring_strip" ->
@@ -2723,6 +2795,25 @@ object SparkEntry {
          |SELECT canon_url, min(doc_id) AS winner, count(*) AS n_copies,
          |  count(DISTINCT url) AS n_raw_variants
          |FROM c GROUP BY 1""".stripMargin,
+    // DuckDB rebuilds every set Bloom bit from the blocklist and replays
+    // every membership verdict (incl. the false-positive tail) bit-for-bit
+    "web_bloom" ->
+      s"""WITH $urlCanonCtes,
+         |urls AS (SELECT DISTINCT canon_url FROM c),
+         |block AS (SELECT DISTINCT canon_url FROM c WHERE doc_id % 7 = 0),
+         |bbits AS (SELECT DISTINCT
+         |    ${sha60Sql("'bf:' || r || ':' || canon_url")} % 1024 AS bf_bit
+         |  FROM (SELECT canon_url, CAST(unnest(range(3)) AS VARCHAR) AS r
+         |        FROM block)),
+         |cand AS (SELECT canon_url,
+         |    ${sha60Sql("'bf:' || r || ':' || canon_url")} % 1024 AS bf_bit
+         |  FROM (SELECT canon_url, CAST(unnest(range(3)) AS VARCHAR) AS r
+         |        FROM urls)),
+         |hit AS (SELECT cand.canon_url, count(b.bf_bit) = 3 AS bloom_hit
+         |  FROM cand LEFT JOIN bbits b USING (bf_bit) GROUP BY 1)
+         |SELECT h.canon_url, h.bloom_hit,
+         |  (bl.canon_url IS NOT NULL) AS in_blocklist
+         |FROM hit h LEFT JOIN block bl USING (canon_url)""".stripMargin,
     "web_host_stats" ->
       s"""WITH $urlCanonCtes
          |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,

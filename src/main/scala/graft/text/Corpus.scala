@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -61,6 +62,47 @@ object Corpus {
   /** Rate in parts-per-million — THE shared integer-threshold definition for
     * [[sampleStratified]] and its oracle re-derivations. */
   def ppm(rate: Double): Long = (rate * 1000000.0).toLong
+
+  /**
+   * Temperature-scaled source mixing — the multi-source/multilingual
+   * re-balancing step: the output mixture follows p_s ∝ mass_s^alpha
+   * (alpha=1 keeps natural proportions, alpha→0 flattens to uniform), with
+   * the output token budget a fraction of the corpus. Source s is kept at
+   * rate_s = min(1, p_s · budgetFraction · Σmass / mass_s), resolved to an
+   * integer ppm threshold and applied with the deterministic sha60 coin
+   * ("mix:<salt>:<key>"), so the kept-set is replayable across engines and
+   * cluster sizes.
+   *
+   * Scale shape: ONE combinable integer mass aggregate (a handful of rows),
+   * a window over that aggregate (never the raw docs), a broadcast join
+   * back, then a map-only filter. Adds `rate_ppm` to every kept row.
+   */
+  def temperatureMix(docs: DataFrame, stratum: Column, key: Column,
+                     tokenCount: Column, alpha: Double,
+                     budgetFraction: Double, salt: String = "v1"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0, "budgetFraction in (0, 1]")
+    val masses = docs.groupBy(stratum.as("__stratum"))
+      .agg(sum(tokenCount).as("__mass"))
+    val whole = Window.partitionBy()
+    // rate arithmetic in a fixed operation order (w/sumw, then the budget
+    // ratio) so an external engine replays the same IEEE doubles; the final
+    // half-up round to integer ppm absorbs any sub-ulp divergence
+    val rates = masses
+      .withColumn("__w", pow(col("__mass").cast("double"), lit(alpha)))
+      .withColumn("__sumw", sum(col("__w")).over(whole))
+      .withColumn("__summass", sum(col("__mass")).over(whole))
+      .withColumn("__rate", least(lit(1.0), (col("__w") / col("__sumw")) *
+        ((lit(budgetFraction) * col("__summass").cast("double")) /
+          col("__mass").cast("double"))))
+      .withColumn("rate_ppm", round(col("__rate") * lit(1000000.0), 0).cast("long"))
+      .select(col("__stratum"), col("rate_ppm"))
+    val u = pmod(TextFunctions.sha60(
+      concat(lit(s"mix:$salt:"), key.cast("string"))), lit(1000000))
+    docs.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(u < col("rate_ppm"))
+      .drop("__stratum")
+  }
 
   /** Fixed-size character windows with stride (stride < size ⇒ overlap):
     * one output row per (doc, window). A map-side generator — the explode

@@ -174,4 +174,40 @@ object TextAnalysis {
     docs.withColumn("xxh64", xxhash64(text))
       .withColumn("winnow_fp", TextFunctions.winnow(text, lit(8), lit(16)))
       .withColumn("simhash", TextFunctions.simhash(text))
+
+  /**
+   * Unigram language-model quality score — the distributed analog of the
+   * CCNet perplexity gate: train unigram probabilities p(t) = count(t)/total
+   * on the corpus itself, score each document by its mean token log-prob
+   * (higher = more typical, low = surprising/garbage).
+   *
+   * Determinism: per-token log-probs are rounded to 7 dp and summed as
+   * DECIMAL, so the per-doc total is exact and order-insensitive — an
+   * external engine replaying the same double arithmetic reproduces every
+   * score bit-for-bit regardless of partitioning.
+   *
+   * Scale shape: the LM "training" is ONE combinable count over the vocab
+   * (boilerplate tokens collapse map-side), scoring is a hash join from the
+   * exploded tokens to the vocab table + one per-doc aggregate. Documents
+   * with no tokens surface with n_tokens=0 and a null score.
+   *
+   * @return (doc_key, n_tokens: int, lm_logprob: double — mean ln p(token))
+   */
+  def lmScore(docs: DataFrame, key: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val ex = docs.select(key.as("doc_key"), size(toks).as("dl"),
+      explode(toks).as("token"))
+    val vocab = ex.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = ex.agg(count(lit(1)).as("total"))
+    val logp = log(col("cnt").cast("double") / col("total"))
+    val termDec = round(logp, 7).cast("decimal(20,7)")
+    val scored = ex.join(vocab, "token").crossJoin(broadcast(total))
+      .groupBy("doc_key", "dl")
+      .agg(sum(termDec).as("__sum_dec"))
+      .select(col("doc_key"), col("dl").cast("int").as("n_tokens"),
+        (col("__sum_dec").cast("double") / col("dl")).as("lm_logprob"))
+    docs.select(key.as("doc_key"), size(toks).cast("int").as("n_tokens"))
+      .join(scored.drop("n_tokens"), Seq("doc_key"), "left")
+      .select(col("doc_key"), col("n_tokens"), col("lm_logprob"))
+  }
 }
