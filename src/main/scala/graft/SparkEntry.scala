@@ -134,6 +134,23 @@ object SparkEntry {
         concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
 
+  /** A deterministic "next crawl" snapshot over the base corpus: exact
+    * re-crawls (doc_id%3==0, identical bytes), near-duplicate re-crawls
+    * (doc_id%5==0 among the rest, an appended tail), and genuinely new
+    * pages (doc_id%7==1, synthetic fresh bodies). */
+  private def newSnapshot(s: SparkSession, dir: String) = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh crawl tail")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lit("entirely new page body number "), col("doc_id").cast("string"),
+            lit(" with unrelated words qwx zvy")).as("text")))
+  }
+
   /** Query terms for the BM25 contract row — drawn from the synthetic corpus
     * vocabulary so df spans common ("table") to rarer ("vector") terms. */
   private val Bm25QueryTerms = Seq("spark", "vector", "merge", "customer")
@@ -466,6 +483,13 @@ object SparkEntry {
     "doc_substring_dedup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.duplicatedSpans(
         docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
+    // cross-snapshot incremental dedup: classify a new crawl against the
+    // base corpus — digest semi join for exact, capped portable-band recall
+    // + exact shingle-Jaccard verify for near; delta-sized work throughout
+    "doc_incremental_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.incrementalStatus(
+        newSnapshot(s, dir), docs(s, dir).select(col("doc_id"), col("text")),
+        threshold = 0.5, perms = 16, bands = 4, maxBucket = 256)),
     // temperature-scaled source mixing: one tiny integer mass agg + a
     // window over the AGGREGATE + a broadcast rate join; the sha60 coin
     // keeps the kept-set replayable at any cluster size
@@ -2121,6 +2145,74 @@ object SparkEntry {
         |  span_start, span_end, span_end - span_start AS span_tokens,
         |  n_windows, max_copies
         |FROM sp""".stripMargin,
+    // DuckDB replays the ENTIRE incremental classification: the digest
+    // join, the two-sided sha256 minhash signatures, band keys, the
+    // base-side bucket cap (row_number <= 256 by id), and the exact
+    // string-shingle Jaccard verify
+    "doc_incremental_dedup" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 30000000 AS doc_id,
+         |    text || ' fresh crawl tail' AS text
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 40000000 AS doc_id,
+         |    'entirely new page body number ' || CAST(doc_id AS VARCHAR) ||
+         |      ' with unrelated words qwx zvy' AS text
+         |    FROM documents WHERE doc_id % 7 = 1),
+         |ex AS (SELECT DISTINCT n.doc_id FROM nd n
+         |  JOIN (SELECT DISTINCT sha256(text) AS dg FROM documents) b
+         |    ON sha256(n.text) = b.dg),
+         |ntok AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |    x -> length(x) > 0) AS toks FROM nd),
+         |nsh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []
+         |    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
+         |  FROM ntok),
+         |btok AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |    x -> length(x) > 0) AS toks FROM documents),
+         |bsh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []
+         |    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
+         |  FROM btok),
+         |nhv AS (SELECT doc_id, i,
+         |    min(${sha60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS mh
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM nsh WHERE len(sh) > 0),
+         |    range(16) t(i) GROUP BY 1, 2),
+         |nsig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM nhv GROUP BY 1),
+         |bhv AS (SELECT doc_id, i,
+         |    min(${sha60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS mh
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM bsh WHERE len(sh) > 0),
+         |    range(16) t(i) GROUP BY 1, 2),
+         |bsig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM bhv GROUP BY 1),
+         |nbands AS (SELECT doc_id, b,
+         |    array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+         |  FROM nsig, range(4) tb(b)),
+         |bbands AS (SELECT doc_id, b,
+         |    array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+         |  FROM bsig, range(4) tb(b)),
+         |bcap AS (SELECT doc_id, b, bk FROM (SELECT doc_id, b, bk,
+         |    row_number() OVER (PARTITION BY b, bk ORDER BY doc_id) AS rn
+         |  FROM bbands) WHERE rn <= 256),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS base_id
+         |  FROM nbands n JOIN bcap c ON n.b = c.b AND n.bk = c.bk),
+         |ver AS (SELECT DISTINCT cand.new_id FROM cand
+         |  JOIN nsh a ON a.doc_id = cand.new_id
+         |  JOIN bsh b2 ON b2.doc_id = cand.base_id
+         |  WHERE (CASE WHEN len(a.sh) = 0 OR len(b2.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE len(list_filter(a.sh, x -> list_contains(b2.sh, x)))
+         |      / CAST(len(a.sh) + len(b2.sh)
+         |        - len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS DOUBLE)
+         |    END) >= CAST(0.5 AS DOUBLE))
+         |SELECT nd.doc_id AS new_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN ver.new_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS status
+         |FROM nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
+         |LEFT JOIN ver ON ver.new_id = nd.doc_id""".stripMargin,
     // DuckDB re-derives the integer masses, replays the same pow/ratio
     // double arithmetic (operation order mirrored, literals cast to DOUBLE),
     // lands on the same integer ppm thresholds, and re-flips the sha60 coin

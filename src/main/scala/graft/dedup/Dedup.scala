@@ -296,6 +296,34 @@ object Dedup {
       array_min(transform(sh, s => sha60(i.cast("string"), s))))
   }
 
+  /** Portable minhash signature TABLE (doc_id, sig) in the explode shape —
+    * shingles spread across the cluster first, one codegen'd sha256 per
+    * (shingle, perm), min with map-side combine, array re-assembled last.
+    * Shared by [[portableMinhashLshPairs]] and [[incrementalStatus]]; docs
+    * with no shingles are absent. */
+  def portableSigTable(docs: DataFrame, idCol: String, textCol: String,
+                       perms: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleCol(col("t")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(perms - 1))).as("i"), col("s"))
+      .select(col("doc_id"), col("i"), sha60(col("i").cast("string"), col("s")).as("h"))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        st => st.getField("mh")).as("sig"))
+
+  /** LSH band keys over a `sig` column: comma-joined signature slices. */
+  def portableBandCol(perms: Int, bands: Int): Column = {
+    require(perms % bands == 0, "perms must divide evenly into bands")
+    val r = perms / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string"))))
+  }
+
   /** MinHash LSH near-dup pairs with a FULLY oracle-checkable hash family:
     * same shingle -> minhash -> band -> bucket-join -> verify plan as
     * [[minhashLshPairs]], but every hash is [[sha60]] so DuckDB recomputes
@@ -307,35 +335,18 @@ object Dedup {
                               perms: Int = 16, bands: Int = 4,
                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(perms % bands == 0, "perms must divide evenly into bands")
-    val r = perms / bands
     // Signature build is explode -> flat codegen'd sha256 projection ->
-    // min per (doc, perm) with map-side combine -> re-assembled array. A
-    // per-row nested-lambda build (transform over perms of array_min over
-    // shingles) runs interpreted AND gets projection-collapsed into every
-    // band key and both join sides (~8x the hash work — measured 580 s for
-    // the lambda form vs seconds for this shape at sf0.1). Signatures are
-    // PERSISTED: the one materialized artifact everything downstream
-    // re-joins by id — the checkpointed table at crawl scale.
-    val shx = docs
-      // spread the shingle + sha256 work across the cluster FIRST — a small
-      // input (one parquet split) would otherwise tokenize and hash serially
-      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), shingleCol(col("t")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(perms - 1))).as("i"), col("s"))
-    val sigs = shx
-      .select(col("doc_id"), col("i"), sha60(col("i").cast("string"), col("s")).as("h"))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        st => st.getField("mh")).as("sig"))
-      .persist()
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string"))))
+    // min per (doc, perm) with map-side combine -> re-assembled array
+    // (portableSigTable). A per-row nested-lambda build (transform over
+    // perms of array_min over shingles) runs interpreted AND gets
+    // projection-collapsed into every band key and both join sides (~8x the
+    // hash work — measured 580 s for the lambda form vs seconds for this
+    // shape at sf0.1). Signatures are PERSISTED: the one materialized
+    // artifact everything downstream re-joins by id — the checkpointed
+    // table at crawl scale.
+    val sigs = portableSigTable(docs, idCol, textCol, perms).persist()
     val rows = sigs.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+      posexplode(portableBandCol(perms, bands)).as(Seq("band_idx", "band_key")))
     // same capped-bucket guard as every other LSH operator here — a
     // boilerplate mega-bucket must never go quadratic (the oracle replicates
     // the cap)
@@ -457,5 +468,66 @@ object Dedup {
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("cos"))
+  }
+
+  /**
+   * Cross-snapshot INCREMENTAL dedup — classify each document of a new crawl
+   * against an existing base corpus without re-deduplicating the base:
+   * `exact_dup` (byte-identical content already in base), `near_dup`
+   * (shares an LSH band with a base doc AND exact shingle-Jaccard >=
+   * threshold), else `new`. Within-snapshot duplicates are the job of the
+   * batch operators; this is the per-crawl delta gate.
+   *
+   * Scale shape: the exact stage ships only content DIGESTS (one semi join
+   * on sha256, never text); the near stage re-uses the portable minhash
+   * band recall with the base side CAPPED per bucket (row_number <=
+   * maxBucket, deterministic by id — a boilerplate mega-bucket in a 100 TB
+   * base can never go quadratic against the delta), then verifies exact
+   * Jaccard on shingle sets joined back by id. Every stage is sha256-family
+   * portable, so an external engine replays the whole classification.
+   *
+   * @return one row per new doc: (new_id, status)
+   */
+  def incrementalStatus(newDocs: DataFrame, baseDocs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        threshold: Double = 0.5, perms: Int = 16,
+                        bands: Int = 4,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val newD = newDocs.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
+    val base = baseDocs.select(col(idCol).as("base_id"), col(textCol).as("base_text"))
+    val exactIds = newD
+      .select(col("new_id"), sha2(col("new_text"), 256).as("digest"))
+      .join(base.select(sha2(col("base_text"), 256).as("digest")).distinct(),
+        Seq("digest"), "left_semi")
+      .select(col("new_id")).withColumn("__exact", lit(1))
+    val nb = portableSigTable(newD, "new_id", "new_text", perms)
+      .select(col("doc_id").as("new_id"),
+        posexplode(portableBandCol(perms, bands)).as(Seq("band_idx", "band_key")))
+    val bcap = portableSigTable(base, "base_id", "base_text", perms)
+      .select(col("doc_id").as("base_id"),
+        posexplode(portableBandCol(perms, bands)).as(Seq("band_idx", "band_key")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("band_idx", "band_key").orderBy("base_id")))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val cand = nb.join(bcap, Seq("band_idx", "band_key"))
+      .select("new_id", "base_id").distinct()
+    // exact shingle-set Jaccard on the candidates, STRING shingles (the
+    // portable form — hashed-set jaccard would not be oracle-replayable)
+    val shN = newD.select(col("new_id"), shingleCol(col("new_text")).as("sh_a"))
+    val shB = base.select(col("base_id"), shingleCol(col("base_text")).as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = when(size(col("sh_a")) === 0 || size(col("sh_b")) === 0, lit(0.0))
+      .otherwise(inter /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+    val nearIds = cand.join(shN, "new_id").join(shB, "base_id")
+      .filter(jac >= threshold)
+      .select("new_id").distinct().withColumn("__near", lit(1))
+    newD.select(col("new_id"))
+      .join(exactIds, Seq("new_id"), "left")
+      .join(nearIds, Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("__exact") === 1, "exact_dup")
+          .when(col("__near") === 1, "near_dup")
+          .otherwise("new").as("status"))
   }
 }
