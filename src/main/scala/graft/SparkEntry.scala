@@ -546,6 +546,26 @@ object SparkEntry {
         .join(top, col("item") === col("gram"))
         .select(col("gram"), col("n_true"), col("cm_est"))
     }),
+    // sketch MERGEABILITY under the contract: per-shard Count-Min sketches
+    // (doc_id parity) merged by cell sum, then estimated — the oracle
+    // recomputes the WHOLE-stream sketch, so the hash match proves
+    // merge(sketch(A), sketch(B)) == sketch(A ++ B)
+    "doc_sketch_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def grams(part: DataFrame) = graft.dedup.SubstringDedup.tokenWindows(
+        part, col("doc_id"), col("text"), k = 3).select(col("win_text").as("gram"))
+      val all = grams(d)
+      val top = all.groupBy("gram").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("gram")).limit(20)
+      val sk = graft.sketch.CountMin.merge(
+        graft.sketch.CountMin.sketch(grams(d.filter(col("doc_id") % 2 === 0)),
+          col("gram"), CmDepth, CmWidth),
+        graft.sketch.CountMin.sketch(grams(d.filter(col("doc_id") % 2 === 1)),
+          col("gram"), CmDepth, CmWidth))
+      graft.sketch.CountMin.estimate(sk, top, col("gram"), CmDepth, CmWidth)
+        .join(top, col("item") === col("gram"))
+        .select(col("gram"), col("n_true"), col("cm_est"))
+    }),
     // corpus-wide segment-level exact dedup (the CCNet/RefinedWeb line-dedup
     // step) over the planted-dup corpus: 20-char windows as segments, first
     // occurrence wins via a COMBINABLE min(struct) — the hot-segment shuffle
@@ -1547,6 +1567,34 @@ object SparkEntry {
     s"list_reduce(list_transform(range(15), j -> CAST(strpos('0123456789abcdef', " +
     s"substr(sha256($x), j+1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** The whole-stream Count-Min heavy-hitter re-derivation: DuckDB rebuilds
+    * every cell from the full 3-gram stream and re-estimates the exact
+    * top-20. Shared by `doc_heavy_hitters` (direct sketch) and
+    * `doc_sketch_merge` (per-shard sketches merged by cell sum) — a hash
+    * match on the latter is the mergeability proof. */
+  private lazy val HeavyHittersSql: String =
+    s"""WITH tok AS (SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+       |    x -> length(x) > 0) AS toks FROM documents),
+       |g AS (SELECT unnest(list_transform(range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+       |  FROM tok WHERE len(toks) >= 3),
+       |top AS (SELECT gram, count(*) AS n_true FROM g GROUP BY 1
+       |  ORDER BY n_true DESC, gram LIMIT 20),
+       |cells AS (SELECT gram, unnest(range(4)) AS r FROM g),
+       |sk AS (SELECT r,
+       |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c,
+       |    count(*) AS cm_cnt
+       |  FROM cells GROUP BY 1, 2),
+       |tc AS (SELECT gram, n_true, unnest(range(4)) AS r FROM top),
+       |tcell AS (SELECT gram, n_true, r,
+       |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c
+       |  FROM tc)
+       |SELECT t.gram, t.n_true,
+       |  min(coalesce(sk.cm_cnt, CAST(0 AS BIGINT))) AS cm_est
+       |FROM tcell t LEFT JOIN sk ON sk.r = t.r AND sk.c = t.c
+       |GROUP BY 1, 2""".stripMargin
+
   /** PageRank oracle: the iteration chain unrolled as CTEs, generated for
     * the same iteration count the engine runs — DuckDB's `//` (integral
     * floor division) matches Spark's `div` on the all-positive fixed-point
@@ -2320,28 +2368,10 @@ object SparkEntry {
     // DuckDB rebuilds every Count-Min cell (sha60 family, pmod width) from
     // the full 3-gram stream and re-estimates the exact top-20 — proving
     // both the exact counts and the sketch plan
-    "doc_heavy_hitters" ->
-      s"""WITH tok AS (SELECT doc_id, list_filter(
-         |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
-         |    x -> length(x) > 0) AS toks FROM documents),
-         |g AS (SELECT unnest(list_transform(range(len(toks) - 2),
-         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
-         |  FROM tok WHERE len(toks) >= 3),
-         |top AS (SELECT gram, count(*) AS n_true FROM g GROUP BY 1
-         |  ORDER BY n_true DESC, gram LIMIT 20),
-         |cells AS (SELECT gram, unnest(range(4)) AS r FROM g),
-         |sk AS (SELECT r,
-         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c,
-         |    count(*) AS cm_cnt
-         |  FROM cells GROUP BY 1, 2),
-         |tc AS (SELECT gram, n_true, unnest(range(4)) AS r FROM top),
-         |tcell AS (SELECT gram, n_true, r,
-         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || gram")} % 512 AS c
-         |  FROM tc)
-         |SELECT t.gram, t.n_true,
-         |  min(coalesce(sk.cm_cnt, CAST(0 AS BIGINT))) AS cm_est
-         |FROM tcell t LEFT JOIN sk ON sk.r = t.r AND sk.c = t.c
-         |GROUP BY 1, 2""".stripMargin,
+    "doc_heavy_hitters" -> HeavyHittersSql,
+    // the MERGED shard sketches must equal this same whole-stream oracle —
+    // the hash match is the mergeability proof
+    "doc_sketch_merge" -> HeavyHittersSql,
     "doc_quality_gate" ->
       s"""WITH ${qualityCtes("documents")},
          |s AS (SELECT q.doc_id, d.source, q.quality_score

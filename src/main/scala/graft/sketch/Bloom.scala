@@ -35,6 +35,15 @@ object Bloom {
     items.select(explode(bitsOf(item, k, m)).as("bf_bit")).distinct()
   }
 
+  /** Union filters built with the SAME (k, m, hash family) by OR-ing bits —
+    * per-shard blocklist filters combine into the corpus filter without
+    * re-reading the sets: union(build(A), build(B)) == build(A ∪ B)
+    * bit-for-bit. */
+  def union(filters: DataFrame*): DataFrame = {
+    require(filters.nonEmpty, "need at least one filter")
+    filters.reduce(_ unionByName _).distinct()
+  }
+
   /** Membership verdicts for candidate items against a built filter:
     * bloom_hit iff all k bits are present. The filter side is bounded
     * (<= m rows) and broadcast; candidates never shuffle. */

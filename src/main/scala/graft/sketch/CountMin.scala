@@ -39,6 +39,18 @@ object CountMin {
       .agg(count(lit(1)).as("cm_cnt"))
   }
 
+  /** Merge sketches built with the SAME (depth, width, hash family) by
+    * summing cells — the property that makes the sketch usable at fleet
+    * scale: per-shard/per-day sketches combine into the corpus sketch
+    * without touching the streams again. merge(sketch(A), sketch(B)) ==
+    * sketch(A ++ B) exactly (cell-for-cell, not just estimate-for-estimate). */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("cm_row", "cm_col")
+      .agg(sum("cm_cnt").as("cm_cnt"))
+  }
+
   /** Point estimates for candidate items against a built sketch: min over
     * the item's depth cells. The sketch side is bounded (depth*width rows)
     * and broadcast; candidates never shuffle. Candidates absent from the

@@ -90,6 +90,28 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(mass.toSeq === Seq(5000L, 5000L))
   }
 
+  test("count-min merge of shard sketches equals the whole-stream sketch") {
+    val items = (1 to 300).map(i => s"it${i % 40}")
+    val (a, b) = items.splitAt(120)
+    val whole = CountMin.sketch(items.toDF("item"), col("item"), 3, 64)
+    val merged = CountMin.merge(
+      CountMin.sketch(a.toDF("item"), col("item"), 3, 64),
+      CountMin.sketch(b.toDF("item"), col("item"), 3, 64))
+    val w = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w === m)
+  }
+
+  test("bloom union of shard filters equals the whole-set filter") {
+    val (a, b) = (1 to 100).map(i => s"u$i").splitAt(40)
+    val whole = graft.sketch.Bloom.build((a ++ b).toDF("u"), col("u"), 3, 2048)
+    val merged = graft.sketch.Bloom.union(
+      graft.sketch.Bloom.build(a.toDF("u"), col("u"), 3, 2048),
+      graft.sketch.Bloom.build(b.toDF("u"), col("u"), 3, 2048))
+    assert(whole.as[Long].collect().sorted.toSeq ===
+      merged.as[Long].collect().sorted.toSeq)
+  }
+
   // ---- Search / BM25 -------------------------------------------------------
 
   test("postings carry tf and dl") {
