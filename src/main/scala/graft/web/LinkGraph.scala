@@ -45,6 +45,124 @@ object LinkGraph {
    * @param dampingPct damping factor in percent (85 = the classic 0.85)
    * @return (node: long, rank_scaled: long) — rank * [[Scale]]
    */
+  /** Fixed-point scale for HITS: hub/authority mass is stored as
+    * score * 1e6. Smaller than [[Scale]] on purpose: HITS re-normalizes
+    * every half-step with `raw * HitsScale div total`, and the headroom
+    * bound is max_degree * HitsScale^2 < 2^63 — 1e6 supports degrees to
+    * ~9e6 (a crawl-graph supernode); shrink it, don't grow it. */
+  val HitsScale = 1000000L
+
+  /** Cut the SQL lineage of an already-persisted iteration vector: each
+    * iterative step references its input more than once (HITS: L1 total +
+    * join; PageRank: contrib join), so carrying the logical plan forward
+    * grows it GEOMETRICALLY — persist() materializes data but does NOT
+    * truncate the plan, and past a few iterations per-job plan
+    * serialization (SparkPlanInfo on every job event) dominates
+    * wall-clock. Re-entering the vector as a LogicalRDD leaf keeps the
+    * plan O(1) per iteration; the RDD underneath keeps its own lineage,
+    * so fault tolerance is unchanged (the same role GraphX/GraphFrames
+    * assign to periodic checkpoints). */
+  private def cut(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /**
+   * HITS hubs & authorities over an edge list, `iters` synchronous
+   * iterations, in the same fixed-point arithmetic as [[pageRank]] so every
+   * iteration is bit-reproducible at any cluster size and an external
+   * engine can replay the whole chain.
+   *
+   * Each iteration is two half-steps, each ONE equi-join of the edge list
+   * with the current vector plus one combinable long-sum on the opposite
+   * endpoint — narrow (node, long) shuffle rows, map-side partials
+   * absorbing hot endpoints — followed by L1 normalization against a
+   * broadcast 1-row total (never a collect). L1 (not the classic L2) keeps
+   * the arithmetic integral: same fixed points up to scaling, and exact.
+   *
+   * @param edges (src: long, dst: long) — duplicates collapsed
+   * @return (node: long, auth_scaled: long, hub_scaled: long); nodes with
+   *         no in-links carry auth 0, no out-links hub 0
+   */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().persist()
+    // un-normalized classic init: hub_0 = 1 (scaled) everywhere
+    var hubsCached = nodes.select(col("v"), lit(HitsScale).as("h")).persist()
+    hubsCached.count()
+    var hubs = cut(hubsCached)
+    var authsCached: DataFrame = null
+    var auths: DataFrame = null
+    def l1Normalize(raw: DataFrame, c: String): DataFrame = {
+      val tot = broadcast(raw.agg(sum(col(c)).as("__t")))
+      nodes.join(raw, Seq("v"), "left").crossJoin(tot)
+        .select(col("v"),
+          expr(s"coalesce($c, CAST(0 AS BIGINT)) * $HitsScale div __t").as(c))
+    }
+    for (_ <- 1 to iters) {
+      val authNext = l1Normalize(
+        e.join(hubs, e("src") === hubs("v"))
+          .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")), "a")
+        .persist()
+      authNext.count()
+      if (authsCached != null) authsCached.unpersist()
+      authsCached = authNext
+      auths = cut(authNext)
+      val hubNext = l1Normalize(
+        e.join(auths, e("dst") === auths("v"))
+          .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")), "h")
+        .persist()
+      hubNext.count()
+      hubsCached.unpersist()
+      hubsCached = hubNext
+      hubs = cut(hubNext)
+    }
+    val out = auths.join(hubs, Seq("v"))
+      .select(col("v").as("node"), col("a").as("auth_scaled"),
+        col("h").as("hub_scaled")).persist()
+    out.count()
+    authsCached.unpersist(); hubsCached.unpersist()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /**
+   * Anchor-text consolidation — the classic link-based relevance signal:
+   * for every link TARGET, aggregate what the web calls it. Training-data
+   * pipelines use the result both as a quality feature (inlink count,
+   * source-host diversity) and as retrieval text for the target page.
+   *
+   * Scale shape: one hash aggregation on (dst, anchor) — map-side partials
+   * absorb the hot (supernode target, boilerplate anchor) pairs — then a
+   * combinable per-dst rollup: the top anchor travels as min(struct(-n,
+   * anchor)) (largest count, ties to the lexicographically smallest
+   * anchor — deterministic, unlike max_by under ties), and the distinct
+   * anchor list is collected from the ALREADY-aggregated per-anchor rows,
+   * bounded by the per-target anchor vocabulary (cap it upstream for
+   * adversarial targets). Source-host diversity is its own distinct
+   * aggregation, joined back.
+   *
+   * @return (dst, n_inlinks, n_src_hosts, n_anchors, top_anchor,
+   *          top_anchor_n, anchors: sorted distinct array)
+   */
+  def anchorStats(links: DataFrame, dstCol: Column, anchorCol: Column,
+                  srcHostCol: Column): DataFrame = {
+    val base = links.select(dstCol.as("dst"), anchorCol.as("anchor"),
+      srcHostCol.as("src_host"))
+    val perAnchor = base.groupBy("dst", "anchor").agg(count(lit(1)).as("n"))
+    val rolled = perAnchor.groupBy("dst").agg(
+      sum(col("n")).as("n_inlinks"),
+      count(lit(1)).as("n_anchors"),
+      min(struct((-col("n")).as("negn"), col("anchor").as("a"))).as("t"),
+      sort_array(collect_list(col("anchor"))).as("anchors"))
+    val hosts = base.select(col("dst"), col("src_host")).distinct()
+      .groupBy("dst").agg(count(lit(1)).as("n_src_hosts"))
+    rolled.join(hosts, Seq("dst"))
+      .select(col("dst"), col("n_inlinks"), col("n_src_hosts"),
+        col("n_anchors"), col("t.a").as("top_anchor"),
+        (-col("t.negn")).as("top_anchor_n"), col("anchors"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // cache hygiene mirrors Dedup.connectedComponents: the base tables are
@@ -58,9 +176,11 @@ object LinkGraph {
     val nDf = broadcast(nodes.agg(count(lit(1)).as("__n")))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val base = expr(s"CAST(${100 - dampingPct} AS BIGINT) * $Scale div (100 * __n)")
-    var ranks = nodes.crossJoin(nDf)
+    var ranksCached = nodes.crossJoin(nDf)
       .select(col("v"), expr(s"CAST($Scale AS BIGINT) div __n").as("r"))
       .persist()
+    ranksCached.count()
+    var ranks = cut(ranksCached)
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("v"))
         .join(outdeg, "src")
@@ -72,13 +192,14 @@ object LinkGraph {
         .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
         .persist()
       next.count() // materialize every partition before releasing the parent
-      ranks.unpersist()
-      ranks = next
+      ranksCached.unpersist()
+      ranksCached = next
+      ranks = cut(next)
     }
     val out = ranks.select(col("v").as("node"), col("r").as("rank_scaled"))
       .persist()
     out.count()
-    ranks.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    ranksCached.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     out
   }
 }

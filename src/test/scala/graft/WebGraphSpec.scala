@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sketch.Kmv
+import graft.sketch.{Hll, Kmv}
 import graft.web.LinkGraph
 
-/** Link-graph centrality (fixed-point PageRank) and the KMV cardinality
-  * sketch. */
+/** Link-graph centrality (fixed-point PageRank, HITS), anchor-text
+  * consolidation, and the KMV/HLL cardinality sketches. */
 class WebGraphSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -60,5 +60,83 @@ class WebGraphSpec extends AnyFunSuite {
         assert(est > exact / 2 && est < exact * 2, s"$g est=$est exact=$exact")
       } else assert(est === exact, g)
     }
+  }
+
+  test("hits: star graph — authority at the hub target, equal spoke hubs") {
+    // 1,2,3 all link to 0; 0 links back to 1.
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val r = LinkGraph.hits(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L))
+    // node 0 is the authority; 2,3 (never linked-to) carry zero authority
+    assert(r(0L)._1 > r(1L)._1 && r(1L)._1 > 0)
+    assert(r(2L)._1 === 0L && r(3L)._1 === 0L)
+    // 1,2,3 are equal hubs (all point at the authority) and beat node 0
+    assert(r(1L)._2 === r(2L)._2 && r(2L)._2 === r(3L)._2)
+    assert(r(1L)._2 > r(0L)._2 && r(0L)._2 > 0)
+    // L1 mass: each vector sums to <= HitsScale, within truncation loss
+    val (authSum, hubSum) = (r.values.map(_._1).sum, r.values.map(_._2).sum)
+    assert(authSum <= LinkGraph.HitsScale && authSum > LinkGraph.HitsScale * 99 / 100)
+    assert(hubSum <= LinkGraph.HitsScale && hubSum > LinkGraph.HitsScale * 99 / 100)
+    // bit-reproducible
+    val r2 = LinkGraph.hits(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === r2)
+  }
+
+  test("anchorStats: counts, host diversity, deterministic tie-break") {
+    val links = Seq(
+      (10L, "home", "a.com"), (10L, "home", "b.com"), (10L, "start", "a.com"),
+      // target 20: "x" and "y" tie at 2 — lexicographically smaller wins
+      (20L, "y", "a.com"), (20L, "y", "a.com"), (20L, "x", "b.com"),
+      (20L, "x", "c.com")
+    ).toDF("dst", "anchor", "src_host")
+    val r = LinkGraph.anchorStats(links, col("dst"), col("anchor"),
+        col("src_host")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val t10 = r(10L)
+    assert(t10.getAs[Long]("n_inlinks") === 3L)
+    assert(t10.getAs[Long]("n_src_hosts") === 2L)
+    assert(t10.getAs[Long]("n_anchors") === 2L)
+    assert(t10.getAs[String]("top_anchor") === "home")
+    assert(t10.getAs[Long]("top_anchor_n") === 2L)
+    assert(t10.getAs[Seq[String]]("anchors") === Seq("home", "start"))
+    val t20 = r(20L)
+    assert(t20.getAs[String]("top_anchor") === "x") // tie 2-2 → lexicographic
+    assert(t20.getAs[Long]("n_src_hosts") === 3L)
+  }
+
+  test("hllDistinct: small exact-ish via linear counting, large within 50%") {
+    val df = (0 until 600).map(i => (s"g${i % 3}", s"v${i % (40 * (i % 3 + 1))}"))
+      .toDF("g", "v")
+      .unionByName(Seq(("small", "a"), ("small", "b"), ("small", "a"))
+        .toDF("g", "v"))
+    val r = Hll.hllDistinct(df, col("g"), col("v")).collect()
+      .map(x => (x.getString(0),
+        (x.getInt(1), x.getLong(3), x.getLong(4)))).toMap
+    r.foreach { case (g, (vZero, est, exact)) =>
+      assert(vZero >= 0 && vZero < Hll.M, g)
+      // deterministic inputs → a fixed, non-flaking accuracy assertion;
+      // m=64 has ~13% standard error, 50% is generous headroom
+      assert(est > exact / 2 && est < exact * 2, s"$g est=$est exact=$exact")
+    }
+    // tiny group sits on the linear-counting branch and lands exactly
+    assert(r("small")._2 === 2L)
+  }
+
+  test("hll register merge == one-shot sketch (mergeability)") {
+    val df = (0 until 500).map(i => (s"g${i % 2}", s"v${i % 120}")).toDF("g", "v")
+    val oneShot = Hll.estimate(Hll.registers(df, col("g"), col("v"))).collect()
+      .map(x => x.getString(0) -> ((x.getInt(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // shard by an unrelated predicate, sketch each shard, union + merge
+    val s1 = Hll.registers(df.filter(col("v").substr(2, 10).cast("int") % 2 === 0),
+      col("g"), col("v"))
+    val s2 = Hll.registers(df.filter(col("v").substr(2, 10).cast("int") % 2 === 1),
+      col("g"), col("v"))
+    val merged = Hll.estimate(Hll.merge(s1.unionByName(s2))).collect()
+      .map(x => x.getString(0) -> ((x.getInt(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(merged === oneShot)
   }
 }
