@@ -476,6 +476,36 @@ object SparkEntry {
     // over ≤ k rows (never a global sort of the vocabulary)
     "doc_vocab" -> ((s, dir) =>
       graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // adjacent-token PMI collocations: two combinable aggs (bigram counts
+    // via the codegen window-ngram call, unigram counts) + a join over only
+    // the >= 5-count pairs; the single float step is one fixed-order
+    // multiply/divide chain into ln, rounded to 6, and the top-50 cut
+    // orders by (pmi6, tok_a, tok_b) so DuckDB ties identically
+    "doc_pmi" -> ((s, dir) =>
+      graft.text.Cooccur.pmiTopK(docs(s, dir), col("text"),
+        minPairCount = 5, k = 50)),
+    // mergeable base-2 log-histogram quantile sketch (4 sub-buckets per
+    // octave) of document char lengths per source — pure integer bit math
+    // end-to-end; DuckDB rebuilds every cell and threshold
+    "doc_quantile_sketch" -> ((s, dir) =>
+      graft.sketch.QuantileHist.sketch(docs(s, dir), col("source"),
+          length(col("text")).cast("long"), Seq(50, 90, 99))
+        .withColumnRenamed("key", "source")),
+    // mergeability proof: shard the corpus 3 ways, sketch each shard, union
+    // + cell-sum merge, THEN estimate — the oracle recomputes directly from
+    // all values, so a hash match proves merge == one-shot
+    "doc_quantile_merge" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        length(col("text")).cast("long").as("v"),
+        pmod(col("doc_id"), lit(3L)).as("shard"))
+      val shards = (0 until 3).map(i =>
+        graft.sketch.QuantileHist.cells(d.filter(col("shard") === i),
+          col("source"), col("v")))
+      graft.sketch.QuantileHist.quantiles(
+          graft.sketch.QuantileHist.merge(shards.reduce(_ unionByName _)),
+          Seq(50, 90, 99))
+        .withColumnRenamed("key", "source")
+    }),
     // exact duplicated-substring spans (the suffix-array-style substring
     // dedup step, window-granular): 8-token windows repeated corpus-wide,
     // merged gaps-and-islands per doc — one combinable count on the window
@@ -1398,6 +1428,41 @@ object SparkEntry {
           graft.etl.UrlOps.canonicalUrl(col("url")), k = 16)
         .withColumnRenamed("key", "host")
     }),
+    // HLL cardinality sketch per host: the register-mergeable sibling of
+    // the KMV row — DuckDB rebuilds every register (bucket split, rho via
+    // bin() length) and replays the exact-integer harmonic sum plus the
+    // linear-counting branch bit-for-bit; n_exact rides along
+    "web_distinct_hll" -> ((s, dir) => {
+      val u = docsWithUrls(s, dir)
+      graft.sketch.Hll.hllDistinct(u,
+          graft.etl.UrlOps.urlHost(col("url")),
+          graft.etl.UrlOps.canonicalUrl(col("url")))
+        .withColumnRenamed("key", "host")
+    }),
+    // HITS hubs & authorities over the SAME deterministic edge list as
+    // web_pagerank, 3 synchronous iterations in fixed-point arithmetic —
+    // the oracle unrolls both half-steps of every iteration as CTEs
+    "web_hits" -> ((s, dir) =>
+      graft.web.LinkGraph.hits(
+        docs(s, dir).select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 17 + 29) % 64).as("dst")),
+        iters = 3)),
+    // anchor-text consolidation per link target: inlink count, source-host
+    // diversity, anchor vocabulary, deterministic top anchor (largest
+    // count, ties lexicographic) — the oracle re-derives the top anchor by
+    // a DIFFERENT algorithm (row_number window vs combinable min(struct))
+    "web_anchor_stats" -> ((s, dir) => {
+      val u = docsWithUrls(s, dir)
+      val links = u.select(
+        pmod(col("doc_id") * 31, lit(40L)).as("dst"),
+        concat(lit("a"), pmod(col("doc_id"), lit(7L)).cast("string"))
+          .as("anchor"),
+        graft.etl.UrlOps.urlHost(col("url")).as("src_host"))
+      graft.web.LinkGraph.anchorStats(links, col("dst"), col("anchor"),
+          col("src_host"))
+        .withColumn("anchors_cat", array_join(col("anchors"), "|"))
+        .drop("anchors")
+    }),
     // tile pyramid: base zoom pays the only hit-level shuffle, coarser
     // zooms roll up the previous level by exact integer halving; the oracle
     // recomputes every level DIRECTLY from the points (a different
@@ -1595,6 +1660,33 @@ object SparkEntry {
        |FROM tcell t LEFT JOIN sk ON sk.r = t.r AND sk.c = t.c
        |GROUP BY 1, 2""".stripMargin
 
+  /** Quantile-sketch oracle: DuckDB rebuilds every log-histogram cell
+    * (bucket via bin()-length bit math, identical in both engines), the
+    * cumulative walk, and the integer ceil-threshold pick. Shared by
+    * `doc_quantile_sketch` (direct) and `doc_quantile_merge` (per-shard
+    * cells unioned + cell-sum merged) — a hash match on the latter is the
+    * mergeability proof, exactly like `doc_sketch_merge` for Count-Min. */
+  private lazy val QuantileSketchSql: String =
+    """WITH vv AS (SELECT source AS key, CAST(length(text) AS BIGINT) AS v
+      |  FROM documents),
+      |b AS (SELECT key, CAST(CASE WHEN v < 4 THEN v
+      |    ELSE (length(bin(v)) - 1) * 4 + ((v >> (length(bin(v)) - 3)) & 3)
+      |    END AS INT) AS bucket FROM vv),
+      |c AS (SELECT key, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |t AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY 1),
+      |cm AS (SELECT key, bucket, CAST(sum(cnt) OVER (
+      |    PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum FROM c),
+      |p AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS pct),
+      |q AS (SELECT cm.key, p.pct, min(bucket) AS b
+      |  FROM cm JOIN t USING (key) CROSS JOIN p
+      |  WHERE cum >= (t.n_total * p.pct + 99) // 100 GROUP BY 1, 2)
+      |SELECT q.key AS source, q.pct,
+      |  CASE WHEN b < 4 THEN CAST(b AS BIGINT)
+      |    ELSE (CAST(b % 4 + 5 AS BIGINT) << ((b // 4) - 2)) - 1
+      |    END AS est_value,
+      |  t.n_total
+      |FROM q JOIN t ON t.key = q.key""".stripMargin
+
   /** PageRank oracle: the iteration chain unrolled as CTEs, generated for
     * the same iteration count the engine runs — DuckDB's `//` (integral
     * floor division) matches Spark's `div` on the all-positive fixed-point
@@ -1619,6 +1711,36 @@ object SparkEntry {
          |  FROM nodes LEFT JOIN c$i ON c$i.v = nodes.v)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps\nSELECT v AS node, r AS rank_scaled FROM r$iters"
+  }
+
+  /** HITS oracle: both half-steps of every iteration unrolled as CTEs in
+    * the same fixed-point arithmetic as the engine (`//` == Spark `div` on
+    * the all-positive domain); L1 normalization divides by the sum over the
+    * raw half-step, exactly as [[graft.web.LinkGraph.hits]] does. */
+  private def hitsSql(iters: Int): String = {
+    val base =
+      """e0 AS (SELECT DISTINCT doc_id % 64 AS src,
+        |    (doc_id * 17 + 29) % 64 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT src AS v FROM e0
+        |  UNION SELECT DISTINCT dst FROM e0),
+        |h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS v, CAST(sum(h.h) AS BIGINT) AS s
+         |  FROM e0 e JOIN h${i - 1} h ON h.v = e.src GROUP BY 1),
+         |a$i AS (SELECT nodes.v,
+         |    (COALESCE(ar$i.s, CAST(0 AS BIGINT)) * 1000000)
+         |      // (SELECT CAST(sum(s) AS BIGINT) FROM ar$i) AS a
+         |  FROM nodes LEFT JOIN ar$i ON ar$i.v = nodes.v),
+         |hr$i AS (SELECT e.src AS v, CAST(sum(a.a) AS BIGINT) AS s
+         |  FROM e0 e JOIN a$i a ON a.v = e.dst GROUP BY 1),
+         |h$i AS (SELECT nodes.v,
+         |    (COALESCE(hr$i.s, CAST(0 AS BIGINT)) * 1000000)
+         |      // (SELECT CAST(sum(s) AS BIGINT) FROM hr$i) AS h
+         |  FROM nodes LEFT JOIN hr$i ON hr$i.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,\n$steps
+       |SELECT a$iters.v AS node, a$iters.a AS auth_scaled, h$iters.h AS hub_scaled
+       |FROM a$iters JOIN h$iters ON h$iters.v = a$iters.v""".stripMargin
   }
 
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
@@ -2159,6 +2281,32 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
         |    AS INT) AS vocab_id
         |FROM c ORDER BY vocab_id LIMIT 100""".stripMargin,
+    // DuckDB rebuilds the bigram stream with multiplicity, both count
+    // tables, and the identical fixed-order double chain into ln
+    "doc_pmi" ->
+      """WITH tok AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS t FROM tok),
+        |un AS (SELECT t, count(*) AS n FROM uni GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM tok WHERE len(toks) >= 2),
+        |np AS (SELECT count(*) AS n FROM bg),
+        |bc AS (SELECT g, count(*) AS n_ab FROM bg GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |j AS (SELECT string_split(g, ' ')[1] AS tok_a,
+        |    string_split(g, ' ')[2] AS tok_b, n_ab FROM bc),
+        |sc AS (SELECT j.tok_a, j.tok_b, j.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |    round(ln((CAST(j.n_ab AS DOUBLE) * CAST((SELECT n FROM nt) AS DOUBLE)
+        |        * CAST((SELECT n FROM nt) AS DOUBLE))
+        |      / (CAST((SELECT n FROM np) AS DOUBLE) * CAST(ua.n AS DOUBLE)
+        |        * CAST(ub.n AS DOUBLE))), 6) AS pmi6
+        |  FROM j JOIN un ua ON ua.t = j.tok_a JOIN un ub ON ub.t = j.tok_b)
+        |SELECT * FROM sc ORDER BY pmi6 DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+    "doc_quantile_sketch" -> QuantileSketchSql,
+    "doc_quantile_merge" -> QuantileSketchSql,
     // independent re-derivation of the gaps-and-islands span merge: DuckDB
     // rebuilds the 8-token windows, the corpus-wide copy counts, and the
     // island sums from the same planted-dup corpus
@@ -2965,6 +3113,55 @@ object SparkEntry {
          |    AS est_distinct,
          |  e.n_exact
          |FROM agg a JOIN ex e USING (host)""".stripMargin,
+    // DuckDB rebuilds every HLL register (sha60 bucket split, rho from the
+    // no-leading-zeros bin() length — identical semantics in both engines),
+    // accumulates the harmonic denominator as the same EXACT integer, and
+    // replays the fixed-order float chain + linear-counting branch
+    "web_distinct_hll" ->
+      s"""WITH $urlCanonCtes,
+         |hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),
+         |rg AS (SELECT host, CAST(h // 18014398509481984 AS INT) AS bucket,
+         |    h % 18014398509481984 AS w FROM hh),
+         |regs AS (SELECT host, bucket,
+         |    max(CASE WHEN w = 0 THEN 55
+         |        ELSE 55 - length(bin(w)) END) AS reg
+         |  FROM rg GROUP BY 1, 2),
+         |agg AS (SELECT host, count(*) AS nb,
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS sp
+         |  FROM regs GROUP BY 1),
+         |fl AS (SELECT host, CAST(64 - nb AS INT) AS v_zero,
+         |    sp + (64 - nb) * (CAST(1 AS BIGINT) << 55) AS reg_sum FROM agg),
+         |est AS (SELECT *, CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |    * CAST(36028797018963968.0 AS DOUBLE) / CAST(reg_sum AS DOUBLE)
+         |    AS er FROM fl),
+         |ex AS (SELECT host, count(*) AS n_exact FROM hh GROUP BY host)
+         |SELECT e.host, e.v_zero, e.reg_sum,
+         |  CAST(CASE WHEN er <= CAST(160.0 AS DOUBLE) AND v_zero > 0
+         |    THEN round(CAST(64.0 AS DOUBLE)
+         |      * ln(CAST(64.0 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
+         |    ELSE round(er) END AS BIGINT) AS est_distinct,
+         |  x.n_exact
+         |FROM est e JOIN ex x USING (host)""".stripMargin,
+    "web_hits" -> hitsSql(3),
+    // the top anchor is re-derived by a DIFFERENT algorithm (row_number
+    // window) than the engine's combinable min(struct(-n, anchor))
+    "web_anchor_stats" ->
+      s"""WITH $urlCanonCtes,
+         |l AS (SELECT (doc_id * 31) % 40 AS dst,
+         |    'a' || CAST(doc_id % 7 AS VARCHAR) AS anchor,
+         |    host AS src_host FROM c),
+         |pa AS (SELECT dst, anchor, count(*) AS n FROM l GROUP BY 1, 2),
+         |r AS (SELECT dst, CAST(sum(n) AS BIGINT) AS n_inlinks,
+         |    count(*) AS n_anchors,
+         |    string_agg(anchor, '|' ORDER BY anchor) AS anchors_cat
+         |  FROM pa GROUP BY 1),
+         |t AS (SELECT dst, anchor, n, row_number() OVER (
+         |    PARTITION BY dst ORDER BY n DESC, anchor) AS rn FROM pa),
+         |h AS (SELECT dst, count(DISTINCT src_host) AS n_src_hosts FROM l
+         |  GROUP BY 1)
+         |SELECT r.dst, r.n_inlinks, h.n_src_hosts, r.n_anchors,
+         |  t.anchor AS top_anchor, t.n AS top_anchor_n, r.anchors_cat
+         |FROM r JOIN h USING (dst) JOIN t ON t.dst = r.dst AND t.rn = 1""".stripMargin,
     "geo_tile_pyramid" ->
       """WITH pts AS (SELECT
         |  (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.QuantileHist
+import graft.text.Cooccur
+
+/** PMI collocations and the mergeable log-histogram quantile sketch. */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("quantile bucket: upper bound covers v within 25% relative error") {
+    val vals = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 100L, 1000L, 12345L,
+      1000000L) ++ (1 to 20).map(i => (1L << i) - 1) ++
+      (1 to 20).map(i => 1L << i)).distinct
+    val r = QuantileHist.cells(vals.toDF("v").withColumn("k", lit("x")),
+      col("k"), col("v"))
+    // every value's bucket upper bound is >= the value and within 25%
+    val df = vals.toDF("v").withColumn("k", lit("x"))
+      .select(col("v"))
+      .withColumn("b", expr(
+        "CAST(CASE WHEN v < 4 THEN v ELSE (length(bin(v)) - 1) * 4 + " +
+        "(shiftright(v, CAST(length(bin(v)) AS INT) - 3) & 3) END AS INT)"))
+      .withColumn("ub", expr(
+        "CASE WHEN b < 4 THEN CAST(b AS BIGINT) ELSE " +
+        "shiftleft(CAST(b % 4 + 5 AS BIGINT), (b div 4) - 2) - 1 END"))
+      .collect()
+    df.foreach { row =>
+      val (v, ub) = (row.getLong(0), row.getLong(2))
+      assert(ub >= v, s"v=$v ub=$ub")
+      assert(ub.toDouble <= math.max(v.toDouble * 1.25, 3.0), s"v=$v ub=$ub")
+    }
+    assert(r.count() > 0)
+  }
+
+  test("quantiles: exact on small-value domain, thresholds correct") {
+    // values < 4 are their own buckets -> the sketch is exact there
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 0L), ("b", 3L)).toDF("k", "v")
+    val q = QuantileHist.sketch(df, col("k"), col("v"), Seq(50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a: [1,1,2,3] -> p50 threshold ceil(2)=2 -> bucket 1; p100 -> 3
+    assert(q(("a", 50)) === 1L)
+    assert(q(("a", 100)) === 3L)
+    // b: [0,3] -> p50 threshold 1 -> bucket 0; p100 -> 3
+    assert(q(("b", 50)) === 0L)
+    assert(q(("b", 100)) === 3L)
+  }
+
+  test("quantile merge == one-shot sketch (mergeability)") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", (i * i % 9973).toLong))
+      .toDF("k", "v")
+    val direct = QuantileHist.sketch(df, col("k"), col("v"), Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val shards = (0 until 4).map(i =>
+      QuantileHist.cells(df.filter(pmod(col("v"), lit(4L)) === i),
+        col("k"), col("v")))
+    val merged = QuantileHist.quantiles(
+        QuantileHist.merge(shards.reduce(_ unionByName _)), Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(merged === direct)
+  }
+
+  test("pmiTopK: planted collocation outranks independent pairs") {
+    // "zq xv" always co-occur (20x); filler tokens pair up independently
+    val docs = ((1 to 20).map(i => s"zq xv common$i") ++
+      (1 to 20).map(i => s"alpha beta gamma delta common$i") ++
+      (1 to 20).map(i => s"beta alpha delta gamma")).toDF("text")
+    val r = Cooccur.pmiTopK(docs, col("text"), minPairCount = 5, k = 10)
+      .collect()
+    val top = r.head
+    assert(top.getAs[String]("tok_a") === "zq")
+    assert(top.getAs[String]("tok_b") === "xv")
+    assert(top.getAs[Long]("n_ab") === 20L)
+    assert(top.getAs[Long]("n_a") === 20L && top.getAs[Long]("n_b") === 20L)
+    // pmi descending and > 0 for the planted pair
+    assert(top.getAs[Double]("pmi6") > 0.0)
+    val pmis = r.map(_.getAs[Double]("pmi6"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+}
