@@ -1439,6 +1439,39 @@ object SparkEntry {
           graft.etl.UrlOps.canonicalUrl(col("url")))
         .withColumnRenamed("key", "host")
     }),
+    // streaming sketch maintenance: an AvailableNow stream (4 micro-batches
+    // via maxFilesPerTrigger=1 over a 4-file input) appends one PARTIAL
+    // register table per batch; the estimate is the cell-max merge of the
+    // sink — proving the batch HLL and the streaming partials converge to
+    // the identical registers (the oracle recomputes from scratch)
+    "web_stream_distinct" -> ((s, dir) => {
+      val sink = s"$OracleDir/stream_hll_sink"
+      val ckpt = s"$OracleDir/stream_hll_ckpt"
+      val inDir = s"$OracleDir/stream_hll_in"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      Seq(sink, ckpt, inDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      docsWithUrls(s, dir).repartition(4).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      graft.streaming.StreamSketch.hllPartials(src,
+        graft.etl.UrlOps.urlHost(col("url")),
+        graft.etl.UrlOps.canonicalUrl(col("url")), sink, ckpt)
+        .awaitTermination()
+      val partials = s.read.parquet(sink)
+      graft.streaming.StreamSketch.estimateFromPartials(partials)
+        .withColumnRenamed("key", "host")
+        .crossJoin(broadcast(partials.agg(
+          countDistinct(col("batch_id")).as("n_batches"))))
+    }),
+    // SemDeDup representative selection: scaled-integer centroid per label
+    // (exact floored mean), exact long dots/norms, one fixed-order float
+    // chain into the rounded cosine; rep = max cosine, ties to smallest id
+    "emb_semantic_rep" -> ((s, dir) =>
+      graft.sim.SemDedup.representatives(embs(s, dir),
+        col("vec_id"), col("label"), col("embedding"), closeThreshold = 0.8)),
     // HITS hubs & authorities over the SAME deterministic edge list as
     // web_pagerank, 3 synchronous iterations in fixed-point arithmetic —
     // the oracle unrolls both half-steps of every iteration as CTEs
@@ -1631,6 +1664,36 @@ object SparkEntry {
   private def sha60Sql(x: String): String =
     s"list_reduce(list_transform(range(15), j -> CAST(strpos('0123456789abcdef', " +
     s"substr(sha256($x), j+1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** DuckDB HLL register + estimate chain over canonical URLs per host
+    * (assumes the `c` CTE from [[urlCanonCtes]] is in scope). Shared by the
+    * batch sketch row and the streaming-partials row — the registers are
+    * identical BY CONSTRUCTION (max-merge of per-batch maxima == the
+    * one-shot max), so one from-scratch re-derivation oracles both. */
+  private lazy val HllCtes: String =
+    s"""hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),
+       |rg AS (SELECT host, CAST(h // 18014398509481984 AS INT) AS bucket,
+       |    h % 18014398509481984 AS w FROM hh),
+       |regs AS (SELECT host, bucket,
+       |    max(CASE WHEN w = 0 THEN 55
+       |        ELSE 55 - length(bin(w)) END) AS reg
+       |  FROM rg GROUP BY 1, 2),
+       |agg AS (SELECT host, count(*) AS nb,
+       |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS sp
+       |  FROM regs GROUP BY 1),
+       |fl AS (SELECT host, CAST(64 - nb AS INT) AS v_zero,
+       |    sp + (64 - nb) * (CAST(1 AS BIGINT) << 55) AS reg_sum FROM agg),
+       |est AS (SELECT *, CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |    * CAST(36028797018963968.0 AS DOUBLE) / CAST(reg_sum AS DOUBLE)
+       |    AS er FROM fl)""".stripMargin
+
+  /** The HLL estimate projection (raw vs linear-counting branch) over the
+    * `est` CTE columns. */
+  private val HllEstSql: String =
+    """CAST(CASE WHEN er <= CAST(160.0 AS DOUBLE) AND v_zero > 0
+      |    THEN round(CAST(64.0 AS DOUBLE)
+      |      * ln(CAST(64.0 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
+      |    ELSE round(er) END AS BIGINT)""".stripMargin
 
   /** The whole-stream Count-Min heavy-hitter re-derivation: DuckDB rebuilds
     * every cell from the full 3-gram stream and re-estimates the exact
@@ -3119,29 +3182,53 @@ object SparkEntry {
     // replays the fixed-order float chain + linear-counting branch
     "web_distinct_hll" ->
       s"""WITH $urlCanonCtes,
-         |hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),
-         |rg AS (SELECT host, CAST(h // 18014398509481984 AS INT) AS bucket,
-         |    h % 18014398509481984 AS w FROM hh),
-         |regs AS (SELECT host, bucket,
-         |    max(CASE WHEN w = 0 THEN 55
-         |        ELSE 55 - length(bin(w)) END) AS reg
-         |  FROM rg GROUP BY 1, 2),
-         |agg AS (SELECT host, count(*) AS nb,
-         |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS sp
-         |  FROM regs GROUP BY 1),
-         |fl AS (SELECT host, CAST(64 - nb AS INT) AS v_zero,
-         |    sp + (64 - nb) * (CAST(1 AS BIGINT) << 55) AS reg_sum FROM agg),
-         |est AS (SELECT *, CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
-         |    * CAST(36028797018963968.0 AS DOUBLE) / CAST(reg_sum AS DOUBLE)
-         |    AS er FROM fl),
+         |$HllCtes,
          |ex AS (SELECT host, count(*) AS n_exact FROM hh GROUP BY host)
-         |SELECT e.host, e.v_zero, e.reg_sum,
-         |  CAST(CASE WHEN er <= CAST(160.0 AS DOUBLE) AND v_zero > 0
-         |    THEN round(CAST(64.0 AS DOUBLE)
-         |      * ln(CAST(64.0 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
-         |    ELSE round(er) END AS BIGINT) AS est_distinct,
+         |SELECT e.host, e.v_zero, e.reg_sum, $HllEstSql AS est_distinct,
          |  x.n_exact
          |FROM est e JOIN ex x USING (host)""".stripMargin,
+    // the streaming-partials sink max-merges to the IDENTICAL registers the
+    // batch sketch builds, so the same from-scratch re-derivation oracles
+    // both; n_batches pins that the stream really ran in 4 micro-batches
+    "web_stream_distinct" ->
+      s"""WITH $urlCanonCtes,
+         |$HllCtes
+         |SELECT host, v_zero, reg_sum, $HllEstSql AS est_distinct,
+         |  CAST(4 AS BIGINT) AS n_batches
+         |FROM est""".stripMargin,
+    // DuckDB replays the scaled-integer centroid (exact floored mean), the
+    // exact long dots/norms, and the one fixed-order float chain; the rep
+    // pick is re-derived by a DIFFERENT algorithm (row_number window vs the
+    // engine's combinable min(struct))
+    "emb_semantic_rep" ->
+      """WITH ex AS (SELECT vec_id AS id, label AS lab,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS s
+        |  FROM embeddings),
+        |cent AS (SELECT lab, pos, CAST(sum(s) AS BIGINT) AS ss,
+        |    count(*) AS n FROM ex GROUP BY 1, 2),
+        |c2 AS (SELECT lab, pos,
+        |    (ss - ((ss % n + n) % n)) // n AS cs FROM cent),
+        |j AS (SELECT ex.lab, ex.id,
+        |    CAST(sum(ex.s * c2.cs) AS BIGINT) AS dot,
+        |    CAST(sum(ex.s * ex.s) AS BIGINT) AS na,
+        |    CAST(sum(c2.cs * c2.cs) AS BIGINT) AS nc
+        |  FROM ex JOIN c2 ON c2.lab = ex.lab AND c2.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT lab, id,
+        |    CASE WHEN na = 0 OR nc = 0 THEN CAST(-2.0 AS DOUBLE)
+        |      ELSE round(CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+        |      END AS cos6 FROM j),
+        |r AS (SELECT lab, id, cos6, row_number() OVER (
+        |    PARTITION BY lab ORDER BY cos6 DESC, id) AS rn FROM cs),
+        |g AS (SELECT lab, count(*) AS n_members,
+        |    CAST(sum(CASE WHEN cos6 >= CAST(0.8 AS DOUBLE) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_close FROM cs GROUP BY 1)
+        |SELECT g.lab AS label, g.n_members, r.id AS rep_id,
+        |  r.cos6 AS rep_cos6, g.n_close
+        |FROM g JOIN r ON r.lab = g.lab AND r.rn = 1""".stripMargin,
     "web_hits" -> hitsSql(3),
     // the top anchor is re-derived by a DIFFERENT algorithm (row_number
     // window) than the engine's combinable min(struct(-n, anchor))

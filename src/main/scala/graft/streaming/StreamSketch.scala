@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sketch.Hll
+
+/**
+ * Streaming sketch maintenance: each micro-batch contributes its PARTIAL
+ * HLL register table to an append-only sink; the live distinct estimate at
+ * any point is the cell-max merge of everything appended so far. This is
+ * the continuous-ingest shape a crawl pipeline actually runs — per-batch
+ * state is constant-size per key (64 registers), the sink only ever
+ * APPENDS (no streaming-aggregation state store, no update/complete mode),
+ * and the merge is idempotent/commutative/associative, so replayed or
+ * reordered batches cannot corrupt the estimate. Restart safety comes from
+ * the checkpointed source offsets; a re-run batch re-appends identical
+ * registers, which max-merge absorbs.
+ */
+object StreamSketch {
+
+  /**
+   * Start an AvailableNow (or caller-triggered) stream that appends one
+   * partial register table per micro-batch, tagged with `batch_id`.
+   * Columns written: (key, bucket, reg, batch_id).
+   */
+  def hllPartials(src: DataFrame, keyCol: Column, valueCol: Column,
+                  sinkPath: String, checkpointPath: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Hll.registers(batch, keyCol, valueCol)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
+  /** Fold an appended partial-register sink into per-key estimates
+    * (max-merge + the standard HLL estimation chain). */
+  def estimateFromPartials(partials: DataFrame): DataFrame =
+    Hll.estimate(Hll.merge(partials.select("key", "bucket", "reg")))
+}

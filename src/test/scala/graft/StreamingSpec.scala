@@ -158,4 +158,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(schwabing.head.getAs[Double]("lon") === 11.5884858)
     assert(schwabing.head.getAs[Long]("tile_x") === 2179L)
   }
+
+  test("streaming HLL partials max-merge to the batch registers exactly") {
+    import graft.sketch.Hll
+    import graft.streaming.StreamSketch
+    val dir = Files.createTempDirectory("graft-stream-hll").toString
+    val data = (0 until 300)
+      .map(i => (s"k${i % 3}", s"v${i % (40 * (i % 3 + 1))}"))
+      .toDF("k", "v")
+    data.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    StreamSketch.hllPartials(src, col("k"), col("v"),
+      s"$dir/sink", s"$dir/ckpt").awaitTermination()
+    val partials = spark.read.parquet(s"$dir/sink")
+    // genuinely incremental: one partial register table per micro-batch
+    assert(partials.select("batch_id").distinct().count() === 4)
+    val streamed = StreamSketch.estimateFromPartials(partials).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = Hll.estimate(Hll.registers(data, col("k"), col("v")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed === batch)
+  }
+
+  test("SemDedup representative: centroid-closest member wins, ties to id") {
+    import graft.sim.SemDedup
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 0, Seq(0.0f, 1.0f)),
+      (10L, 1, Seq(-0.5f, -0.5f)), (11L, 1, Seq(-0.5f, -0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = SemDedup.representatives(emb, col("vec_id"), col("label"),
+        col("embedding"), closeThreshold = 0.8).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    val g0 = r(0)
+    // centroid ~ (2/3, 1/3): members 1,2 at cos ~0.894 beat member 3
+    // (~0.447); the 1-vs-2 tie goes to the smaller id
+    assert(g0.getAs[Long]("rep_id") === 1L)
+    assert(g0.getAs[Long]("n_members") === 3L)
+    assert(g0.getAs[Long]("n_close") === 2L)
+    assert(math.abs(g0.getAs[Double]("rep_cos6") - 0.894427) < 1e-6)
+    // label 1: identical members, cosine exactly 1, smaller id kept
+    assert(r(1).getAs[Long]("rep_id") === 10L)
+    assert(r(1).getAs[Double]("rep_cos6") === 1.0)
+    assert(r(1).getAs[Long]("n_close") === 2L)
+  }
 }
