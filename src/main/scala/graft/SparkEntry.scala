@@ -491,6 +491,27 @@ object SparkEntry {
       graft.sketch.QuantileHist.sketch(docs(s, dir), col("source"),
           length(col("text")).cast("long"), Seq(50, 90, 99))
         .withColumnRenamed("key", "source")),
+    // frozen-weight logistic quality filter: the model ships as plan
+    // literals, scoring is map-only, and the keep decision gates on the
+    // 6dp-rounded probability so the boundary is engine-independent
+    "doc_quality_logit" -> ((s, dir) =>
+      graft.text.TextAnalysis.withLogitQuality(docs(s, dir))
+        .select(col("doc_id"), round(col("logit"), 6).as("logit6"),
+          round(col("p_keep"), 6).as("p_keep6"),
+          (round(col("p_keep"), 6) >= 0.5).as("keep"))),
+    // sketch-driven gating: the per-source p90 length from the mergeable
+    // histogram broadcast back onto the corpus — the two-pass shape a
+    // crawl-scale tail-trim actually runs (sketch pass + map-only gate)
+    "doc_length_gate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      val p90 = graft.sketch.QuantileHist.sketch(d, col("source"), col("len"),
+          Seq(90))
+        .select(col("key").as("source"), col("est_value").as("p90_est"))
+      d.join(broadcast(p90), "source")
+        .select(col("doc_id"), col("source"), col("len"), col("p90_est"),
+          (col("len") <= col("p90_est")).as("keep"))
+    }),
     // mergeability proof: shard the corpus 3 ways, sketch each shard, union
     // + cell-sum merge, THEN estimate — the oracle recomputes directly from
     // all values, so a hash match proves merge == one-shot
@@ -1729,26 +1750,31 @@ object SparkEntry {
     * `doc_quantile_sketch` (direct) and `doc_quantile_merge` (per-shard
     * cells unioned + cell-sum merged) — a hash match on the latter is the
     * mergeability proof, exactly like `doc_sketch_merge` for Count-Min. */
+  private def quantileCtes(pcts: Seq[Int]): String =
+    s"""vv AS (SELECT source AS key, CAST(length(text) AS BIGINT) AS v
+       |  FROM documents),
+       |b AS (SELECT key, CAST(CASE WHEN v < 4 THEN v
+       |    ELSE (length(bin(v)) - 1) * 4 + ((v >> (length(bin(v)) - 3)) & 3)
+       |    END AS INT) AS bucket FROM vv),
+       |c AS (SELECT key, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |t AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY 1),
+       |cm AS (SELECT key, bucket, CAST(sum(cnt) OVER (
+       |    PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum FROM c),
+       |p AS (SELECT CAST(unnest([${pcts.mkString(", ")}]) AS INT) AS pct),
+       |q AS (SELECT cm.key, p.pct, min(bucket) AS b
+       |  FROM cm JOIN t USING (key) CROSS JOIN p
+       |  WHERE cum >= (t.n_total * p.pct + 99) // 100 GROUP BY 1, 2)""".stripMargin
+
+  /** The log-histogram bucket upper bound over the `q` CTE's `b` column. */
+  private val QuantileUbSql: String =
+    """CASE WHEN b < 4 THEN CAST(b AS BIGINT)
+      |    ELSE (CAST(b % 4 + 5 AS BIGINT) << ((b // 4) - 2)) - 1 END""".stripMargin
+
   private lazy val QuantileSketchSql: String =
-    """WITH vv AS (SELECT source AS key, CAST(length(text) AS BIGINT) AS v
-      |  FROM documents),
-      |b AS (SELECT key, CAST(CASE WHEN v < 4 THEN v
-      |    ELSE (length(bin(v)) - 1) * 4 + ((v >> (length(bin(v)) - 3)) & 3)
-      |    END AS INT) AS bucket FROM vv),
-      |c AS (SELECT key, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
-      |t AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY 1),
-      |cm AS (SELECT key, bucket, CAST(sum(cnt) OVER (
-      |    PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum FROM c),
-      |p AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS pct),
-      |q AS (SELECT cm.key, p.pct, min(bucket) AS b
-      |  FROM cm JOIN t USING (key) CROSS JOIN p
-      |  WHERE cum >= (t.n_total * p.pct + 99) // 100 GROUP BY 1, 2)
-      |SELECT q.key AS source, q.pct,
-      |  CASE WHEN b < 4 THEN CAST(b AS BIGINT)
-      |    ELSE (CAST(b % 4 + 5 AS BIGINT) << ((b // 4) - 2)) - 1
-      |    END AS est_value,
-      |  t.n_total
-      |FROM q JOIN t ON t.key = q.key""".stripMargin
+    s"""WITH ${quantileCtes(Seq(50, 90, 99))}
+       |SELECT q.key AS source, q.pct, $QuantileUbSql AS est_value,
+       |  t.n_total
+       |FROM q JOIN t ON t.key = q.key""".stripMargin
 
   /** PageRank oracle: the iteration chain unrolled as CTEs, generated for
     * the same iteration count the engine runs — DuckDB's `//` (integral
@@ -2370,6 +2396,32 @@ object SparkEntry {
         |SELECT * FROM sc ORDER BY pmi6 DESC, tok_a, tok_b LIMIT 50""".stripMargin,
     "doc_quantile_sketch" -> QuantileSketchSql,
     "doc_quantile_merge" -> QuantileSketchSql,
+    // DuckDB recomputes the features and replays the identical left-to-right
+    // logit chain + sigmoid; the keep gate compares the ROUNDED probability
+    "doc_quality_logit" ->
+      s"""WITH ${qualityCtes("documents")},
+         |z AS (SELECT doc_id, CAST(-1.5 AS DOUBLE)
+         |    + least(n_tokens / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |      * CAST(2.0 AS DOUBLE)
+         |    + mean_token_len * CAST(0.15 AS DOUBLE)
+         |    + punct_ratio * CAST(-4.0 AS DOUBLE)
+         |    + digit_ratio * CAST(-2.0 AS DOUBLE)
+         |    + stop_ratio * CAST(6.0 AS DOUBLE) AS zz FROM m)
+         |SELECT doc_id, round(zz, 6) AS logit6,
+         |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-zz)), 6)
+         |    AS p_keep6,
+         |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-zz)), 6)
+         |    >= CAST(0.5 AS DOUBLE) AS keep
+         |FROM z""".stripMargin,
+    // the sketch chain for p90 only, joined back onto every document — the
+    // gate itself is exact integer comparison
+    "doc_length_gate" ->
+      s"""WITH ${quantileCtes(Seq(90))},
+         |e AS (SELECT q.key, $QuantileUbSql AS est_value FROM q)
+         |SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS len,
+         |  e.est_value AS p90_est,
+         |  CAST(length(d.text) AS BIGINT) <= e.est_value AS keep
+         |FROM documents d JOIN e ON e.key = d.source""".stripMargin,
     // independent re-derivation of the gaps-and-islands span merge: DuckDB
     // rebuilds the 8-token windows, the corpus-wide copy counts, and the
     // island sums from the same planted-dup corpus

@@ -87,6 +87,27 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** Frozen-weight logistic quality scorer — the model-based filter shape
+    * (a fastText/CCNet-style keep/drop classifier) with the weights frozen
+    * as plan literals, which is exactly how a trained filter ships into a
+    * 100 TB scoring pass: the model rides the plan, scoring is map-only,
+    * and no driver/executor state exists to drift. The logit is ONE
+    * fixed-order left-to-right chain over [[withQuality]]'s feature columns,
+    * so an external engine replays the identical IEEE arithmetic; consumers
+    * gate on the 6dp-rounded probability (`round(p_keep, 6) >= 0.5`) so the
+    * decision boundary is engine-independent too. */
+  def withLogitQuality(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val q = withQuality(docs, text)
+    val z = lit(-1.5) +
+      least(col("n_tokens") / lit(50.0), lit(1.0)) * lit(2.0) +
+      col("mean_token_len") * lit(0.15) +
+      col("punct_ratio") * lit(-4.0) +
+      col("digit_ratio") * lit(-2.0) +
+      col("stopword_ratio") * lit(6.0)
+    q.withColumn("logit", z)
+      .withColumn("p_keep", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
   /** Space-joined word n-grams. Built by zipping the token array against its
     * own shifted slices: each input expression is evaluated O(n) times per
     * row, never once per ELEMENT — an `element_at(toks, i+j)` lambda would be

@@ -65,6 +65,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(merged === direct)
   }
 
+  test("logit quality: clean English keeps, punctuation soup drops") {
+    val docs = Seq(
+      (1L, "the cat and the dog ran to the house in the morning and it was " +
+        "warm for them so they stayed out in the sun"),
+      (2L, "!!! ??? *** &&& $$$ %%% @@@ ###")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.withLogitQuality(docs)
+      .select(col("doc_id"), col("p_keep")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > 0.5, s"clean text p=${r(1L)}")
+    assert(r(2L) < 0.5, s"soup p=${r(2L)}")
+  }
+
   test("pmiTopK: planted collocation outranks independent pairs") {
     // "zq xv" always co-occur (20x); filler tokens pair up independently
     val docs = ((1 to 20).map(i => s"zq xv common$i") ++
