@@ -476,6 +476,11 @@ object SparkEntry {
     // over ≤ k rows (never a global sort of the vocabulary)
     "doc_vocab" -> ((s, dir) =>
       graft.text.Corpus.vocabTopK(docs(s, dir), col("text"), k = 100)),
+    // BPE tokenizer TRAINING (merge learning): 6 rounds of pair-stats ->
+    // argmax -> literal double-replace rewrite over the word-type table;
+    // DuckDB replays every round exactly (see bpeOracleSql)
+    "doc_bpe_train" -> ((s, dir) =>
+      graft.text.BpeTrain.learnMerges(docs(s, dir), col("text"), rounds = 6)),
     // adjacent-token PMI collocations: two combinable aggs (bigram counts
     // via the codegen window-ngram call, unigram counts) + a join over only
     // the >= 5-count pairs; the single float step is one fixed-order
@@ -1254,6 +1259,25 @@ object SparkEntry {
         .select(col("query_id"), col("knn_rank"), col("place_id"),
           round(col("dist_m"), 0).cast("long").as("dist_m_round"))
     }),
+    // Within-distance spatial join (DistanceJoin): every (query, place) pair
+    // within 15 km, k-ring cell cover at an auto-chosen level + exact
+    // haversine. The coverage guarantee makes it provably equal to the DuckDB
+    // brute-force haversine filter.
+    "geo_distance_join" -> ((s, dir) => {
+      val q = s.read.parquet(s"$dir/nation.parquet").select(
+        col("n_nationkey").as("query_id"),
+        (lit(2.0) + col("n_nationkey") * 0.03).as("lon"),
+        (lit(41.0) + col("n_nationkey") * 0.02).as("lat"))
+      val plc = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey").as("place_id"),
+          concat(lit("P"), col("o_orderkey")).as("name"),
+          ((col("o_orderkey") * 7919 % 1000) / lit(1000.0) + 2.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 1000) / lit(1000.0) + 41.0).as("lat"))
+      DistanceJoin.withinRadius(q, plc, radiusM = 15000.0)
+        .select(col("query_id"), col("place_id"),
+          round(col("dist_m"), 0).cast("long").as("dist_m_round"))
+    }),
     "geo_reverse_bbox" -> ((s, dir) => {
       val nullS = (n: String) => lit(null).cast("string").as(n)
       val nullM = (n: String) => lit(null).cast("map<string,string>").as(n)
@@ -1839,7 +1863,44 @@ object SparkEntry {
     "CASE " + on + graft.engine.Format.countries.toSeq.sortBy(_._1)
       .map { case (k, m) => s" WHEN '$k' THEN '${f(m)}'" }.mkString + " END"
 
+  /** DuckDB replay of BpeTrain.learnMerges: one (pair-explode, weighted
+    * argmax, double-replace rewrite) CTE block per merge round, unrolled —
+    * the same technique as the web_hits iteration oracle. Pair positions are
+    * recovered with unnest + generate_subscripts and paired by a
+    * position+1 self-join (a different algorithm from the engine's
+    * spacePairs call, agreeing bit-for-bit). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |  ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS seq
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0)) AS w FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$')
+        |  GROUP BY w)""".stripMargin)
+    for (t <- 1 to rounds) {
+      sb.append(s""",
+e$t AS (SELECT w, cnt, unnest(string_split(trim(seq), ' ')) AS s,
+  generate_subscripts(string_split(trim(seq), ' '), 1) AS i FROM w${t - 1}),
+p$t AS (SELECT a.s || ' ' || b.s AS p, CAST(sum(a.cnt) AS BIGINT) AS pair_n
+  FROM e$t a JOIN e$t b ON a.w = b.w AND b.i = a.i + 1 GROUP BY 1),
+b$t AS (SELECT p, pair_n FROM p$t ORDER BY pair_n DESC, p LIMIT 1)""")
+      if (t < rounds) sb.append(s""",
+w$t AS (SELECT v.w, v.cnt,
+  replace(replace(v.seq, ' ' || b.p || ' ', ' ' || replace(b.p, ' ', '') || ' '),
+    ' ' || b.p || ' ', ' ' || replace(b.p, ' ', '') || ' ') AS seq
+  FROM w${t - 1} v, b$t b)""")
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(t =>
+      s"""SELECT $t AS merge_rank, string_split(p, ' ')[1] AS pair_left,
+  string_split(p, ' ')[2] AS pair_right, replace(p, ' ', '') AS merged,
+  pair_n FROM b$t""").mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "doc_bpe_train" -> bpeOracleSql(6),
     "geo_forward_full" ->
       s"""WITH gaz AS (SELECT * FROM read_parquet('$OracleDir/gaz/*.parquet')),
          |fg AS (SELECT * FROM gaz
@@ -2878,6 +2939,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY dist_m, place_id) AS rn FROM d)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, place_id,
         |  CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round FROM r WHERE rn <= 5""".stripMargin,
+    "geo_distance_join" ->
+      """WITH q AS (SELECT n_nationkey AS query_id,
+        |  CAST(2.0 AS DOUBLE) + n_nationkey * CAST(0.03 AS DOUBLE) AS qlon,
+        |  CAST(41.0 AS DOUBLE) + n_nationkey * CAST(0.02 AS DOUBLE) AS qlat FROM nation),
+        |p AS (SELECT o_orderkey AS place_id,
+        |  (o_orderkey * 7919 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) AS plon,
+        |  (o_orderkey * 104729 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(41.0 AS DOUBLE) AS plat
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |d0 AS (SELECT query_id, place_id,
+        |  sin((plat - qlat) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slat,
+        |  sin((plon - qlon) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slon,
+        |  cos(qlat * (pi() / CAST(180.0 AS DOUBLE))) AS c1,
+        |  cos(plat * (pi() / CAST(180.0 AS DOUBLE))) AS c2 FROM q, p),
+        |d AS (SELECT query_id, place_id, CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE)
+        |  * asin(least(CAST(1.0 AS DOUBLE), sqrt(slat * slat + c1 * c2 * slon * slon))) AS dist_m
+        |  FROM d0)
+        |SELECT query_id, place_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
+        |FROM d WHERE dist_m <= CAST(15000.0 AS DOUBLE)""".stripMargin,
     "geo_reverse_bbox" ->
       """WITH polys AS (SELECT n_nationkey AS polygon_id,
         |  (n_nationkey * 7 % 40) / CAST(4.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) AS c_lon,

@@ -34,6 +34,14 @@ object TextInternal {
   def simhash(text: UTF8String): Long =
     TextCore.simhash(if (text == null) "" else text.toString)
 
+  def bpeCharSeq(w: UTF8String): UTF8String =
+    UTF8String.fromString(TextCore.bpeCharSeq(if (w == null) "" else w.toString))
+
+  def spacePairs(seq: UTF8String): ArrayData = {
+    val pairs = TextCore.spacePairs(if (seq == null) "" else seq.toString)
+    new GenericArrayData(pairs.map(UTF8String.fromString(_)))
+  }
+
   def hamming(a: Long, b: Long): Int = TextCore.hamming(a, b)
 
   def jaccard(a: UTF8String, b: UTF8String, shingleN: Int): Double =
@@ -159,6 +167,9 @@ object TextFunctions {
 
   def sigOverlap(a: Column, b: Column): Column = invoke(DoubleType, "sigOverlap", a, b)
   def simhash(text: Column): Column = invoke(LongType, "simhash", text)
+  def bpeCharSeq(w: Column): Column = invoke(StringType, "bpeCharSeq", w)
+  def spacePairs(seq: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "spacePairs", seq)
   def hamming(a: Column, b: Column): Column = invoke(IntegerType, "hamming", a, b)
   def jaccard(a: Column, b: Column, shingleN: Column): Column =
     invoke(DoubleType, "jaccard", a, b, shingleN)

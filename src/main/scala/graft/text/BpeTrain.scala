@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Distributed byte-pair-encoding tokenizer TRAINING (merge learning) — the
+ * step a large-scale training-data pipeline runs before `tokenCountBpe` can
+ * count anything: learn the merge table itself from the corpus (Sennrich et
+ * al. 2016 shape, re-expressed as Spark aggregations).
+ *
+ * Algorithm, per merge round:
+ *   1. pair statistics: every adjacent symbol pair of every word type,
+ *      weighted by word frequency — ONE codegen call per word
+ *      ([[TextFunctions.spacePairs]]) exploded into a combinable hash
+ *      aggregation whose map-side partials absorb the Zipf head;
+ *   2. best pair: TakeOrdered(1) by (count desc, pair asc) — a per-partition
+ *      heads reduction, never a global sort; the single winning row comes to
+ *      the driver (one scalar decision per round, the same documented
+ *      driver-side role as the IVF trainer's per-iteration centroids);
+ *   3. merge rewrite: map-only, the learned pair folded in as a plan
+ *      LITERAL — the symbol sequence is rewritten by a sentinel-delimited
+ *      string replace applied twice: the first left-to-right pass cannot
+ *      match two occurrences that share a delimiter space, the second pass
+ *      picks up exactly those, so the double application realizes the full
+ *      disjoint greedy merge. (On an odd run of a repeated symbol the
+ *      unmerged singleton lands mid-run rather than last — an
+ *      order-of-application detail of the scan semantics, replayed
+ *      identically by the oracle.)
+ *
+ * Scale shape: the working set is the WORD-TYPE table (Zipf-compressed
+ * distinct words + counts), orders of magnitude smaller than the corpus; the
+ * corpus itself is scanned exactly once (word counting). Each round is ONE
+ * Spark job: rewrites stack as lazy literal projections over the cached word
+ * table (CollapseProject fuses them into a single codegen pass), so a round
+ * = cache scan + fused rewrites + pair explode + combinable agg +
+ * TakeOrdered(1). Every [[CutEvery]] rounds the stack is materialized and
+ * re-entered as a LogicalRDD leaf (HITS-style), so thousands-of-merges runs
+ * replay O(CutEvery) rewrites per round, not O(t). Rounds are inherently
+ * sequential (each merge conditions the next) — the known BPE-training
+ * critical path.
+ *
+ * Determinism: counts are exact integers; ties cut by pair string ascending;
+ * every rewrite is literal string replace — bit-reproducible at any cluster
+ * size, and an external engine can replay every round exactly
+ * (SparkEntry `doc_bpe_train`).
+ */
+object BpeTrain {
+
+  private def cut(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Materialize the rewrite stack every this many rounds (see loop note). */
+  private val CutEvery = 16
+
+  /** SQL literal for a symbol string (symbols are alnum + the marker, but
+    * quote defensively). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /**
+   * @param tokenFilter regex a word must fully match to participate (default
+   *                    ASCII lower-alnum, which also makes the char-split
+   *                    engine-portable); pass ".*" to train on everything
+   * @return (merge_rank, pair_left, pair_right, merged, pair_n) — one row
+   *         per learned merge, in learning order; fewer than `rounds` rows
+   *         if the corpus runs out of pairs
+   */
+  def learnMerges(docs: DataFrame, text: Column, rounds: Int,
+                  tokenFilter: String = "^[a-z0-9]+$"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = docs.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(col("w").rlike(tokenFilter))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), TextFunctions.bpeCharSeq(col("w")).as("seq"))
+
+    var curCached = words0.persist()
+    curCached.count()
+    var cur = curCached
+    var sinceCut = 0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= rounds && !exhausted) {
+      // ONE job per round: scan the cached word table, replay the (driver-
+      // literal) rewrite stack lazily — CollapseProject fuses it into a
+      // single codegen'd pass — then pair-explode + combinable agg +
+      // TakeOrdered(1)
+      val best = cur
+        .select(explode(TextFunctions.spacePairs(col("seq"))).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("pair_n"))
+        .orderBy(col("pair_n").desc, col("p").asc).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val p = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(l, r) = p.split(" ", 2)
+        learned += ((t, l, r, l + r, n))
+        if (t < rounds) {
+          val pat = sqlLit(" " + p + " ")
+          val rep = sqlLit(" " + l + r + " ")
+          cur = cur.select(col("w"), col("cnt"),
+            expr(s"replace(replace(seq, $pat, $rep), $pat, $rep)").as("seq"))
+          sinceCut += 1
+          // bound the replayed-rewrite depth: every `CutEvery` rounds
+          // materialize the rewritten table and restart the lazy stack
+          // (thousands-of-merges runs pay O(CutEvery) replays per round,
+          // not O(t))
+          if (sinceCut == CutEvery) {
+            val nextCached = cur.persist()
+            nextCached.count()
+            curCached.unpersist()
+            curCached = nextCached
+            cur = cut(nextCached)
+            sinceCut = 0
+          }
+        }
+      }
+      t += 1
+    }
+    curCached.unpersist()
+    learned.toSeq.toDF("merge_rank", "pair_left", "pair_right", "merged", "pair_n")
+  }
+}

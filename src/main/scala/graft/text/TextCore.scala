@@ -32,6 +32,32 @@ object TextCore {
     if (text == null || text.isEmpty) Array.empty
     else text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty)
 
+  /** BPE initial symbol sequence for a word: codepoints space-separated plus
+    * the end-of-word marker, with a single leading AND trailing space so a
+    * merge rewrite is a pure sentinel-delimited string replace ("low" ->
+    * " l o w </w> "). Codepoint-based (not UTF-16 units) so astral-plane
+    * characters stay whole symbols. */
+  def bpeCharSeq(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length * 2 + 8)
+    sb.append(' ')
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.append("</w> ").toString
+  }
+
+  /** Adjacent symbol pairs of a single-space-separated symbol sequence, each
+    * as "left right" (symbols never contain spaces, so the join is
+    * unambiguous). " l o w </w> " -> ["l o", "o w", "w </w>"]. */
+  def spacePairs(seq: String): Array[String] = {
+    val toks = seq.trim.split(" ")
+    if (toks.length < 2) Array.empty
+    else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+  }
+
   /** Distinct word n-grams as space-joined strings, first-occurrence order;
     * texts with fewer than n tokens yield none (decontamination semantics:
     * no collision is possible). One JVM call per row — a Catalyst HOF lambda
