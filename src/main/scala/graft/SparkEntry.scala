@@ -481,6 +481,13 @@ object SparkEntry {
     // DuckDB replays every round exactly (see bpeOracleSql)
     "doc_bpe_train" -> ((s, dir) =>
       graft.text.BpeTrain.learnMerges(docs(s, dir), col("text"), rounds = 6)),
+    // the ENCODE half: corpus size in learned-BPE tokens (train 6 merges,
+    // then a map-only per-occurrence apply + one per-doc sum)
+    "doc_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.BpeTrain.learnMerges(d, col("text"), rounds = 6)
+      graft.text.BpeTrain.applyMerges(d, col("doc_id"), col("text"), merges)
+    }),
     // adjacent-token PMI collocations: two combinable aggs (bigram counts
     // via the codegen window-ngram call, unigram counts) + a join over only
     // the >= 5-count pairs; the single float step is one fixed-order
@@ -1899,8 +1906,32 @@ w$t AS (SELECT v.w, v.cnt,
     sb.toString
   }
 
+  /** DuckDB replay of BpeTrain train-then-ENCODE: re-derives the b1..bN
+    * learned pairs (same CTE chain as bpeOracleSql), then applies the same
+    * double-replace chain per token occurrence and sums symbols per doc. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val train = bpeOracleSql(rounds)
+    val prefix = train.substring(0, train.lastIndexOf("\nSELECT 1 AS merge_rank"))
+    val chain = (1 to rounds).foldLeft("seq") { (acc, t) =>
+      s"replace(replace($acc, ' ' || m$t.p || ' ', ' ' || replace(m$t.p, ' ', '') || ' ')," +
+        s" ' ' || m$t.p || ' ', ' ' || replace(m$t.p, ' ', '') || ' ')"
+    }
+    val mJoins = (1 to rounds).map(t => s"b$t m$t").mkString(", ")
+    prefix + s""",
+enc0 AS (SELECT doc_id, w FROM (SELECT doc_id,
+  unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+    x -> length(x) > 0)) AS w FROM documents) t
+  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+seqs AS (SELECT doc_id,
+  ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS seq FROM enc0),
+fin AS (SELECT doc_id, $chain AS seq2 FROM seqs, $mJoins)
+SELECT doc_id, CAST(sum(len(string_split(trim(seq2), ' '))) AS BIGINT) AS n_bpe_tokens
+FROM fin GROUP BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "doc_bpe_train" -> bpeOracleSql(6),
+    "doc_bpe_encode" -> bpeEncodeOracleSql(6),
     "geo_forward_full" ->
       s"""WITH gaz AS (SELECT * FROM read_parquet('$OracleDir/gaz/*.parquet')),
          |fg AS (SELECT * FROM gaz

@@ -125,4 +125,43 @@ object BpeTrain {
     curCached.unpersist()
     learned.toSeq.toDF("merge_rank", "pair_left", "pair_right", "merged", "pair_n")
   }
+
+  /**
+   * ENCODE with a learned merge table: per-document BPE token counts — the
+   * apply half of the tokenizer (train with [[learnMerges]], then size the
+   * corpus in learned-BPE tokens, the number an LLM data pipeline actually
+   * budgets by).
+   *
+   * Shape: the merge list (vocabulary-sized by construction — one row per
+   * learned merge) folds into a literal rewrite chain, applied per token
+   * occurrence: explode tokens, build the char sequence, run the fused
+   * replace chain, count symbols — all map-only inside one codegen span —
+   * then ONE combinable per-document sum. Words not matching `tokenFilter`
+   * are excluded, consistent with training. (For merge tables in the tens
+   * of thousands, amortize the chain over the word-TYPE table and join
+   * counts back by word instead — the chain cost moves from per-occurrence
+   * to per-type.)
+   *
+   * @param merges output of [[learnMerges]] (merge_rank, pair_left,
+   *               pair_right, ...) — collected to the driver (vocab-sized)
+   * @return (doc_id, n_bpe_tokens); documents with no qualifying tokens
+   *         emit no row
+   */
+  def applyMerges(docs: DataFrame, id: Column, text: Column, merges: DataFrame,
+                  tokenFilter: String = "^[a-z0-9]+$"): DataFrame = {
+    val ms = merges.select(col("merge_rank"), col("pair_left"), col("pair_right"))
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val rewritten = ms.foldLeft("seq") { case (acc, (l, r)) =>
+      val pat = sqlLit(" " + l + " " + r + " ")
+      val rep = sqlLit(" " + l + r + " ")
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("w"))
+      .filter(col("w").rlike(tokenFilter))
+      .select(col("doc_id"), TextFunctions.bpeCharSeq(col("w")).as("seq"))
+      .select(col("doc_id"),
+        size(split(trim(expr(rewritten)), " ")).as("n_sym"))
+      .groupBy("doc_id").agg(sum("n_sym").as("n_bpe_tokens"))
+  }
 }

@@ -70,6 +70,19 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(open === Seq("be"))
   }
 
+  test("applyMerges counts learned-BPE tokens per document") {
+    // words: ab(3), ba(1) -> learned merges: ab, ab</w>, a</w>, ba</w>
+    val docs = Seq((1L, "ab ab"), (2L, "ba ab öö")).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, col("text"), rounds = 10)
+    assert(merges.orderBy("merge_rank").collect().map(_.getString(3)).toSeq ===
+      Seq("ab", "ab</w>", "a</w>", "ba</w>"))
+    val got = BpeTrain.applyMerges(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every ascii word collapses to ONE symbol under the learned merges;
+    // "öö" is excluded by the token filter (as in training)
+    assert(got === Seq((1L, 2L), (2L, 2L)))
+  }
+
   test("fewer merges than rounds when pairs run dry") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val got = BpeTrain.learnMerges(docs, col("text"), rounds = 10)
