@@ -103,6 +103,21 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** `dir`'s events table copied under OracleDir as a DIRECTORY (the
+    * streaming file source wants a dir, the testdata table is a bare file);
+    * returns the path. Rewritten when `dir` changes. */
+  private def oracleEvents(s: SparkSession, dir: String): String = synchronized {
+    val fp = java.lang.Long.toHexString(graft.text.TextCore.fnv64(dir))
+    val path = s"$OracleDir/events_stream"
+    val marker = new java.io.File(s"$path/_GRAFT_READY_$fp")
+    if (!marker.exists()) {
+      s.read.parquet(s"$dir/events.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** Pre-materialize every oracle input table (pages for `dir`'s scale +
     * fixture world). Bench calls this OUTSIDE query timing: the writes are
     * input-table preparation, not operator work. */
@@ -1158,6 +1173,37 @@ object SparkEntry {
       q.awaitTermination()
       s.read.schema(out.schema).parquet(sink)
     }),
+    // STREAM-STREAM interval join under the contract (the third streaming
+    // shape next to stateful-agg forward and stateless reverse): views and
+    // clicks of the events table as two watermarked streams, inner-joined on
+    // user within a 10-minute event-time horizon, run for real under
+    // Trigger.AvailableNow. Inner joins emit on match (no finalization
+    // clause), and the watermark is set wider than the table's span so no
+    // state evicts mid-replay — the oracle is exactly the batch interval
+    // join. (Bounded-watermark eviction semantics are covered by
+    // StreamingSpec's multi-micro-batch test.)
+    "q22_stream_join" -> ((s, dir) => {
+      val evPath = oracleEvents(s, dir)
+      val sink = s"$OracleDir/stream_join_sink"
+      val ckpt = s"$OracleDir/stream_join_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val schema = s.read.parquet(evPath).schema
+      val src = s.readStream.schema(schema).parquet(evPath)
+      val out = graft.streaming.StreamGeocode.attributionJoin(
+          src.filter(col("event_type") === "view"),
+          src.filter(col("event_type") === "click"),
+          horizonMinutes = 10, watermark = "400 days")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(out.schema).parquet(sink)
+    }),
 
     // D4/S4/S5/S6/S7 — typed provider-JSON decode as a direct contract row:
     // all four response families parsed through the ProviderJson from_json
@@ -1971,6 +2017,16 @@ FROM fin GROUP BY doc_id"""
          |  ${ccCase("country_code", _.timezone)} AS ann_timezone,
          |  ${ccCase("country_code", _.flag)} AS ann_flag
          |FROM cn""".stripMargin,
+    "q22_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  epoch_us(view_ts) AS view_us, epoch_us(click_ts) AS click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL '10 minutes'""".stripMargin,
     "geo_stream_forward" ->
       s"""WITH $extractCtes,
          |pw AS (SELECT url, warc_ts, sha256(text) AS text_sha256

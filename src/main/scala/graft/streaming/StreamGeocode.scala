@@ -165,6 +165,46 @@ object StreamGeocode {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** STREAM-STREAM event-time interval join (the attribution shape): every
+    * (view, click) pair of the same user with click_ts in
+    * [view_ts, view_ts + horizon] — the join family the stateless
+    * stream-static reverseStream cannot express, because BOTH sides arrive
+    * continuously. Both sides carry watermarks and the join condition bounds
+    * the event-time distance between them, so each side's state evicts as
+    * the other side's watermark passes (view state once click-watermark >
+    * view_ts + horizon; click state once view-watermark > click_ts) — the
+    * canonical bounded-state stream-stream join, sized by watermark ×
+    * arrival rate, never by stream length. Inner join: matches emit as soon
+    * as both sides arrive, no finalization wait.
+    *
+    * @param views  streaming (user_id, event_id, ts) — the left/earlier side
+    * @param clicks streaming (user_id, event_id, ts) — the right side
+    * @param horizonMinutes max click delay after the view to attribute
+    * @param watermark max out-of-orderness tolerated per side; state and
+    *                  completeness trade off here (events later than this
+    *                  may be dropped — a run needing EXACT batch parity over
+    *                  a bounded replay can pass a watermark wider than the
+    *                  data span, as the contract query does)
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      horizonMinutes: Int = 10,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").cast("timestamp").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("__c_user"),
+        col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        v("user_id") === c("__c_user") &&
+          c("click_ts") >= v("view_ts") &&
+          c("click_ts") <= v("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "inner")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Watermarked sliding-window tile counts over a stream of raw hits
     * (lon/lat/warc_ts) — the streaming twin of Tiler.aggregate. */
   def tileCounts(hits: DataFrame): DataFrame =

@@ -126,6 +126,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getAs[java.sql.Timestamp]("sess_end") === ts(10))
   }
 
+  test("stream-stream interval join emits exactly the batch attribution pairs") {
+    val dir = Files.createTempDirectory("graft-stream-join").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val rows = Seq(
+      // user 1: view at 0 -> clicks at 5 (in) and 20 (out of 10-min horizon)
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(5)), (1L, 12L, "click", ts(20)),
+      // user 1: second view at 15 -> the t=20 click attributes HERE
+      (1L, 13L, "view", ts(15)),
+      // user 2: click BEFORE the view never attributes
+      (2L, 20L, "click", ts(2)), (2L, 21L, "view", ts(4)),
+      // user 3: boundary — click exactly at view + 10 min is IN
+      (3L, 30L, "view", ts(30)), (3L, 31L, "click", ts(40)))
+    // three files -> three micro-batches under maxFilesPerTrigger=1, so the
+    // join state genuinely carries across batches
+    rows.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$dir/in")
+    }
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val out = StreamGeocode.attributionJoin(
+      src.filter($"event_type" === "view"),
+      src.filter($"event_type" === "click"),
+      horizonMinutes = 10, watermark = "2 hours")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_join")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("select user_id, view_id, click_id from stream_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 11L), (1L, 13L, 12L), (3L, 30L, 31L)))
+  }
+
   test("forward geocoding runs as a structured stream with watermarked top-1") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // stage synthesized pages as the file-stream source
