@@ -1,0 +1,113 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+import graft.functions.{GeoInternal, TextInternal}
+import graft.geo.{CellIndex, Geo}
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's scalar spatial /
+ * sketch primitives as SQL functions, so a pure-SQL user (spark.sql, JDBC,
+ * SQL files) can call the same codegen expressions the DataFrame API uses —
+ * no UDF registration, no SerDe, identical bits.
+ *
+ * Install with either
+ *   .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+ * on the session builder, or spark-submit --conf of the same key (the
+ * standard extension mechanism, SPARK-18127).
+ *
+ * Every function lowers to the SAME StaticInvoke expressions as
+ * graft.functions.GeoFunctions / TextFunctions — deterministic, null-safe,
+ * constant-folding, whole-stage-codegen capable. SQL surface:
+ *
+ *   graft_cell_id(lon, lat, level)       -> BIGINT cell id (E3)
+ *   graft_cell_parent(cell, level)       -> BIGINT coarser cell
+ *   graft_cell_lon(cell) / graft_cell_lat(cell) -> DOUBLE center
+ *   graft_k_ring(cell, r)                -> ARRAY<BIGINT> (E6 expansion)
+ *   graft_haversine_m(lo1, la1, lo2, la2)-> DOUBLE great-circle meters
+ *   graft_tile_x(lon, z) / graft_tile_y(lat, z) -> BIGINT web-mercator tile
+ *   graft_geohash(lon, lat, precision)   -> STRING (E8 annotation)
+ *   graft_mercator_x(lon) / graft_mercator_y(lat) -> DOUBLE EPSG:3857
+ *   graft_lv03_e(lon, lat) / graft_lv03_n(lon, lat) -> DOUBLE Swiss LV03 (C3)
+ *   graft_dms(value, is_lat)             -> STRING degrees-minutes-seconds
+ *   graft_simhash(text)                  -> BIGINT 64-bit simhash
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val cellCls = CellIndex.getClass
+  private val geoCls = Geo.getClass
+  private val internCls = GeoInternal.getClass
+  private val textCls = TextInternal.getClass
+
+  private def fn(name: String, arity: Int, usage: String)
+                (build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val checked: Seq[Expression] => Expression = { args =>
+      require(args.length == arity,
+        s"$name expects $arity arguments, got ${args.length}")
+      build(args)
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      checked)
+  }
+
+  /** All registered (identifier, info, builder) triples. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("graft_cell_id", 3, "cell id of (lon, lat) at level") { a =>
+      StaticInvoke(cellCls, LongType, "encode", a, returnNullable = false)
+    },
+    fn("graft_cell_parent", 2, "parent cell at a coarser level") { a =>
+      StaticInvoke(cellCls, LongType, "parent", a, returnNullable = false)
+    },
+    fn("graft_cell_lon", 1, "cell center longitude") { a =>
+      StaticInvoke(cellCls, DoubleType, "centerLon", a, returnNullable = false)
+    },
+    fn("graft_cell_lat", 1, "cell center latitude") { a =>
+      StaticInvoke(cellCls, DoubleType, "centerLat", a, returnNullable = false)
+    },
+    fn("graft_k_ring", 2, "cells within Chebyshev radius r") { a =>
+      StaticInvoke(internCls, ArrayType(LongType, containsNull = false),
+        "kRing", a, returnNullable = false)
+    },
+    fn("graft_haversine_m", 4, "great-circle meters") { a =>
+      StaticInvoke(geoCls, DoubleType, "haversineM", a, returnNullable = false)
+    },
+    fn("graft_tile_x", 2, "web-mercator tile x at zoom z") { a =>
+      StaticInvoke(geoCls, LongType, "tileX", a, returnNullable = false)
+    },
+    fn("graft_tile_y", 2, "web-mercator tile y at zoom z") { a =>
+      StaticInvoke(geoCls, LongType, "tileY", a, returnNullable = false)
+    },
+    fn("graft_geohash", 3, "geohash of (lon, lat) at precision") { a =>
+      StaticInvoke(internCls, StringType, "geohash", a, returnNullable = false)
+    },
+    fn("graft_mercator_x", 1, "EPSG:3857 x meters") { a =>
+      StaticInvoke(geoCls, DoubleType, "mercatorX", a, returnNullable = false)
+    },
+    fn("graft_mercator_y", 1, "EPSG:3857 y meters") { a =>
+      StaticInvoke(geoCls, DoubleType, "mercatorY", a, returnNullable = false)
+    },
+    fn("graft_lv03_e", 2, "Swiss LV03 easting") { a =>
+      StaticInvoke(geoCls, DoubleType, "wgs84ToLv03E", a, returnNullable = false)
+    },
+    fn("graft_lv03_n", 2, "Swiss LV03 northing") { a =>
+      StaticInvoke(geoCls, DoubleType, "wgs84ToLv03N", a, returnNullable = false)
+    },
+    fn("graft_dms", 2, "degrees-minutes-seconds string") { a =>
+      StaticInvoke(internCls, StringType, "dms", a, returnNullable = false)
+    },
+    fn("graft_simhash", 1, "64-bit simhash of text") { a =>
+      StaticInvoke(textCls, LongType, "simhash", a, returnNullable = false)
+    })
+}
