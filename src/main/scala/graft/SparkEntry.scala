@@ -1332,37 +1332,18 @@ object SparkEntry {
           round(col("dist_m"), 0).cast("long").as("dist_m_round"))
     }),
     "geo_reverse_bbox" -> ((s, dir) => {
-      val nullS = (n: String) => lit(null).cast("string").as(n)
-      val nullM = (n: String) => lit(null).cast("map<string,string>").as(n)
-      val base = s.read.parquet(s"$dir/nation.parquet").select(
-        col("n_nationkey").as("polygon_id"),
-        ((col("n_nationkey") * 7 % 40) / lit(4.0) - 2.0).as("c_lon"),
-        (lit(41.0) + (col("n_nationkey") * 11 % 12) / lit(4.0)).as("c_lat"),
-        ((col("n_nationkey") % 5) / lit(10.0) + 0.3005).as("d_lon"),
-        ((col("n_nationkey") % 3) / lit(10.0) + 0.2505).as("d_lat"),
-        (lit(4) + col("n_nationkey") % 6).cast("int").as("admin_level"))
-      val polys = base.select(col("polygon_id"),
-        concat(lit("R"), col("polygon_id")).as("name"),
-        col("admin_level"), lit("xx").as("country_code"),
-        array(lit(0), lit(4)).as("ring_offsets"),
-        array(col("c_lon") - col("d_lon"), col("c_lon") + col("d_lon"),
-          col("c_lon") + col("d_lon"), col("c_lon") - col("d_lon")).as("ring_lons"),
-        array(col("c_lat") - col("d_lat"), col("c_lat") - col("d_lat"),
-          col("c_lat") + col("d_lat"), col("c_lat") + col("d_lat")).as("ring_lats"),
-        nullS("fmt_house"), nullS("fmt_road"), nullS("fmt_suburb"), nullS("fmt_city"),
-        nullS("fmt_county"), nullS("fmt_state"), nullS("fmt_region"),
-        nullS("fmt_postcode"), nullS("fmt_country"), nullM("loc_city"), nullM("loc_country"))
-      val cells = base.select(col("polygon_id"),
-        explode(GeoFunctions.coverBbox(
-          col("c_lon") - col("d_lon"), col("c_lat") - col("d_lat"),
-          col("c_lon") + col("d_lon"), col("c_lat") + col("d_lat"),
-          lit(graft.geo.CellIndex.FineLevel))).as("cell"))
-      val pts = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey").as("query_id"),
-          ((col("o_orderkey") * 7919 % 10000) / lit(1000.0) - 4.0).as("lon"),
-          (lit(40.5) + (col("o_orderkey") * 104729 % 4000) / lit(1000.0)).as("lat"))
+      val (pts, polys, cells) = bboxWorld(s, dir, compact = false)
       Reverse.reverse(pts, polys, cells, ReverseParams())
+        .select("query_id", "polygon_id", "geocode_status")
+    }),
+    // the SAME rect-polygon PIP question through the COMPACT mixed-level
+    // index (CellIndex.compact cell-union normalization) and the
+    // multi-level-probe reverse path — identical results, index rows
+    // proportional to boundary instead of area; oracled by the same
+    // independent bbox re-derivation as geo_reverse_bbox
+    "geo_reverse_compact" -> ((s, dir) => {
+      val (pts, polys, cells) = bboxWorld(s, dir, compact = true)
+      Reverse.reverseCompact(pts, polys, cells, ReverseParams())
         .select("query_id", "polygon_id", "geocode_status")
     }),
     "geo_forward_names" -> ((s, dir) => {
@@ -1974,6 +1955,69 @@ fin AS (SELECT doc_id, $chain AS seq2 FROM seqs, $mJoins)
 SELECT doc_id, CAST(sum(len(string_split(trim(seq2), ' '))) AS BIGINT) AS n_bpe_tokens
 FROM fin GROUP BY doc_id"""
   }
+
+  /** Synthetic rect-polygon world shared by geo_reverse_bbox (flat level-13
+    * cover) and geo_reverse_compact (compact mixed-level cover):
+    * (points, polygons, cellIndex). */
+  private def bboxWorld(s: SparkSession, dir: String, compact: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nullS = (n: String) => lit(null).cast("string").as(n)
+    val nullM = (n: String) => lit(null).cast("map<string,string>").as(n)
+    val base = s.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").as("polygon_id"),
+      ((col("n_nationkey") * 7 % 40) / lit(4.0) - 2.0).as("c_lon"),
+      (lit(41.0) + (col("n_nationkey") * 11 % 12) / lit(4.0)).as("c_lat"),
+      ((col("n_nationkey") % 5) / lit(10.0) + 0.3005).as("d_lon"),
+      ((col("n_nationkey") % 3) / lit(10.0) + 0.2505).as("d_lat"),
+      (lit(4) + col("n_nationkey") % 6).cast("int").as("admin_level"))
+    val polys = base.select(col("polygon_id"),
+      concat(lit("R"), col("polygon_id")).as("name"),
+      col("admin_level"), lit("xx").as("country_code"),
+      array(lit(0), lit(4)).as("ring_offsets"),
+      array(col("c_lon") - col("d_lon"), col("c_lon") + col("d_lon"),
+        col("c_lon") + col("d_lon"), col("c_lon") - col("d_lon")).as("ring_lons"),
+      array(col("c_lat") - col("d_lat"), col("c_lat") - col("d_lat"),
+        col("c_lat") + col("d_lat"), col("c_lat") + col("d_lat")).as("ring_lats"),
+      nullS("fmt_house"), nullS("fmt_road"), nullS("fmt_suburb"), nullS("fmt_city"),
+      nullS("fmt_county"), nullS("fmt_state"), nullS("fmt_region"),
+      nullS("fmt_postcode"), nullS("fmt_country"), nullM("loc_city"), nullM("loc_country"))
+    val coverExpr = GeoFunctions.coverBbox(
+      col("c_lon") - col("d_lon"), col("c_lat") - col("d_lat"),
+      col("c_lon") + col("d_lon"), col("c_lat") + col("d_lat"),
+      lit(graft.geo.CellIndex.FineLevel))
+    val cells = base.select(col("polygon_id"),
+      explode(if (compact) GeoFunctions.compactCells(coverExpr, lit(7))
+              else coverExpr).as("cell"))
+    val pts = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("query_id"),
+        ((col("o_orderkey") * 7919 % 10000) / lit(1000.0) - 4.0).as("lon"),
+        (lit(40.5) + (col("o_orderkey") * 104729 % 4000) / lit(1000.0)).as("lat"))
+    (pts, polys, cells)
+  }
+
+  /** Shared by geo_reverse_bbox AND geo_reverse_compact: both run the same
+    * PIP question through different index layouts (flat level-13 vs compact
+    * mixed-level), so one independent bbox re-derivation oracles both. */
+  private val reverseBboxSql =
+    """WITH polys AS (SELECT n_nationkey AS polygon_id,
+      |  (n_nationkey * 7 % 40) / CAST(4.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) AS c_lon,
+      |  CAST(41.0 AS DOUBLE) + (n_nationkey * 11 % 12) / CAST(4.0 AS DOUBLE) AS c_lat,
+      |  (n_nationkey % 5) / CAST(10.0 AS DOUBLE) + CAST(0.3005 AS DOUBLE) AS d_lon,
+      |  (n_nationkey % 3) / CAST(10.0 AS DOUBLE) + CAST(0.2505 AS DOUBLE) AS d_lat,
+      |  4 + n_nationkey % 6 AS admin_level FROM nation),
+      |pts AS (SELECT o_orderkey AS query_id,
+      |  (o_orderkey * 7919 % 10000) / CAST(1000.0 AS DOUBLE) - CAST(4.0 AS DOUBLE) AS lon,
+      |  CAST(40.5 AS DOUBLE) + (o_orderkey * 104729 % 4000) / CAST(1000.0 AS DOUBLE) AS lat
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |hit AS (SELECT query_id, polygon_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY admin_level DESC, polygon_id) AS rn
+      |  FROM pts JOIN polys ON lon > c_lon - d_lon AND lon < c_lon + d_lon
+      |    AND lat > c_lat - d_lat AND lat < c_lat + d_lat)
+      |SELECT p.query_id, h.polygon_id,
+      |  CASE WHEN h.polygon_id IS NULL THEN 'no_result' ELSE 'ok' END AS geocode_status
+      |FROM pts p LEFT JOIN (SELECT query_id, polygon_id FROM hit WHERE rn = 1) h
+      |  ON p.query_id = h.query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "doc_bpe_train" -> bpeOracleSql(6),
@@ -3044,25 +3088,10 @@ FROM fin GROUP BY doc_id"""
         |  FROM d0)
         |SELECT query_id, place_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
         |FROM d WHERE dist_m <= CAST(15000.0 AS DOUBLE)""".stripMargin,
-    "geo_reverse_bbox" ->
-      """WITH polys AS (SELECT n_nationkey AS polygon_id,
-        |  (n_nationkey * 7 % 40) / CAST(4.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) AS c_lon,
-        |  CAST(41.0 AS DOUBLE) + (n_nationkey * 11 % 12) / CAST(4.0 AS DOUBLE) AS c_lat,
-        |  (n_nationkey % 5) / CAST(10.0 AS DOUBLE) + CAST(0.3005 AS DOUBLE) AS d_lon,
-        |  (n_nationkey % 3) / CAST(10.0 AS DOUBLE) + CAST(0.2505 AS DOUBLE) AS d_lat,
-        |  4 + n_nationkey % 6 AS admin_level FROM nation),
-        |pts AS (SELECT o_orderkey AS query_id,
-        |  (o_orderkey * 7919 % 10000) / CAST(1000.0 AS DOUBLE) - CAST(4.0 AS DOUBLE) AS lon,
-        |  CAST(40.5 AS DOUBLE) + (o_orderkey * 104729 % 4000) / CAST(1000.0 AS DOUBLE) AS lat
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |hit AS (SELECT query_id, polygon_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY admin_level DESC, polygon_id) AS rn
-        |  FROM pts JOIN polys ON lon > c_lon - d_lon AND lon < c_lon + d_lon
-        |    AND lat > c_lat - d_lat AND lat < c_lat + d_lat)
-        |SELECT p.query_id, h.polygon_id,
-        |  CASE WHEN h.polygon_id IS NULL THEN 'no_result' ELSE 'ok' END AS geocode_status
-        |FROM pts p LEFT JOIN (SELECT query_id, polygon_id FROM hit WHERE rn = 1) h
-        |  ON p.query_id = h.query_id""".stripMargin,
+    "geo_reverse_bbox" -> reverseBboxSql,
+    // the compact-index path answers the SAME question -> same oracle; a
+    // disagreement would mean the mixed-level cover broke coverage
+    "geo_reverse_compact" -> reverseBboxSql,
     "geo_forward_names" ->
       """WITH gaz AS (
         |  SELECT trim(regexp_replace(lower(n_name), '[^a-z0-9]+', ' ', 'g')) AS gaz_key,

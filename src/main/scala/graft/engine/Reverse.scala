@@ -113,6 +113,45 @@ object Reverse {
       .drop("__best")
 
   /**
+   * PIP reverse against a COMPACT (mixed-level) covering index — the layout
+   * that keeps a large polygon's index proportional to its boundary instead
+   * of its area (CellIndex.compact: a country at pure level 13 is millions
+   * of index rows; compacted it is tens of thousands). A point can no longer
+   * probe one key: its enclosing compact cell sits at SOME ancestor level,
+   * so the plan probes once per level PRESENT in the index (a handful — the
+   * distinct-levels set is a driver decision read off the index with one
+   * tiny aggregation) and concatenates the candidate arrays. Each probe is
+   * a broadcast hash join on `parent(cell13, lv)` — the points side stays
+   * MAP-ONLY with zero exchanges, same as `reverse`; ray-cast refinement
+   * and most-specific selection are unchanged array expressions.
+   */
+  def reverseCompact(points: DataFrame, polygons: DataFrame,
+                     compactCellIndex: DataFrame,
+                     params: ReverseParams = ReverseParams(),
+                     tzByCell: Map[Long, String] = Map.empty): DataFrame = {
+    import graft.functions.GeoFunctions.{cellLevel, cellParent}
+    val packed = packedCellIndex(polygons, compactCellIndex)
+    val levels = packed.select(cellLevel(col("cell")).as("lv"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(levels.nonEmpty, "compact cell index is empty")
+    val candsType = packed.schema("cands").dataType
+    var cur = points.withColumn("cell", cellId(col("lon"), col("lat"),
+      lit(graft.geo.CellIndex.FineLevel)))
+    levels.foreach { lv =>
+      val pk = packed.filter(cellLevel(col("cell")) === lv)
+        .select(col("cell").as(s"__cell_$lv"), col("cands").as(s"__cands_$lv"))
+      cur = cur.join(broadcast(pk),
+        cellParent(col("cell"), lit(lv)) === col(s"__cell_$lv"), "left")
+        .drop(s"__cell_$lv")
+    }
+    val merged = concat(levels.map(lv =>
+      coalesce(col(s"__cands_$lv"), array().cast(candsType))): _*)
+    val joined = cur.withColumn("cands", merged)
+      .drop(levels.map(lv => s"__cands_$lv"): _*)
+    finish(bestFromPacked(joined), points, params, tzByCell)
+  }
+
+  /**
    * World-polygon-scale reverse: both sides are cell-bucketed tables, so the
    * join is a ZERO-EXCHANGE sort-merge join — the bucketed layout IS the
    * shuffle, paid once at write time (and the packed-index write amortizes

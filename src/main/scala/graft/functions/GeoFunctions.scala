@@ -32,6 +32,9 @@ object GeoInternal {
                 level: Int): ArrayData =
     new GenericArrayData(CellIndex.coverBbox(minLon, minLat, maxLon, maxLat, level))
 
+  def compactCells(cells: ArrayData, minLevel: Int): ArrayData =
+    new GenericArrayData(CellIndex.compact(cells.toLongArray(), minLevel))
+
   def geohash(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geo.geohash(lon, lat, precision))
 
@@ -88,6 +91,14 @@ object GeoFunctions {
 
   def cellCenterLon(cell: Column): Column = invoke(cellCls, DoubleType, "centerLon", cell)
   def cellCenterLat(cell: Column): Column = invoke(cellCls, DoubleType, "centerLat", cell)
+
+  def cellLevel(cell: Column): Column = invoke(cellCls, IntegerType, "level", cell)
+
+  /** Compact a covering-cell array to canonical mixed levels (cell-union
+    * normalization; see CellIndex.compact). */
+  def compactCells(cells: Column, minLevel: Column): Column =
+    invoke(internCls, ArrayType(LongType, containsNull = false),
+      "compactCells", cells, minLevel)
 
   /** All cells within Chebyshev radius r (for kNN ring expansion, E6). */
   def kRing(cell: Column, r: Column): Column =

@@ -150,6 +150,54 @@ object CellIndex {
     pack(face(cell), parentLevel, rawI(cell) >>> shift, rawJ(cell) >>> shift)
   }
 
+  /**
+   * COMPACT a covering-cell set to mixed levels: bottom-up, every complete
+   * 2x2 sibling group collapses into its parent, repeatedly, down to
+   * `minLevel`. Coverage-equivalent by construction (only full sibling
+   * groups collapse, so the union of covered area is exactly preserved) and
+   * canonical (no full sibling group survives). This is what keeps the
+   * covering index of a LARGE polygon (a country at level 13 would be
+   * millions of cells) proportional to its boundary length instead of its
+   * area — the standard S2/H3 "cell union normalization".
+   *
+   * Output sorted ascending for determinism. Input cells may be mixed-level
+   * already; duplicates (and children made redundant by an input ancestor)
+   * are NOT removed unless they collapse — pass a distinct single-level
+   * cover (coverBbox) for canonical results.
+   */
+  def compact(cells: Array[Long], minLevel: Int = CoarseLevel): Array[Long] = {
+    if (cells.isEmpty) return cells
+    val set = new java.util.TreeSet[java.lang.Long]()
+    cells.foreach(c => set.add(c))
+    var lv = cells.map(level).max
+    while (lv > minLevel) {
+      val atLv = new java.util.ArrayList[java.lang.Long]()
+      val it = set.iterator()
+      while (it.hasNext) { val c = it.next(); if (level(c) == lv) atLv.add(c) }
+      // group by parent; a parent with all four children present collapses
+      val byParent = new java.util.HashMap[java.lang.Long, Integer]()
+      val n = atLv.size()
+      var i = 0
+      while (i < n) {
+        val p = java.lang.Long.valueOf(parent(atLv.get(i), lv - 1))
+        byParent.merge(p, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val c = atLv.get(i)
+        val p = java.lang.Long.valueOf(parent(c, lv - 1))
+        if (byParent.get(p) == 4) { set.remove(c); set.add(p) }
+        i += 1
+      }
+      lv -= 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   // ---- neighbours / k-ring -------------------------------------------------
 
   /** Cell at face-local offset (di, dj), re-encoding across face edges. */
