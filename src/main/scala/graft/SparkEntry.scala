@@ -1346,6 +1346,39 @@ object SparkEntry {
       Reverse.reverseCompact(pts, polys, cells, ReverseParams())
         .select("query_id", "polygon_id", "geocode_status")
     }),
+    // Ramer-Douglas-Peucker ring simplification (geo/Simplify via the
+    // codegen shim): one deterministic 40-vertex jittered-square ring per
+    // polygon, eps 0.02 deg. DuckDB replays the ENTIRE recursive algorithm
+    // — farthest-anchor split, per-segment argmax of the identical
+    // perpendicular-distance IEEE chain, recursive subdivision — via a
+    // recursive CTE, and must reproduce every kept vertex.
+    "geo_simplify" -> ((s, dir) => {
+      val jit = "cast((t * 7919 + cast(polygon_id as bigint) * 104729) % 7 as double) / 200.0D"
+      val u = "cast(t % 10 as double) / 10.0D"
+      val polys = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("polygon_id"))
+        .withColumn("ring_lons", expr(
+          s"""transform(sequence(0, 39), t -> CASE t div 10
+             |  WHEN 0 THEN $u
+             |  WHEN 1 THEN 1.0D + $jit
+             |  WHEN 2 THEN 1.0D - $u
+             |  ELSE 0.0D - $jit END)""".stripMargin))
+        .withColumn("ring_lats", expr(
+          s"""transform(sequence(0, 39), t -> CASE t div 10
+             |  WHEN 0 THEN 0.0D + $jit
+             |  WHEN 1 THEN $u
+             |  WHEN 2 THEN 1.0D + $jit
+             |  ELSE 1.0D - $u END)""".stripMargin))
+      polys
+        .withColumn("keep", GeoFunctions.simplifyPackedIdx(
+          expr("array(0, 40)"), col("ring_lons"), col("ring_lats"), lit(0.02)))
+        .select(col("polygon_id"), col("ring_lons"), col("ring_lats"),
+          posexplode(col("keep")).as(Seq("pos", "vidx")))
+        .select(col("polygon_id"), col("pos").cast("int").as("pos"),
+          col("vidx"),
+          element_at(col("ring_lons"), col("vidx") + 1).as("x"),
+          element_at(col("ring_lats"), col("vidx") + 1).as("y"))
+    }),
     "geo_forward_names" -> ((s, dir) => {
       val nat = s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey"), col("n_name"))
@@ -2019,7 +2052,71 @@ FROM fin GROUP BY doc_id"""
       |FROM pts p LEFT JOIN (SELECT query_id, polygon_id FROM hit WHERE rn = 1) h
       |  ON p.query_id = h.query_id""".stripMargin
 
+  /** DuckDB replay of the ENTIRE Douglas-Peucker recursion for
+    * geo_simplify: same ring construction, same farthest-anchor split,
+    * per-segment argmax over the identical perpendicular-distance IEEE
+    * chain (ties to lowest index via lexicographic [d, -m] list max), and
+    * the subdivision itself as a recursive CTE emitting two children per
+    * split. Kept vertices = distinct endpoints of all segments. */
+  private val simplifyOracleSql: String = {
+    val jit = "CAST((t * 7919 + CAST(polygon_id AS BIGINT) * 104729) % 7 AS DOUBLE) / CAST(200.0 AS DOUBLE)"
+    val u = "CAST(t % 10 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+    val x1 = "lons[i + 1]"; val y1 = "lats[i + 1]"
+    val x2 = "(CASE WHEN j = 40 THEN lons[1] ELSE lons[j + 1] END)"
+    val y2 = "(CASE WHEN j = 40 THEN lats[1] ELSE lats[j + 1] END)"
+    val x0 = "lons[m + 1]"; val y0 = "lats[m + 1]"
+    val dx = s"($x2 - $x1)"; val dy = s"($y2 - $y1)"
+    val den = s"sqrt($dx * $dx + $dy * $dy)"
+    val perp =
+      s"""(CASE WHEN $den = CAST(0.0 AS DOUBLE)
+         |  THEN sqrt(($x0 - $x1) * ($x0 - $x1) + ($y0 - $y1) * ($y0 - $y1))
+         |  ELSE abs($dx * ($y1 - $y0) - ($x1 - $x0) * $dy) / $den END)""".stripMargin
+    s"""WITH RECURSIVE polys AS (
+       |  SELECT n_nationkey AS polygon_id,
+       |    list_transform(range(0, 40), t -> CASE t // 10
+       |      WHEN 0 THEN $u
+       |      WHEN 1 THEN CAST(1.0 AS DOUBLE) + $jit
+       |      WHEN 2 THEN CAST(1.0 AS DOUBLE) - $u
+       |      ELSE CAST(0.0 AS DOUBLE) - $jit END) AS lons,
+       |    list_transform(range(0, 40), t -> CASE t // 10
+       |      WHEN 0 THEN CAST(0.0 AS DOUBLE) + $jit
+       |      WHEN 1 THEN $u
+       |      WHEN 2 THEN CAST(1.0 AS DOUBLE) + $jit
+       |      ELSE CAST(1.0 AS DOUBLE) - $u END) AS lats
+       |  FROM nation),
+       |anch AS (
+       |  SELECT polygon_id, lons, lats,
+       |    CAST(-(list_max(list_transform(range(1, 40), i -> [
+       |      sqrt((lons[i + 1] - lons[1]) * (lons[i + 1] - lons[1])
+       |         + (lats[i + 1] - lats[1]) * (lats[i + 1] - lats[1])),
+       |      CAST(-i AS DOUBLE)]))[2]) AS BIGINT) AS k
+       |  FROM polys),
+       |seg AS (
+       |  SELECT polygon_id, lons, lats, u.ii AS i, u.jj AS j
+       |  FROM anch, unnest([struct_pack(ii := CAST(0 AS BIGINT), jj := k),
+       |                     struct_pack(ii := k, jj := CAST(40 AS BIGINT))]) AS t(u)
+       |  UNION ALL
+       |  SELECT s.polygon_id, s.lons, s.lats, u.ii, u.jj
+       |  FROM (
+       |    SELECT polygon_id, lons, lats, i, j,
+       |      list_max(list_transform(range(i + 1, j), m ->
+       |        [$perp, CAST(-m AS DOUBLE)])) AS best
+       |    FROM seg WHERE j - i >= 2) s,
+       |    unnest([struct_pack(ii := s.i, jj := CAST(-(s.best[2]) AS BIGINT)),
+       |            struct_pack(ii := CAST(-(s.best[2]) AS BIGINT), jj := s.j)]) AS t(u)
+       |  WHERE s.best[1] > CAST(0.02 AS DOUBLE)),
+       |kept AS (
+       |  SELECT DISTINCT polygon_id,
+       |    CASE WHEN v = 40 THEN 0 ELSE v END AS vidx
+       |  FROM (SELECT polygon_id, unnest([i, j]) AS v FROM seg))
+       |SELECT k.polygon_id,
+       |  CAST(row_number() OVER (PARTITION BY k.polygon_id ORDER BY vidx) - 1 AS INT) AS pos,
+       |  CAST(vidx AS INT) AS vidx, p.lons[vidx + 1] AS x, p.lats[vidx + 1] AS y
+       |FROM kept k JOIN polys p USING (polygon_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "geo_simplify" -> simplifyOracleSql,
     "doc_bpe_train" -> bpeOracleSql(6),
     "doc_bpe_encode" -> bpeEncodeOracleSql(6),
     "geo_forward_full" ->

@@ -74,4 +74,41 @@ object PolyStats {
         array_max(col("ring_lons")).as("max_lon"),
         array_min(col("ring_lats")).as("min_lat"),
         array_max(col("ring_lats")).as("max_lat"))
+
+  /**
+   * Ramer-Douglas-Peucker simplification over the packed-ring layout
+   * (geo.Simplify per ring) — the vector op the tiler runs before drawing
+   * admin polygons at coarse zooms. Map-only: the kept-index computation is
+   * one codegen call per polygon, the ring arrays are rewritten by array
+   * expressions, and ring structure survives because ring-start vertices
+   * are always DP anchors (new offsets = positions of old offsets within
+   * the kept list). Rewrites ring_offsets/ring_lons/ring_lats in place and
+   * adds n_vertices_in / n_vertices_out.
+   */
+  def simplify(polys: DataFrame, epsDeg: Double): DataFrame =
+    polys
+      .withColumn("__keep", graft.functions.GeoFunctions.simplifyPackedIdx(
+        col("ring_offsets"), col("ring_lons"), col("ring_lats"), lit(epsDeg)))
+      .withColumn("n_vertices_in", size(col("ring_lons")))
+      .withColumn("n_vertices_out", size(col("__keep")))
+      // fence-post offsets: positions of old ring STARTS within the kept
+      // list, plus the closing sentinel size(__keep) — same [s0,...,len]
+      // convention Geo.rayCast scans
+      .withColumn("__offsets_s", expr(
+        """concat(filter(transform(
+          |  sequence(0, greatest(cast(size(__keep) as int) - 1, 0)),
+          |  k -> CASE WHEN k < size(__keep)
+          |            AND array_contains(slice(ring_offsets, 1, size(ring_offsets) - 1),
+          |                               element_at(__keep, k + 1))
+          |       THEN k ELSE -1 END), k -> k >= 0),
+          |  array(cast(size(__keep) as int)))""".stripMargin))
+      .withColumn("__lons_s",
+        expr("transform(__keep, i -> element_at(ring_lons, i + 1))"))
+      .withColumn("__lats_s",
+        expr("transform(__keep, i -> element_at(ring_lats, i + 1))"))
+      .drop("ring_offsets", "ring_lons", "ring_lats")
+      .withColumnRenamed("__offsets_s", "ring_offsets")
+      .withColumnRenamed("__lons_s", "ring_lons")
+      .withColumnRenamed("__lats_s", "ring_lats")
+      .drop("__keep")
 }

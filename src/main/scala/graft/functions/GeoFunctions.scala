@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.geo.{CellIndex, Geo}
+import graft.geo.{CellIndex, Geo, Simplify}
 
 /**
  * Spark-internal shims over the pure-Scala geo core. Each method takes/returns
@@ -34,6 +34,11 @@ object GeoInternal {
 
   def compactCells(cells: ArrayData, minLevel: Int): ArrayData =
     new GenericArrayData(CellIndex.compact(cells.toLongArray(), minLevel))
+
+  def simplifyPacked(offsets: ArrayData, lons: ArrayData, lats: ArrayData,
+                     epsDeg: Double): ArrayData =
+    new GenericArrayData(Simplify.simplifyPacked(offsets.toIntArray(),
+      lons.toDoubleArray(), lats.toDoubleArray(), epsDeg))
 
   def geohash(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geo.geohash(lon, lat, precision))
@@ -99,6 +104,13 @@ object GeoFunctions {
   def compactCells(cells: Column, minLevel: Column): Column =
     invoke(internCls, ArrayType(LongType, containsNull = false),
       "compactCells", cells, minLevel)
+
+  /** Kept flat vertex indices after per-ring Douglas-Peucker simplification
+    * of a packed polygon (geo.Simplify). */
+  def simplifyPackedIdx(offsets: Column, lons: Column, lats: Column,
+                        epsDeg: Column): Column =
+    invoke(internCls, ArrayType(IntegerType, containsNull = false),
+      "simplifyPacked", offsets, lons, lats, epsDeg)
 
   /** All cells within Chebyshev radius r (for kNN ring expansion, E6). */
   def kRing(cell: Column, r: Column): Column =
