@@ -582,6 +582,12 @@ object SparkEntry {
     // ONE combinable count, scoring a hash join + per-doc decimal sum
     "doc_lm_score" -> ((s, dir) =>
       graft.text.TextAnalysis.lmScore(docs(s, dir), col("doc_id"), col("text"))),
+    // interpolated BIGRAM-LM (one order up): first token scores p_uni,
+    // every later position ln(0.7*c_ab/c_a + (1-0.7)*c_b/N); bigram stream
+    // is one codegen windowNgrams call, model = two combinable counts
+    "doc_lm_bigram" -> ((s, dir) =>
+      graft.text.TextAnalysis.bigramLmScore(docs(s, dir), col("doc_id"),
+        col("text"), lam = 0.7)),
     // Bloom-filter blocklist membership: the filter is <= m rows no matter
     // how large the blocklist, broadcast to the probe — candidates never
     // shuffle; misses exact, false positives bounded and audited here
@@ -2849,6 +2855,41 @@ FROM fin GROUP BY doc_id"""
         |  GROUP BY 1, 2)
         |SELECT tok.doc_id AS doc_key, CAST(len(tok.toks) AS INT) AS n_tokens,
         |  CAST(sc.sdec AS DOUBLE) / sc.dl AS lm_logprob
+        |FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id""".stripMargin,
+    // DuckDB rebuilds the bigram model from a POSITION SELF-JOIN (a
+    // different pairing algorithm than the engine's windowNgrams call) and
+    // replays the identical interpolation chain — note (1.0 - 0.7), not
+    // 0.3: the engine computes the backoff weight as 1.0 - lam in IEEE
+    "doc_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM ex),
+        |ti AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS i FROM tok),
+        |pairs AS (SELECT x.doc_id, x.tok AS a, y.tok AS b
+        |  FROM ti x JOIN ti y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |pterm AS (SELECT p.doc_id,
+        |    CAST(round(ln(
+        |      CAST(0.7 AS DOUBLE) * (CAST(bc.c_ab AS DOUBLE) / ua.cnt)
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+        |        * (CAST(ub.cnt AS DOUBLE) / t.total)), 7) AS DECIMAL(20,7)) AS t
+        |  FROM pairs p JOIN bc ON bc.a = p.a AND bc.b = p.b
+        |  JOIN uni ua ON ua.token = p.a JOIN uni ub ON ub.token = p.b
+        |  CROSS JOIN tot t),
+        |fterm AS (SELECT tok.doc_id,
+        |    CAST(round(ln(CAST(u.cnt AS DOUBLE) / t.total), 7)
+        |      AS DECIMAL(20,7)) AS t
+        |  FROM tok JOIN uni u ON u.token = tok.toks[1] CROSS JOIN tot t
+        |  WHERE len(tok.toks) >= 1),
+        |sc AS (SELECT doc_id, sum(t) AS sdec
+        |  FROM (SELECT * FROM fterm UNION ALL SELECT * FROM pterm)
+        |  GROUP BY 1)
+        |SELECT tok.doc_id AS doc_key, CAST(len(tok.toks) AS INT) AS n_tokens,
+        |  CAST(sc.sdec AS DOUBLE) / len(tok.toks) AS lm2_logprob
         |FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id""".stripMargin,
     // the rewriter re-derived relationally: DuckDB marks covered token
     // positions with a span range-join instead of Spark's per-row lambda

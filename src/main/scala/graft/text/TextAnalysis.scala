@@ -231,4 +231,58 @@ object TextAnalysis {
       .join(scored.drop("n_tokens"), Seq("doc_key"), "left")
       .select(col("doc_key"), col("n_tokens"), col("lm_logprob"))
   }
+
+  /**
+   * Interpolated BIGRAM-LM score — one order up from [[lmScore]], the
+   * CCNet/KenLM-style perplexity gate shape: the first token of a document
+   * scores ln p_uni(w0) and every subsequent position scores
+   * ln( lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/N ); the document
+   * score is the mean over all n_tokens positions.
+   *
+   * Scale shape: bigram occurrences come from ONE codegen windowNgrams call
+   * exploded (never a per-doc lag window — no per-doc sort, no doc-ordered
+   * shuffle); the model is two combinable counts (unigram, bigram) joined
+   * back by token keys with map-side partials absorbing the Zipf head.
+   * Determinism: the per-position float chain is fixed-order, rounded to
+   * 7 dp and summed as DECIMAL, so totals are order-insensitive and an
+   * external engine replays every score bit-for-bit (doc_lm_bigram).
+   *
+   * @param lam interpolation weight on the bigram MLE (0.7 = classic)
+   * @return (doc_key, n_tokens: int, lm2_logprob: double; null for empty docs)
+   */
+  def bigramLmScore(docs: DataFrame, key: Column, text: Column,
+                    lam: Double = 0.7): DataFrame = {
+    require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
+    val toks = tokens(text)
+    val base = docs.select(key.as("doc_key"), toks.as("toks"))
+    val ex = base.select(explode(col("toks")).as("token"))
+    val uni = ex.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = ex.agg(count(lit(1)).as("total"))
+    val bgEx = docs.select(key.as("doc_key"),
+      explode(graft.functions.TextFunctions.windowNgrams(text, lit(2))).as("g"))
+    val bg = bgEx.groupBy("g").agg(count(lit(1)).as("c_ab"))
+    val pairTerms = bgEx
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+      .join(bg, "g")
+      .join(uni.select(col("token").as("a"), col("cnt").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("cnt").as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_key"), round(log(
+          lit(lam) * (col("c_ab").cast("double") / col("c_a")) +
+          lit(1.0 - lam) * (col("c_b").cast("double") / col("total"))), 7)
+        .cast("decimal(20,7)").as("t"))
+    val firstTerms = base.filter(size(col("toks")) >= 1)
+      .select(col("doc_key"), element_at(col("toks"), 1).as("token"))
+      .join(uni, "token").crossJoin(broadcast(tot))
+      .select(col("doc_key"),
+        round(log(col("cnt").cast("double") / col("total")), 7)
+          .cast("decimal(20,7)").as("t"))
+    val scored = firstTerms.unionByName(pairTerms)
+      .groupBy("doc_key").agg(sum(col("t")).as("__sdec"))
+    base.select(col("doc_key"), size(col("toks")).cast("int").as("n_tokens"))
+      .join(scored, Seq("doc_key"), "left")
+      .select(col("doc_key"), col("n_tokens"),
+        (col("__sdec").cast("double") / col("n_tokens")).as("lm2_logprob"))
+  }
 }

@@ -11,6 +11,27 @@ class CorpusStatsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bigram LM: hand-derived interpolation, empty docs null out") {
+    val docs = Seq((1L, "a b"), (2L, "a c c"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .bigramLmScore(docs, $"doc_id", $"text", lam = 0.7)
+      .orderBy("doc_key").collect()
+    def r7(x: Double) = BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    val lam = 0.7; val back = 1.0 - lam
+    // uni: a:2 b:1 c:2, N=5; bigrams: (a,b):1 (a,c):1 (c,c):1
+    val f = r7(math.log(2.0 / 5))
+    val d1 = (f + r7(math.log(lam * (1.0 / 2) + back * (1.0 / 5)))).toDouble / 2
+    val p2 = r7(math.log(lam * (1.0 / 2) + back * (2.0 / 5)))
+    val d2 = (f + p2 + p2).toDouble / 3
+    assert(got(0).getInt(1) === 2)
+    assert(math.abs(got(0).getDouble(2) - d1) < 1e-9)
+    assert(got(1).getInt(1) === 3)
+    assert(math.abs(got(1).getDouble(2) - d2) < 1e-9)
+    assert(got(2).getInt(1) === 0)
+    assert(got(2).isNullAt(2))
+  }
+
   test("quantile bucket: upper bound covers v within 25% relative error") {
     val vals = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 100L, 1000L, 12345L,
       1000000L) ++ (1 to 20).map(i => (1L << i) - 1) ++
