@@ -77,4 +77,47 @@ object DistanceJoin {
       .select(col("query_id"), col("place_id"), col("name"),
         col("place_lon"), col("place_lat"), col("dist_m"))
   }
+
+  /**
+   * World-scale layout: both sides materialized as tables BUCKETED on the
+   * cover-level cell (mirrors Pipeline.geocodeWorldScale / Reverse's packed
+   * bucketed tables) — for when the places side outgrows the broadcast
+   * budget. The exploded point-side cover and the places both pay their
+   * shuffle ONCE at write time; every subsequent query-batch join is a
+   * zero-exchange sort-merge join.
+   */
+  def writeBucketed(spark: org.apache.spark.sql.SparkSession,
+                    points: DataFrame, places: DataFrame, radiusM: Double,
+                    ptsTable: String, plcTable: String, basePath: String,
+                    buckets: Int, level: Int = -1): Int = {
+    val lv = if (level > 0) level else coverLevel(radiusM)
+    val r = coverRing(radiusM, lv)
+    val pts = points
+      .withColumn("cell", cellId(col("lon"), col("lat"), lit(lv)))
+      .withColumn("cand_cell", explode(kRing(col("cell"), lit(r))))
+      .select("query_id", "lon", "lat", "cand_cell")
+    val plc = places.select(
+      cellId(col("lon"), col("lat"), lit(lv)).as("cand_cell"),
+      col("place_id"), col("name"),
+      col("lon").as("place_lon"), col("lat").as("place_lat"))
+    Seq((ptsTable, pts), (plcTable, plc)).foreach { case (t, df) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      df.write.bucketBy(buckets, "cand_cell").sortBy("cand_cell")
+        .option("path", s"$basePath/$t").mode("overwrite").saveAsTable(t)
+    }
+    lv
+  }
+
+  /** The query-time half of the bucketed layout: a zero-exchange SMJ on the
+    * cover cell + the exact haversine filter. */
+  def withinRadiusBucketed(spark: org.apache.spark.sql.SparkSession,
+                           ptsTable: String, plcTable: String,
+                           radiusM: Double): DataFrame =
+    spark.table(ptsTable).hint("merge")
+      .join(spark.table(plcTable), Seq("cand_cell"), "inner")
+      .withColumn("dist_m",
+        haversineM(col("lon"), col("lat"), col("place_lon"), col("place_lat")))
+      .filter(col("dist_m") <= radiusM)
+      .select(col("query_id"), col("place_id"), col("name"),
+        col("place_lon"), col("place_lat"), col("dist_m"))
 }

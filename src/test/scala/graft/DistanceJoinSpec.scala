@@ -65,6 +65,26 @@ class DistanceJoinSpec extends AnyFunSuite {
     assert(DistanceJoin.coverRing(5000.0, lv + 1) > 4)
   }
 
+  test("bucketed layout: zero-exchange SMJ equals the broadcast variant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dj-bucketed").toString
+    val points = pts.toDF("query_id", "lon", "lat")
+    val places = plc.toDF("place_id", "name", "lon", "lat")
+    val r = 5000.0
+    graft.engine.DistanceJoin.writeBucketed(spark, points, places, r,
+      "graft_dj_pts_test", "graft_dj_plc_test", dir, buckets = 4)
+    val df = graft.engine.DistanceJoin.withinRadiusBucketed(spark,
+      "graft_dj_pts_test", "graft_dj_plc_test", r)
+    val got = df.select("query_id", "place_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === viaJoin(r))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // the bucketed layout IS the shuffle: the join key never exchanges
+    assert(!plan.contains("Exchange hashpartitioning(cand_cell"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("plan: broadcast hash join, zero exchanges on the points side") {
     val points = pts.toDF("query_id", "lon", "lat")
     val places = plc.toDF("place_id", "name", "lon", "lat")
