@@ -1633,6 +1633,14 @@ object SparkEntry {
       oracleWorldTables(s)
       graft.engine.PolyStats.stats(s.read.parquet(s"$OracleDir/polys"))
     }),
+    // geodesic ring length in METERS (rounded to mm): the ordered haversine
+    // fold next to stats' planar quantities; DuckDB replays the same chain
+    "geo_polygon_perimeter" -> ((s, dir) => {
+      oracleWorldTables(s)
+      graft.engine.PolyStats.perimeter(s.read.parquet(s"$OracleDir/polys"))
+        .select(col("polygon_id"), col("n_vertices"),
+          round(col("perimeter_m"), 3).as("perimeter_m"))
+    }),
     // MGRS annotation (closes the opencage.rs:582 schema slot): Krüger UTM
     // with hyperbolics expanded through exp/ln in a fixed operation order,
     // so DuckDB replays the identical IEEE sequence — zone exceptions
@@ -3683,6 +3691,33 @@ FROM fin GROUP BY doc_id"""
          |       THEN cy6 / (CAST(3.0 AS DOUBLE) * a2) END AS centroid_lat,
          |  list_min(ring_lons) AS min_lon, list_max(ring_lons) AS max_lon,
          |  list_min(ring_lats) AS min_lat, list_max(ring_lats) AS max_lat
+         |FROM f""".stripMargin,
+    "geo_polygon_perimeter" ->
+      s"""WITH polys AS (SELECT * FROM read_parquet('$OracleDir/polys/*.parquet')),
+         |px AS (SELECT polygon_id, ring_offsets, ring_lons, ring_lats,
+         |    CAST(len(ring_lons) AS INT) AS nv FROM polys),
+         |pr AS (SELECT *, list_transform(range(nv), i -> CASE
+         |      WHEN i + 1 < nv AND NOT list_contains(ring_offsets, i + 1)
+         |        THEN i + 1
+         |      ELSE list_max(list_filter(ring_offsets, o -> o <= i)) END)
+         |    AS nexts FROM px),
+         |f AS (SELECT polygon_id, nv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(nv), i ->
+         |        CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE), sqrt(
+         |          sin((ring_lats[nexts[i+1]+1] - ring_lats[i+1])
+         |              * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+         |          * sin((ring_lats[nexts[i+1]+1] - ring_lats[i+1])
+         |              * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+         |          + cos(ring_lats[i+1] * (pi() / CAST(180.0 AS DOUBLE)))
+         |            * cos(ring_lats[nexts[i+1]+1] * (pi() / CAST(180.0 AS DOUBLE)))
+         |            * sin((ring_lons[nexts[i+1]+1] - ring_lons[i+1])
+         |                * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+         |            * sin((ring_lons[nexts[i+1]+1] - ring_lons[i+1])
+         |                * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))))))),
+         |      (a, b) -> a + b) AS per
+         |  FROM pr)
+         |SELECT polygon_id, nv AS n_vertices, round(per, 3) AS perimeter_m
          |FROM f""".stripMargin,
     "geo_mgrs" ->
       s"""WITH pts AS (SELECT o_orderkey,

@@ -75,6 +75,21 @@ object PolyStats {
         array_min(col("ring_lats")).as("min_lat"),
         array_max(col("ring_lats")).as("max_lat"))
 
+  /** Geodesic total ring length (outer rings + holes) in METERS: one
+    * ordered left-to-right haversine fold over the same successor-pair
+    * array as the shoelace fold — map-only, bit-deterministic (the fold
+    * seed 0.0 + h1 is exactly h1, so an engine folding without the seed
+    * replays the identical chain). Complements `stats`' planar degree
+    * quantities with the one measure that must be geodesic. */
+  def perimeter(polys: DataFrame): DataFrame =
+    polys.withColumn("__pairs", expr(PairsExpr))
+      .select(col("polygon_id"),
+        size(col("ring_lons")).cast("int").as("n_vertices"),
+        aggregate(col("__pairs"), lit(0.0), (acc, p) =>
+          acc + graft.functions.GeoFunctions.haversineM(
+            p.getField("x"), p.getField("y"),
+            p.getField("xn"), p.getField("yn"))).as("perimeter_m"))
+
   /**
    * Ramer-Douglas-Peucker simplification over the packed-ring layout
    * (geo.Simplify per ring) — the vector op the tiler runs before drawing

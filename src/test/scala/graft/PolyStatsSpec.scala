@@ -55,6 +55,22 @@ class PolyStatsSpec extends AnyFunSuite {
     assert(s.isNullAt(s.fieldIndex("centroid_lat")))
   }
 
+  test("geodesic perimeter: haversine fold over the successor pairs exactly") {
+    import graft.geo.Geo
+    val lons = Seq(2.0, 2.1, 2.1, 2.0)
+    val lats = Seq(41.0, 41.0, 41.1, 41.1)
+    val r = PolyStats.perimeter(Seq((1L, Seq(0, 4), lons, lats))
+        .toDF("polygon_id", "ring_offsets", "ring_lons", "ring_lats"))
+      .collect()(0)
+    // replicate the exact left fold: ((0 + h01) + h12) + h23) + h30
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 0))
+    val expect = edges.foldLeft(0.0) { case (acc, (a, b)) =>
+      acc + Geo.haversineM(lons(a), lats(a), lons(b), lats(b))
+    }
+    assert(r.getAs[Int]("n_vertices") === 4)
+    assert(r.getAs[Double]("perimeter_m") === expect)
+  }
+
   test("stats is map-only (no Exchange in the plan)") {
     val df = Seq((1L, Seq(0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0)))
       .toDF("polygon_id", "ring_offsets", "ring_lons", "ring_lats")
