@@ -591,6 +591,23 @@ object SparkEntry {
     // Bloom-filter blocklist membership: the filter is <= m rows no matter
     // how large the blocklist, broadcast to the probe — candidates never
     // shuffle; misses exact, false positives bounded and audited here
+    // HTML -> text extraction over the input_hint html:binary shape: the
+    // crawl-pipeline step that DERIVES the text column. Deterministic html
+    // synthesized from the documents table in BOTH engines (script/style/
+    // comment blocks, mixed-case tags, the &amp;lt; double-decode trap);
+    // DuckDB replays the identical fixed rule chain byte-for-byte.
+    "web_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<HTML><head><SCRIPT type=\"a\">var x = 1 < 2 && y > 0;</script>"),
+        lit("<style media=\"all\">.c { color: red }</STYLE></head><body>"),
+        lit("<!-- header\n comment --><h1>Doc &#39;"),
+        col("doc_id").cast("string"), lit("&#39;</h1>\n<p>"),
+        col("text"),
+        lit("</p>\t<div class=\"f\">&amp;lt; &nbsp; &quot;q&quot; &gt;</div></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions.htmlText(html.cast("binary")).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("int"))
+    }),
     "web_bloom" -> ((s, dir) => {
       val canon = docsWithUrls(s, dir)
         .select(col("doc_id"), graft.etl.UrlOps.canonicalUrl(col("url")).as("canon_url"))
@@ -2130,6 +2147,32 @@ FROM fin GROUP BY doc_id"""
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the same fixed HtmlText rule chain, replayed rule by rule: block
+    // strips with (?is) lazy regexes, tag strip, the ordered entity chain
+    // (&amp; LAST), whitespace collapse + trim
+    "web_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<HTML><head><SCRIPT type="a">var x = 1 < 2 && y > 0;</script>'
+        |  || '<style media="all">.c { color: red }</STYLE></head><body>'
+        |  || '<!-- header
+        | comment --><h1>Doc &#39;' || CAST(doc_id AS VARCHAR) || '&#39;</h1>
+        |<p>' || text ||
+        |  '</p>	<div class="f">&amp;lt; &nbsp; &quot;q&quot; &gt;</div></body></html>'
+        |  AS html FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(s,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
+        |e AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS s FROM c4),
+        |f AS (SELECT doc_id,
+        |  trim(regexp_replace(s, '[ \t\n\r]+', ' ', 'g')) AS clean_text FROM e)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_chars
+        |FROM f""".stripMargin,
     "geo_simplify" -> simplifyOracleSql,
     "doc_bpe_train" -> bpeOracleSql(6),
     "doc_bpe_encode" -> bpeEncodeOracleSql(6),

@@ -37,6 +37,9 @@ object TextInternal {
   def bpeCharSeq(w: UTF8String): UTF8String =
     UTF8String.fromString(TextCore.bpeCharSeq(if (w == null) "" else w.toString))
 
+  def htmlText(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.etl.HtmlText.extractBytes(html))
+
   def spacePairs(seq: UTF8String): ArrayData = {
     val pairs = TextCore.spacePairs(if (seq == null) "" else seq.toString)
     new GenericArrayData(pairs.map(UTF8String.fromString(_)))
@@ -168,6 +171,8 @@ object TextFunctions {
   def sigOverlap(a: Column, b: Column): Column = invoke(DoubleType, "sigOverlap", a, b)
   def simhash(text: Column): Column = invoke(LongType, "simhash", text)
   def bpeCharSeq(w: Column): Column = invoke(StringType, "bpeCharSeq", w)
+  /** HTML (binary, UTF-8) -> clean text via the fixed HtmlText rule chain. */
+  def htmlText(html: Column): Column = invoke(StringType, "htmlText", html)
   def spacePairs(seq: Column): Column =
     invoke(ArrayType(StringType, containsNull = false), "spacePairs", seq)
   def hamming(a: Column, b: Column): Column = invoke(IntegerType, "hamming", a, b)
