@@ -108,12 +108,23 @@ object SparkEntry {
     * returns the path. Rewritten when `dir` changes. */
   private def oracleEvents(s: SparkSession, dir: String): String = synchronized {
     val fp = java.lang.Long.toHexString(graft.text.TextCore.fnv64(dir))
-    val path = s"$OracleDir/events_stream"
-    val marker = new java.io.File(s"$path/_GRAFT_READY_$fp")
-    if (!marker.exists()) {
+    // Path scoped by the source-dir hash (ADVICE r4): each sf dir gets its
+    // own IMMUTABLE copy, so two drivers sharing OracleDir never interleave
+    // a rewrite with the other's ready marker. Publication is write-to-temp
+    // + atomic rename, so a concurrent process either sees the complete copy
+    // or writes its own and loses the rename race harmlessly.
+    val path = s"$OracleDir/events_stream_$fp"
+    val pathF = new java.io.File(path)
+    if (!new java.io.File(pathF, "_GRAFT_READY").exists()) {
+      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
       s.read.parquet(s"$dir/events.parquet")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      marker.createNewFile()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp, "_GRAFT_READY").createNewFile()
+      if (!new java.io.File(tmp).renameTo(pathF)) {
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
     }
     path
   }
@@ -1212,12 +1223,24 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(sink), true)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-      val schema = s.read.parquet(evPath).schema
+      val evBatch = s.read.parquet(evPath)
+      val schema = evBatch.schema
+      // Watermark derived from the table's ACTUAL event-time span plus a
+      // margin (ADVICE r4), not a hardcoded constant: regenerated testdata
+      // with a wider span can therefore never silently evict state
+      // mid-replay and drift from the batch oracle. Bounded-watermark
+      // eviction semantics are covered separately by StreamingSpec.
+      val spanDays = {
+        val r = evBatch.agg(
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) / 86400000000L + 2L
+      }
       val src = s.readStream.schema(schema).parquet(evPath)
       val out = graft.streaming.StreamGeocode.attributionJoin(
           src.filter(col("event_type") === "view"),
           src.filter(col("event_type") === "click"),
-          horizonMinutes = 10, watermark = "400 days")
+          horizonMinutes = 10, watermark = s"$spanDays days")
         .select(col("user_id"), col("view_id"), col("click_id"),
           unix_micros(col("view_ts")).as("view_us"),
           unix_micros(col("click_ts")).as("click_us"))
@@ -1913,12 +1936,13 @@ object SparkEntry {
         |r0 AS (SELECT v, (1000000000000 // (SELECT n FROM nn)) AS r
         |  FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS v, sum((r.r * 85) // (od.outdeg * 100)) AS s
+      s"""c$i AS (SELECT e.dst AS v,
+         |    CAST(sum((r.r * 85) // (od.outdeg * 100)) AS BIGINT) AS s
          |  FROM e0 e JOIN r${i - 1} r ON r.v = e.src
          |  JOIN od ON od.src = e.src GROUP BY e.dst),
          |r$i AS (SELECT nodes.v,
-         |    ((15 * 1000000000000) // (100 * (SELECT n FROM nn)))
-         |      + COALESCE(c$i.s, 0) AS r
+         |    CAST(((15 * 1000000000000) // (100 * (SELECT n FROM nn)))
+         |      + COALESCE(c$i.s, CAST(0 AS BIGINT)) AS BIGINT) AS r
          |  FROM nodes LEFT JOIN c$i ON c$i.v = nodes.v)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps\nSELECT v AS node, r AS rank_scaled FROM r$iters"
@@ -2673,7 +2697,7 @@ FROM fin GROUP BY doc_id"""
         |INTERSECT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45""".stripMargin,
     "doc_corpus_mix" ->
       """WITH agg AS (SELECT source, lang, count(*) AS n_docs,
-        |    sum(n_chars) AS total_chars
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
         |  FROM documents GROUP BY 1, 2)
         |SELECT source, lang, n_docs, total_chars,
         |  round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,

@@ -43,10 +43,23 @@ object DistanceJoin {
 
   /** Finest cell level whose coverage-guaranteed ring for `radiusM` needs at
     * most `maxRing` rings. */
+  /** Hard ceiling on the ring radius even after the level floors at 1:
+    * beyond this the (2r+1)^2 per-point kRing explode is a fan-out bomb, so
+    * a continent-scale `radiusM` is an explicit error (ADVICE r4), not a
+    * silent tens-of-thousands-of-rows-per-point plan. At level 1 this
+    * corresponds to a radius of ~MaxRingCap x quarter-hemisphere cells —
+    * radii that large want a coarser algorithm (cross of the two coarse
+    * grids), not a ring cover. */
+  val MaxRingCap: Int = 16
+
   def coverLevel(radiusM: Double, maxRing: Int = 4): Int = {
     require(radiusM > 0, s"radiusM must be positive, got $radiusM")
     var lv = CellIndex.FineLevel
     while (lv > 1 && radiusM / CellIndex.minEdgeMeters(lv) > maxRing) lv -= 1
+    val ring = coverRing(radiusM, lv)
+    require(ring <= MaxRingCap,
+      s"radiusM=$radiusM needs a ring of $ring cells even at level $lv " +
+        s"(cap $MaxRingCap): unsupported radius for the k-ring cover join")
     lv
   }
 

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
@@ -48,66 +48,75 @@ object GraftExtensions {
   private val internCls = GeoInternal.getClass
   private val textCls = TextInternal.getClass
 
-  private def fn(name: String, arity: Int, usage: String)
+  /** `sig` is the target JVM method's declared parameter types; every SQL
+    * argument is wrapped in a Cast to its slot so natural calls with integer
+    * literals (`graft_haversine_m(0, 0, 1, 1)`) coerce the way builtin
+    * functions do instead of failing StaticInvoke method resolution
+    * (ADVICE r4). Identity casts are erased by Catalyst's SimplifyCasts. */
+  private def fn(name: String, sig: Seq[DataType], usage: String)
                 (build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
     val checked: Seq[Expression] => Expression = { args =>
-      require(args.length == arity,
-        s"$name expects $arity arguments, got ${args.length}")
-      build(args)
+      require(args.length == sig.length,
+        s"$name expects ${sig.length} arguments, got ${args.length}")
+      build(args.zip(sig).map { case (e, dt) => Cast(e, dt) })
     }
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
       checked)
   }
 
+  private val D = DoubleType
+  private val L = LongType
+  private val I = IntegerType
+
   /** All registered (identifier, info, builder) triples. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
-    fn("graft_cell_id", 3, "cell id of (lon, lat) at level") { a =>
+    fn("graft_cell_id", Seq(D, D, I), "cell id of (lon, lat) at level") { a =>
       StaticInvoke(cellCls, LongType, "encode", a, returnNullable = false)
     },
-    fn("graft_cell_parent", 2, "parent cell at a coarser level") { a =>
+    fn("graft_cell_parent", Seq(L, I), "parent cell at a coarser level") { a =>
       StaticInvoke(cellCls, LongType, "parent", a, returnNullable = false)
     },
-    fn("graft_cell_lon", 1, "cell center longitude") { a =>
+    fn("graft_cell_lon", Seq(L), "cell center longitude") { a =>
       StaticInvoke(cellCls, DoubleType, "centerLon", a, returnNullable = false)
     },
-    fn("graft_cell_lat", 1, "cell center latitude") { a =>
+    fn("graft_cell_lat", Seq(L), "cell center latitude") { a =>
       StaticInvoke(cellCls, DoubleType, "centerLat", a, returnNullable = false)
     },
-    fn("graft_k_ring", 2, "cells within Chebyshev radius r") { a =>
+    fn("graft_k_ring", Seq(L, I), "cells within Chebyshev radius r") { a =>
       StaticInvoke(internCls, ArrayType(LongType, containsNull = false),
         "kRing", a, returnNullable = false)
     },
-    fn("graft_haversine_m", 4, "great-circle meters") { a =>
+    fn("graft_haversine_m", Seq(D, D, D, D), "great-circle meters") { a =>
       StaticInvoke(geoCls, DoubleType, "haversineM", a, returnNullable = false)
     },
-    fn("graft_tile_x", 2, "web-mercator tile x at zoom z") { a =>
+    fn("graft_tile_x", Seq(D, I), "web-mercator tile x at zoom z") { a =>
       StaticInvoke(geoCls, LongType, "tileX", a, returnNullable = false)
     },
-    fn("graft_tile_y", 2, "web-mercator tile y at zoom z") { a =>
+    fn("graft_tile_y", Seq(D, I), "web-mercator tile y at zoom z") { a =>
       StaticInvoke(geoCls, LongType, "tileY", a, returnNullable = false)
     },
-    fn("graft_geohash", 3, "geohash of (lon, lat) at precision") { a =>
+    fn("graft_geohash", Seq(D, D, I), "geohash of (lon, lat) at precision") { a =>
       StaticInvoke(internCls, StringType, "geohash", a, returnNullable = false)
     },
-    fn("graft_mercator_x", 1, "EPSG:3857 x meters") { a =>
+    fn("graft_mercator_x", Seq(D), "EPSG:3857 x meters") { a =>
       StaticInvoke(geoCls, DoubleType, "mercatorX", a, returnNullable = false)
     },
-    fn("graft_mercator_y", 1, "EPSG:3857 y meters") { a =>
+    fn("graft_mercator_y", Seq(D), "EPSG:3857 y meters") { a =>
       StaticInvoke(geoCls, DoubleType, "mercatorY", a, returnNullable = false)
     },
-    fn("graft_lv03_e", 2, "Swiss LV03 easting") { a =>
+    fn("graft_lv03_e", Seq(D, D), "Swiss LV03 easting") { a =>
       StaticInvoke(geoCls, DoubleType, "wgs84ToLv03E", a, returnNullable = false)
     },
-    fn("graft_lv03_n", 2, "Swiss LV03 northing") { a =>
+    fn("graft_lv03_n", Seq(D, D), "Swiss LV03 northing") { a =>
       StaticInvoke(geoCls, DoubleType, "wgs84ToLv03N", a, returnNullable = false)
     },
-    fn("graft_dms", 2, "degrees-minutes-seconds string") { a =>
+    fn("graft_dms", Seq(D, BooleanType), "degrees-minutes-seconds string") { a =>
       StaticInvoke(internCls, StringType, "dms", a, returnNullable = false)
     },
-    fn("graft_simhash", 1, "64-bit simhash of text") { a =>
+    fn("graft_simhash", Seq(StringType), "64-bit simhash of text") { a =>
       StaticInvoke(textCls, LongType, "simhash", a, returnNullable = false)
     })
 }
