@@ -49,6 +49,14 @@ object SparkEntry {
     * geo/Geo.SunZenithCos so the interpolated literal is bit-identical. */
   private val SunZenithCos: Double = math.cos(90.833 * (math.Pi / 180.0))
 
+  /** Shared truncation radius for the geo_knn contract row: the ring cap's
+    * guaranteed coverage distance (cap * minEdge at the fine level). Both the
+    * Spark side and the DuckDB brute-force oracle filter at exactly this
+    * radius, which is what makes the k-ring path provably equal to brute
+    * force (see the geo_knn query comment). */
+  private val KnnCutoffM: Double =
+    64 * graft.geo.CellIndex.minEdgeMeters(graft.geo.CellIndex.FineLevel)
+
   /** Synthesized pages for `dir`'s scale factor, materialized to parquet
     * (content-fingerprinted marker; rewritten when sf or synthesis change). */
   private def oraclePages(s: SparkSession, dir: String): DataFrame = synchronized {
@@ -922,10 +930,21 @@ object SparkEntry {
     }),
     "geo_knn" -> ((s, dir) => {
       val (gaz, _, _, _, _) = world(s)
+      oracleWorldTables(s)
       val pts = s.range(0, 100).select(col("id").as("query_id"),
         (lit(2.10) + col("id") / lit(1000.0)).as("lon"),
         (lit(41.38) + col("id") / lit(2000.0)).as("lat"))
-      Knn.knn(pts, gaz, k = 3)
+      // Direct oracle (r4 ask #8): the coverage-guaranteed complete variant,
+      // truncated at the shared radius R = cap * minEdge(FineLevel), is
+      // provably equal to DuckDB's brute-force haversine top-k within R — a
+      // satisfied query's k-th distance is <= its ring's coverage <= R, every
+      // place within R is inside ring `cap` by the coverage guarantee, and
+      // ranking by exact distance makes the within-R rows a rank prefix, so
+      // the two sides must agree row-for-row.
+      Knn.knnComplete(pts, gaz, k = 3, startRing = 0, maxRingCap = 64)
+        .filter(col("dist_m") <= lit(KnnCutoffM))
+        .select(col("query_id"), col("knn_rank"), col("place_id"), col("name"),
+          round(col("dist_m"), 0).cast("long").as("dist_m_round"))
     }),
     "geo_pipeline_tiles" -> ((s, dir) => {
       val (_, idx, polys, cells, scanner) = world(s)
@@ -1575,6 +1594,26 @@ object SparkEntry {
         docs(s, dir).select((col("doc_id") % 64).as("src"),
           ((col("doc_id") * 17 + 29) % 64).as("dst")),
         iters = 3)),
+    // checkpoint-resumed PageRank (E10 x iterative ops): a cold run killed
+    // after iteration 2 leaves blocks i0..i2 on disk; the rerun serves all
+    // three from checkpoint (lineage resumed=true) and computes only i3.
+    // The oracle gates BOTH facts: the final ranks are the bit-exact DuckDB
+    // replay (same fixed-point chain as web_pagerank) AND resumed_stages=3
+    // (recomputing any block would make it fewer)
+    "web_pagerank_resume" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_pagerank"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val edges = docs(s, dir).select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 17 + 29) % 64).as("dst"))
+      val fp = s"docs|$dir"
+      graft.web.LinkGraph.pageRankResumable(s, edges, iters = 2, ck, fp).count()
+      val out = graft.web.LinkGraph.pageRankResumable(s, edges, iters = 3, ck, fp)
+      val resumed = Checkpoint.metrics(s, ck)
+        .filter(col("resumed") === true)
+        .agg(countDistinct("stage").as("resumed_stages"))
+      out.crossJoin(broadcast(resumed))
+    }),
     // KMV distinct-count sketch per host over canonical URLs: the portable
     // (sha60) cardinality estimator whose k-th-minimum state and rounded
     // estimate the oracle recomputes exactly; n_exact rides along so the
@@ -3263,6 +3302,26 @@ FROM fin GROUP BY doc_id"""
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
+    "geo_knn" ->
+      s"""WITH q AS (SELECT CAST(range AS BIGINT) AS query_id,
+        |  CAST(2.10 AS DOUBLE) + range / CAST(1000.0 AS DOUBLE) AS qlon,
+        |  CAST(41.38 AS DOUBLE) + range / CAST(2000.0 AS DOUBLE) AS qlat
+        |  FROM range(100)),
+        |p AS (SELECT place_id, name, lon AS plon, lat AS plat
+        |  FROM read_parquet('$OracleDir/places/*.parquet')),
+        |d0 AS (SELECT query_id, place_id, name,
+        |  sin((plat - qlat) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slat,
+        |  sin((plon - qlon) * (pi() / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)) AS slon,
+        |  cos(qlat * (pi() / CAST(180.0 AS DOUBLE))) AS c1,
+        |  cos(plat * (pi() / CAST(180.0 AS DOUBLE))) AS c2 FROM q, p),
+        |d AS (SELECT query_id, place_id, name, CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE)
+        |  * asin(least(CAST(1.0 AS DOUBLE), sqrt(slat * slat + c1 * c2 * slon * slon))) AS dist_m
+        |  FROM d0),
+        |r AS (SELECT query_id, place_id, name, dist_m,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist_m, place_id) AS rn
+        |  FROM d WHERE dist_m <= ${D(KnnCutoffM)})
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, place_id, name,
+        |  CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round FROM r WHERE rn <= 3""".stripMargin,
     "geo_knn_oracle" ->
       """WITH q AS (SELECT n_nationkey AS query_id,
         |  CAST(2.0 AS DOUBLE) + n_nationkey * CAST(0.03 AS DOUBLE) AS qlon,
@@ -3621,6 +3680,11 @@ FROM fin GROUP BY doc_id"""
          |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
          |FROM t GROUP BY 1""".stripMargin,
     "web_pagerank" -> pageRankSql(3),
+    // same bit-exact replay; resumed_stages gates that the rerun served
+    // every previously-completed block (i0, i1, i2) from checkpoint
+    "web_pagerank_resume" ->
+      s"""SELECT node, rank_scaled, CAST(3 AS BIGINT) AS resumed_stages
+         |FROM (${pageRankSql(3)})""".stripMargin,
     "web_distinct_kmv" ->
       s"""WITH $urlCanonCtes,
          |hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),

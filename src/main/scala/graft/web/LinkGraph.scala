@@ -163,6 +163,51 @@ object LinkGraph {
         (-col("t.negn")).as("top_anchor_n"), col("anchors"))
   }
 
+  /**
+   * Checkpoint-integrated PageRank: identical fixed-point arithmetic to
+   * [[pageRank]] (bit-equal output), but the rank vector flows through
+   * [[graft.engine.Iterate.resumable]] — materialized to
+   * `<ckptDir>/pagerank_i<k>` parquet every `every` iterations with
+   * per-partition lineage, so a killed crawl-scale run resumes from the
+   * last completed block instead of iteration 0 (lineage rows carry
+   * `resumed=true` for every block served from disk). The parquet leaf at
+   * each block boundary also cuts the plan, subsuming [[cut]].
+   *
+   * @param inputFingerprint identifies the edge input (e.g. its source
+   *                         path + snapshot); a checkpoint written for a
+   *                         different input or damping recomputes instead
+   *                         of silently resuming stale ranks
+   */
+  def pageRankResumable(spark: org.apache.spark.sql.SparkSession,
+                        edges: DataFrame, iters: Int, ckptDir: String,
+                        inputFingerprint: String, dampingPct: Int = 85,
+                        every: Int = 1): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().persist()
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val base = expr(s"CAST(${100 - dampingPct} AS BIGINT) * $Scale div (100 * __n)")
+    val fp = s"pagerank|d$dampingPct|$inputFingerprint"
+    val out = graft.engine.Iterate.resumable(
+        spark, ckptDir, "pagerank", fp, iters, every) {
+      nodes.crossJoin(nDf)
+        .select(col("v"), expr(s"CAST($Scale AS BIGINT) div __n").as("r"))
+    } { (ranks, _) =>
+      val contrib = e.join(ranks, e("src") === ranks("v"))
+        .join(outdeg, "src")
+        .select(col("dst").as("v"),
+          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      nodes.crossJoin(nDf)
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out.select(col("v").as("node"), col("r").as("rank_scaled"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // cache hygiene mirrors Dedup.connectedComponents: the base tables are

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Checkpoint, Iterate}
+import graft.web.LinkGraph
+
+/** Checkpoint integration for iterative operators (Iterate.resumable): a run
+  * killed mid-iteration resumes from the last completed block — work done is
+  * never redone, lineage marks the served blocks resumed=true, and the
+  * resumed result is bit-identical to an uninterrupted run. */
+class IterateResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ckpt(tag: String): String =
+    Files.createTempDirectory(s"graft_iter_$tag").toString
+
+  private def edges: DataFrame =
+    spark.range(0, 400).select((col("id") % 37).as("src"),
+      ((col("id") * 13 + 5) % 37).as("dst"))
+
+  private def sortedRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select("node", "rank_scaled").as[(Long, Long)].collect().toSeq.sorted
+
+  test("a run killed after iteration k resumes and never redoes finished work") {
+    val ck = ckpt("kill")
+    val boom = new RuntimeException("injected kill")
+    // cold run dies INSIDE iteration 3's step: blocks i0..i2 are complete on
+    // disk, block i3 never commits (stage writes are all-or-nothing)
+    val thrown = intercept[RuntimeException] {
+      Iterate.resumable(spark, ck, "acc", "fp", iters = 5) {
+        spark.range(0, 8).select(col("id").as("v"), lit(1L).as("n"))
+      } { (st, i) =>
+        if (i == 3) throw boom
+        st.select(col("v"), (col("n") + col("v") + i).as("n"))
+      }
+    }
+    assert(thrown eq boom)
+    assert(Checkpoint.exists(spark, s"$ck/acc_i2"))
+    assert(!Checkpoint.exists(spark, s"$ck/acc_i3"))
+
+    // rerun: i0..i2 come back from checkpoint (their step NEVER runs — a
+    // re-execution of a finished iteration would throw again for i < 3
+    // ... it wouldn't here, so prove it via lineage instead), i3..i5 compute
+    val out = Iterate.resumable(spark, ck, "acc", "fp", iters = 5) {
+      spark.range(0, 8).select(col("id").as("v"), lit(1L).as("n"))
+    } { (st, i) =>
+      st.select(col("v"), (col("n") + col("v") + i).as("n"))
+    }
+    // value check: n = 1 + sum_{i=1..5} (v + i) = 1 + 5v + 15
+    val got = out.as[(Long, Long)].collect().toMap
+    (0L until 8L).foreach { v => assert(got(v) === 16 + 5 * v) }
+
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("acc_i0", "acc_i1", "acc_i2").forall(lin(_) === 1))
+    assert(Seq("acc_i3", "acc_i4", "acc_i5").forall(lin(_) === 0))
+  }
+
+  test("block cadence: every=3 checkpoints only block boundaries") {
+    val ck = ckpt("block")
+    Iterate.resumable(spark, ck, "b", "fp", iters = 7, every = 3) {
+      spark.range(0, 4).select(col("id").as("v"), lit(0L).as("n"))
+    } { (st, i) => st.select(col("v"), (col("n") + i).as("n")) }
+    assert(Seq(0, 3, 6, 7).forall(k => Checkpoint.exists(spark, s"$ck/b_i$k")))
+    assert(Seq(1, 2, 4, 5).forall(k => !Checkpoint.exists(spark, s"$ck/b_i$k")))
+  }
+
+  test("a different fingerprint recomputes instead of resuming stale state") {
+    val ck = ckpt("fp")
+    def run(fp: String, start: Long): DataFrame =
+      Iterate.resumable(spark, ck, "g", fp, iters = 2) {
+        spark.range(0, 3).select(col("id").as("v"), lit(start).as("n"))
+      } { (st, i) => st.select(col("v"), (col("n") + i).as("n")) }
+    assert(run("inputA", 100L).agg(sum("n")).head().getLong(0) === 309)
+    // same stage names on disk, but the input changed -> must NOT resume
+    assert(run("inputB", 200L).agg(sum("n")).head().getLong(0) === 609)
+  }
+
+  test("pageRankResumable resumes bit-identical to the in-memory pageRank") {
+    val ck = ckpt("pr")
+    val truth = sortedRows(LinkGraph.pageRank(edges, iters = 4))
+    // "kill" after iteration 2 (a completed shorter run leaves the same
+    // on-disk state as a kill between block commits), then continue to 4
+    LinkGraph.pageRankResumable(spark, edges, iters = 2, ck, "edges_v1").count()
+    val resumed = sortedRows(
+      LinkGraph.pageRankResumable(spark, edges, iters = 4, ck, "edges_v1"))
+    assert(resumed === truth)
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("pagerank_i0", "pagerank_i1", "pagerank_i2").forall(lin(_) === 1))
+    assert(Seq("pagerank_i3", "pagerank_i4").forall(lin(_) === 0))
+  }
+}
