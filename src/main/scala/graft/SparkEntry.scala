@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1250,9 +1250,11 @@ object SparkEntry {
       // mid-replay and drift from the batch oracle. Bounded-watermark
       // eviction semantics are covered separately by StreamingSpec.
       val spanDays = {
+        // cast: some sf dirs carry ts as TIMESTAMP_NTZ, which unix_micros
+        // rejects; the session tz is pinned UTC so the span is unaffected
+        val tsc = (c: Column) => unix_micros(c.cast("timestamp"))
         val r = evBatch.agg(
-          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-            .as("span_us")).head()
+          (tsc(max(col("ts"))) - tsc(min(col("ts")))).as("span_us")).head()
         if (r.isNullAt(0)) 1L else r.getLong(0) / 86400000000L + 2L
       }
       val src = s.readStream.schema(schema).parquet(evPath)
