@@ -1106,6 +1106,25 @@ object SparkEntry {
       Similarity.lshKnn(e.filter(col("vec_id") < 8), e, k = 5, bits = 12, tables = 6)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // int8 scalar-quantized ANN (SQ8): per-vector symmetric codes, exact
+    // integer dots, one double descale per pair — the 4x memory-bandwidth
+    // lever for the corpus scan at 10^12 vectors. Everything past
+    // quantization is exact integer math, so DuckDB re-derives codes, dots,
+    // scores, and ranks bit-for-bit from the same floats
+    "emb_knn_int8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.sim.Quantize.int8Knn(e.filter(col("vec_id") < 8), e, k = 5)
+        .withColumn("score", round(col("score"), 6))
+    }),
+    // two-phase SQ8: int8 shortlist (20) then exact float-cosine re-rank to
+    // top-5 — the full-precision table is read only shortlist-deep per
+    // query; the oracle replays both phases
+    "emb_knn_int8_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.sim.Quantize.int8RerankKnn(e.filter(col("vec_id") < 8), e,
+          k = 5, shortlist = 20)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
     // IVF scale path: nprobe = nlist here so the posting-list plan is
     // EXHAUSTIVE and provably equals the brute-force oracle — the same
     // operator at nprobe < nlist is the sub-linear deployment shape
@@ -1864,6 +1883,29 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
+
+  /** Shared SQ8 CTE chain: per-vector maxAbs scale, ties-away int8 codes
+    * (the CASE guards the all-zero vector exactly like VecCore.int8Pack),
+    * and exact integer dots for the 8-query x corpus pair set — the DuckDB
+    * replay of Quantize.quantizeCodes + int8Dot with pinned op order. */
+  private val Int8Ctes =
+    """z AS (SELECT vec_id, embedding AS v,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |cd AS (SELECT vec_id, mx,
+      |    CASE WHEN mx = CAST(0.0 AS DOUBLE)
+      |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(v, x -> CAST(round(
+      |        CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE) / mx) AS BIGINT))
+      |    END AS code
+      |  FROM z),
+      |q AS (SELECT vec_id AS query_id, mx AS qmx, code AS qc
+      |  FROM cd WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS item_id, mx AS cmx, code AS cc FROM cd),
+      |s AS (SELECT query_id, item_id, qmx, cmx,
+      |    CAST(list_sum(list_transform(list_zip(qc, cc), z -> z[1] * z[2]))
+      |      AS BIGINT) AS idot
+      |  FROM q, c WHERE item_id <> query_id)""".stripMargin
 
   /** DuckDB sha60: first 60 bits of sha256(x) as a BIGINT via a base-16 hex
     * fold — bit-identical to Spark's conv(substring(sha2(x,256),1,15),16,10)
@@ -3481,6 +3523,47 @@ FROM fin GROUP BY doc_id"""
     // accumulates left-to-right like VecCore.dot, so the cosine is
     // bit-identical (validated empirically) and rank order matches exactly
     "emb_knn_brute" -> EmbKnnBruteSql,
+    // SQ8 replay: codes (ties-away round of x*127/maxAbs), exact integer
+    // dots, descaled scores, ranks — all re-derived from the raw floats
+    "emb_knn_int8" ->
+      s"""WITH $Int8Ctes,
+        |sc AS (SELECT query_id, item_id, idot,
+        |    (qmx / CAST(127.0 AS DOUBLE)) * (cmx / CAST(127.0 AS DOUBLE))
+        |      * CAST(idot AS DOUBLE) AS score
+        |  FROM s),
+        |r AS (SELECT query_id, item_id, idot, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id)
+        |      AS rn FROM sc)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, idot,
+        |  round(score, 6) AS score
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // both phases replayed: the int8 shortlist of 20, then the exact
+    // float-cosine re-rank (same IEEE chain as EmbKnnBruteSql) to top-5
+    "emb_knn_int8_rerank" ->
+      s"""WITH $Int8Ctes,
+        |sc AS (SELECT query_id, item_id,
+        |    (qmx / CAST(127.0 AS DOUBLE)) * (cmx / CAST(127.0 AS DOUBLE))
+        |      * CAST(idot AS DOUBLE) AS score
+        |  FROM s),
+        |r AS (SELECT query_id, item_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id)
+        |      AS rn FROM sc),
+        |cand AS (SELECT query_id, item_id FROM r WHERE rn <= 20),
+        |x AS (SELECT cand.query_id, cand.item_id,
+        |    list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qe.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(ce.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.item_id),
+        |rr AS (SELECT query_id, item_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id)
+        |      AS rn FROM x)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
+        |FROM rr WHERE rn <= 5""".stripMargin,
     // the IVF contract query probes ALL nlist lists (exhaustive), so the
     // posting-list plan must reproduce the brute-force top-k bit-for-bit
     "emb_knn_ivf" -> EmbKnnBruteSql,

@@ -64,6 +64,12 @@ object TextInternal {
 
   def vnorm(a: ArrayData): Double = VecCore.norm(a.toFloatArray())
 
+  def vecMaxAbs(a: ArrayData): Double = VecCore.maxAbs(a.toFloatArray())
+
+  def int8Pack(a: ArrayData): Array[Byte] = VecCore.int8Pack(a.toFloatArray())
+
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = VecCore.int8Dot(a, b)
+
   def lshSig(v: ArrayData, bits: Int): Int =
     VecCore.lshSignature(v.toFloatArray(), bits)
 
@@ -186,6 +192,9 @@ object TextFunctions {
   def dot(a: Column, b: Column): Column = invoke(DoubleType, "dot", a, b)
   def cosine(a: Column, b: Column): Column = invoke(DoubleType, "cosine", a, b)
   def vnorm(a: Column): Column = invoke(DoubleType, "vnorm", a)
+  def vecMaxAbs(a: Column): Column = invoke(DoubleType, "vecMaxAbs", a)
+  def int8Pack(a: Column): Column = invoke(BinaryType, "int8Pack", a)
+  def int8Dot(a: Column, b: Column): Column = invoke(LongType, "int8Dot", a, b)
   def lshSig(v: Column, bits: Column): Column = invoke(IntegerType, "lshSig", v, bits)
   def lshSigBand(v: Column, bits: Column, band: Column): Column =
     invoke(IntegerType, "lshSigBand", v, bits, band)
