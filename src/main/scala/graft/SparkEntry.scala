@@ -137,6 +137,27 @@ object SparkEntry {
     path
   }
 
+  /** `dir`'s documents table as a streaming-source DIRECTORY under
+    * OracleDir — same immutable scoped-path + atomic-rename publication as
+    * [[oracleEvents]]. */
+  private def oracleDocuments(s: SparkSession, dir: String): String = synchronized {
+    val fp = java.lang.Long.toHexString(graft.text.TextCore.fnv64(dir))
+    val path = s"$OracleDir/documents_stream_$fp"
+    val pathF = new java.io.File(path)
+    if (!new java.io.File(pathF, "_GRAFT_READY").exists()) {
+      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.read.parquet(s"$dir/documents.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp, "_GRAFT_READY").createNewFile()
+      if (!new java.io.File(tmp).renameTo(pathF)) {
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    }
+    path
+  }
+
   /** Pre-materialize every oracle input table (pages for `dir`'s scale +
     * fixture world). Bench calls this OUTSIDE query timing: the writes are
     * input-table preparation, not operator work. */
@@ -1125,6 +1146,17 @@ object SparkEntry {
           k = 5, shortlist = 20)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // product quantization with ADC: the corpus scans as 4-byte PQ codes
+    // (1/64th of float32 at dim=64), queries carry precomputed integer
+    // lookup tables, scoring is an m-length gather-and-add. Codebooks are
+    // seed-sampled (ks lowest-id vectors at the global int8 scale) so the
+    // WHOLE chain — scale, codes, assignments, estimates, ranks — is exact
+    // integer math DuckDB re-derives from the raw floats
+    "emb_knn_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.sim.Quantize.pqKnn(e.filter(col("vec_id") < 8), e, k = 5, m = 4, ks = 16)
+        .withColumn("score", round(col("score"), 6))
+    }),
     // IVF scale path: nprobe = nlist here so the posting-list plan is
     // EXHAUSTIVE and provably equals the brute-force oracle — the same
     // operator at nprobe < nlist is the sub-linear deployment shape
@@ -1284,6 +1316,44 @@ object SparkEntry {
         .select(col("user_id"), col("view_id"), col("click_id"),
           unix_micros(col("view_ts")).as("view_us"),
           unix_micros(col("click_ts")).as("click_us"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(out.schema).parquet(sink)
+    }),
+    // STREAMING EXACT DEDUP under the contract (the fourth streaming shape
+    // next to stateful-agg, stateless, and stream-stream join: KEYED dedup
+    // state via dropDuplicatesWithinWatermark): the documents table as a
+    // continuous-ingest stream with a deterministic event time derived from
+    // doc_id; the first arrival of each content digest passes, replays are
+    // dropped, and state is bounded by the watermark (the crawl-scale
+    // contract — StreamGeocode.dedupStream). WHICH duplicate row survives is
+    // arrival-order-dependent under a parallel source, so the contract
+    // projects the digest column: the surviving SET is exactly one row per
+    // distinct digest — the oracle is DISTINCT sha256(text).
+    "doc_stream_dedup" -> ((s, dir) => {
+      val docPath = oracleDocuments(s, dir)
+      val sink = s"$OracleDir/stream_dedup_sink"
+      val ckpt = s"$OracleDir/stream_dedup_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val batch = s.read.parquet(docPath)
+      // watermark derived from the table's actual id span plus margin (the
+      // q22 lesson): regenerated testdata can never silently evict state
+      // mid-replay; bounded-watermark eviction is covered by StreamingSpec
+      val spanDays = {
+        val r = batch.agg(max(col("doc_id")).as("m")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) / 86400L + 2L
+      }
+      val src = s.readStream.schema(batch.schema).parquet(docPath)
+        // deterministic synthetic ingest time: 2026-01-01T00:00:00Z + doc_id
+        // seconds (the documents table carries no timestamp column)
+        .withColumn("warc_ts", timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      val out = graft.streaming.StreamGeocode
+        .dedupStream(src, "warc_ts", "text", s"$spanDays days")
+        .select(col("text_sha"))
       val q = out.writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -2332,6 +2402,10 @@ FROM fin GROUP BY doc_id"""
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND click_ts >= view_ts
         |  AND click_ts <= view_ts + INTERVAL '10 minutes'""".stripMargin,
+    // streaming exact dedup: the surviving set is one row per distinct
+    // content digest regardless of which arrival won the state race
+    "doc_stream_dedup" ->
+      "SELECT DISTINCT sha256(text) AS text_sha FROM documents",
     "geo_stream_forward" ->
       s"""WITH $extractCtes,
          |pw AS (SELECT url, warc_ts, sha256(text) AS text_sha256
@@ -3564,6 +3638,52 @@ FROM fin GROUP BY doc_id"""
         |      AS rn FROM x)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM rr WHERE rn <= 5""".stripMargin,
+    // PQ-ADC replay: global scale, clamped global-scale codes, seed-sampled
+    // codebooks (ORDER BY vec_id LIMIT ks), integer-L2 subspace assignment
+    // (ties to the lowest centroid index), exact integer ADC estimates
+    // (sum over subspaces of subvector-centroid dots == Spark's LUT gather),
+    // descaled scores, ranks — every integer, so no IEEE-order caveats
+    "emb_knn_pq" ->
+      """WITH g AS (SELECT max(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))))) AS scale FROM embeddings),
+        |cd AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(GREATEST(CAST(-127.0 AS DOUBLE),
+        |      LEAST(CAST(127.0 AS DOUBLE), round(CAST(x AS DOUBLE)
+        |        * CAST(127.0 AS DOUBLE) / g.scale))) AS BIGINT)) AS code
+        |  FROM embeddings, g),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, code
+        |  FROM (SELECT vec_id, code FROM cd ORDER BY vec_id LIMIT 16) s),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |sub AS (SELECT vec_id, j, list_slice(code, j*16 + 1, j*16 + 16) AS sc
+        |  FROM cd, js),
+        |csub AS (SELECT t, j, list_slice(code, j*16 + 1, j*16 + 16) AS cc
+        |  FROM seeds, js),
+        |d AS (SELECT sub.vec_id, sub.j, csub.t,
+        |    CAST(list_sum(list_transform(list_zip(sc, cc),
+        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+        |  FROM sub JOIN csub ON sub.j = csub.j),
+        |a AS (SELECT vec_id, j, t FROM (
+        |    SELECT vec_id, j, t,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
+        |    FROM d) x WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, j, sc AS qsc FROM sub WHERE vec_id < 8),
+        |pe AS (SELECT qs.query_id, a.vec_id AS item_id,
+        |    CAST(sum(CAST(list_sum(list_transform(list_zip(qs.qsc, csub.cc),
+        |      z -> z[1] * z[2])) AS BIGINT)) AS BIGINT) AS est
+        |  FROM qs
+        |  JOIN a ON a.j = qs.j
+        |  JOIN csub ON csub.j = a.j AND csub.t = a.t
+        |  WHERE a.vec_id <> qs.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, item_id, est,
+        |    (g.scale / CAST(127.0 AS DOUBLE)) * (g.scale / CAST(127.0 AS DOUBLE))
+        |      * CAST(est AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY est DESC, item_id)
+        |      AS rn
+        |  FROM pe, g)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, est,
+        |  round(score, 6) AS score
+        |FROM r WHERE rn <= 5""".stripMargin,
     // the IVF contract query probes ALL nlist lists (exhaustive), so the
     // posting-list plan must reproduce the brute-force top-k bit-for-bit
     "emb_knn_ivf" -> EmbKnnBruteSql,

@@ -70,6 +70,18 @@ object TextInternal {
 
   def int8Dot(a: Array[Byte], b: Array[Byte]): Long = VecCore.int8Dot(a, b)
 
+  def int8PackScaled(a: ArrayData, scale: Double): Array[Byte] =
+    VecCore.int8PackScaled(a.toFloatArray(), scale)
+
+  def pqEncode(code: Array[Byte], books: Array[Byte], m: Int, ks: Int): Array[Byte] =
+    VecCore.pqEncode(code, books, m, ks)
+
+  def pqLut(qcode: Array[Byte], books: Array[Byte], m: Int, ks: Int): ArrayData =
+    new GenericArrayData(VecCore.pqLut(qcode, books, m, ks))
+
+  def pqAdc(lut: ArrayData, codes: Array[Byte], ks: Int): Long =
+    VecCore.pqAdc(lut.toLongArray(), codes, ks)
+
   def lshSig(v: ArrayData, bits: Int): Int =
     VecCore.lshSignature(v.toFloatArray(), bits)
 
@@ -195,6 +207,14 @@ object TextFunctions {
   def vecMaxAbs(a: Column): Column = invoke(DoubleType, "vecMaxAbs", a)
   def int8Pack(a: Column): Column = invoke(BinaryType, "int8Pack", a)
   def int8Dot(a: Column, b: Column): Column = invoke(LongType, "int8Dot", a, b)
+  def int8PackScaled(a: Column, scale: Column): Column =
+    invoke(BinaryType, "int8PackScaled", a, scale)
+  def pqEncode(code: Column, books: Column, m: Column, ks: Column): Column =
+    invoke(BinaryType, "pqEncode", code, books, m, ks)
+  def pqLut(qcode: Column, books: Column, m: Column, ks: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "pqLut", qcode, books, m, ks)
+  def pqAdc(lut: Column, codes: Column, ks: Column): Column =
+    invoke(LongType, "pqAdc", lut, codes, ks)
   def lshSig(v: Column, bits: Column): Column = invoke(IntegerType, "lshSig", v, bits)
   def lshSigBand(v: Column, bits: Column, band: Column): Column =
     invoke(IntegerType, "lshSigBand", v, bits, band)

@@ -86,4 +86,58 @@ object Quantize {
       .filter(col("knn_rank") <= k)
       .select("query_id", "knn_rank", "item_id", "cos")
   }
+
+  /** Product-quantization codebooks derived deterministically from the
+    * corpus itself: the GLOBAL int8 scale (corpus max |component| — one
+    * combinable agg) plus the `ks` lowest-id vectors quantized at that scale
+    * and concatenated into one `ks*dim` blob (row t at offset t*dim). Seed-
+    * sampled codebooks trade a little quantization error vs Lloyd-trained
+    * ones for full external replayability: an oracle rebuilds the exact
+    * codebooks with ORDER BY id LIMIT ks — no k-means replay needed. The two
+    * collects are bounded by construction (1 scalar; ks rows — the same
+    * documented role as the IVF trainer's nlist centroid means). */
+  def pqTrainBooks(corpus: DataFrame, ks: Int,
+                   id: String = "vec_id", vec: String = "embedding"): (Double, Array[Byte]) = {
+    val scale = corpus.agg(max(vecMaxAbs(col(vec))).as("mx")).head.getDouble(0)
+    val seeds = corpus.select(col(id).as("id"), col(vec).as("v"))
+      .orderBy("id").limit(ks).collect()
+      .map(r => VecCore.int8PackScaled(r.getSeq[Float](1).toArray, scale))
+    require(seeds.length == ks, s"corpus has ${seeds.length} < ks=$ks vectors")
+    (scale, seeds.flatten)
+  }
+
+  /** Approximate top-k by PQ asymmetric distance computation (ADC): the
+    * corpus is scanned as m-byte PQ codes (dim/m-fold less bandwidth than
+    * even SQ8 — at 10^12 vectors the codes table for dim=64, m=4 is 1/64th
+    * the float32 corpus), each query carries a precomputed m*ks integer
+    * lookup table, and scoring an item is an m-length gather-and-add
+    * ([[VecCore.pqAdc]]). Every step past the float reads is exact integer
+    * math — codes, assignments, LUTs, estimates, ranks are all
+    * bit-reproducible and externally replayable. Ties: est desc, item_id.
+    * Output: (query_id, knn_rank, item_id, est, score); est is the exact
+    * integer ADC dot in code units, score = (scale/127)^2 * est. Recall
+    * follows PQ's usual profile — pair with an exact re-rank
+    * ([[int8RerankKnn]]'s shape) when the shortlist feeds training. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 4, ks: Int = 16,
+            qId: String = "vec_id", qVec: String = "embedding",
+            cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val (scale, books) = pqTrainBooks(corpus, ks, cId, cVec)
+    val bl = lit(books)
+    val c = corpus.select(col(cId).as("item_id"),
+      pqEncode(int8PackScaled(col(cVec), lit(scale)), bl, lit(m), lit(ks)).as("codes"))
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      pqLut(int8PackScaled(col(qVec), lit(scale)), bl, lit(m), lit(ks)).as("lut")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est").desc, col("item_id"))
+    c.crossJoin(q)
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("est", pqAdc(col("lut"), col("codes"), lit(ks)))
+      // pinned op order: (scale/127) * (scale/127) * est — the oracle replays it
+      .withColumn("score", (lit(scale) / lit(127.0)) * (lit(scale) / lit(127.0))
+        * col("est").cast("double"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "est", "score")
+  }
 }

@@ -79,6 +79,100 @@ object VecCore {
     s
   }
 
+  /** GLOBAL-scale int8 quantization: code[i] = round(v[i] * 127 / scale),
+    * ties away, clamped to [-127, 127]. Unlike the per-vector [[int8Pack]],
+    * one corpus-wide scale makes codes of DIFFERENT vectors directly
+    * comparable in code units — the precondition for product-quantization
+    * codebooks, where a subvector is matched against centroids from OTHER
+    * vectors. scale <= 0 packs to all-zero (the zero corpus). The clamp is
+    * a no-op when scale >= maxAbs(v) (always true for the corpus max) but
+    * pins the semantics an external replay reproduces verbatim. */
+  def int8PackScaled(v: Array[Float], scale: Double): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    if (scale <= 0.0) return out
+    var i = 0
+    while (i < v.length) {
+      val r = roundAway(v(i).toDouble * 127.0 / scale)
+      out(i) = math.max(-127, math.min(127, r)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** PQ encode: split `code` (global-scale int8, length dim = m * sub) into
+    * m equal subspaces; codes(j) = the index t (0..ks-1) of the codebook
+    * centroid with the minimum EXACT integer L2^2 distance to subvector j,
+    * first index winning ties. `books` is the ks concatenated quantized
+    * seed vectors (books(t*dim + p) = component p of centroid row t), so
+    * centroid (j, t) lives at books(t*dim + j*sub ..). All-integer: the
+    * assignment is bit-reproducible and order-free. */
+  def pqEncode(code: Array[Byte], books: Array[Byte], m: Int, ks: Int): Array[Byte] = {
+    val dim = code.length
+    val sub = dim / m
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      var best = 0L
+      var bestT = 0
+      var t = 0
+      while (t < ks) {
+        val cb = t * dim + base
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val e = code(base + i).toLong - books(cb + i).toLong
+          d += e * e
+          i += 1
+        }
+        if (t == 0 || d < best) { best = d; bestT = t }
+        t += 1
+      }
+      out(j) = bestT.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: lut(j*ks + t) = exact integer dot of
+    * the query's subspace-j code with codebook centroid (j, t). Computed
+    * ONCE per query (m*ks longs), so scoring a corpus item is an m-length
+    * gather-and-add ([[pqAdc]]) instead of dim multiplies — the
+    * asymmetric-distance-computation shape that makes PQ scans cheap. */
+  def pqLut(qcode: Array[Byte], books: Array[Byte], m: Int, ks: Int): Array[Long] = {
+    val dim = qcode.length
+    val sub = dim / m
+    val out = new Array[Long](m * ks)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      var t = 0
+      while (t < ks) {
+        val cb = t * dim + base
+        var s = 0L
+        var i = 0
+        while (i < sub) { s += qcode(base + i).toLong * books(cb + i).toLong; i += 1 }
+        out(j * ks + t) = s
+        t += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** ADC score: sum_j lut(j*ks + codes(j)) — the exact integer estimate of
+    * the query-item dot in code units (descale by (scale/127)^2 for the
+    * double estimate). Long addition is exact and order-free. */
+  def pqAdc(lut: Array[Long], codes: Array[Byte], ks: Int): Long = {
+    var s = 0L
+    var j = 0
+    while (j < codes.length) {
+      s += lut(j * ks + (codes(j).toInt & 0xFF))
+      j += 1
+    }
+    s
+  }
+
   /** Deterministic pseudo-random hyperplane component r[bit][dim] — rademacher
     * +-1 from a splitmix stream. Rademacher planes preserve angles well and
     * avoid storing a projection matrix. */

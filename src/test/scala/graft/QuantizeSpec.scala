@@ -65,4 +65,53 @@ class QuantizeSpec extends AnyFunSuite {
       .select("query_id", "item_id").as[(Long, Long)].collect().toMap
     (0L until 4L).foreach { id => assert(top1(id) === id + 100000L) }
   }
+
+  // ---- product quantization (ADC) ----
+
+  test("int8PackScaled: clamped, zero on non-positive scale, global-scale codes") {
+    val v = Array(0.5f, -1.0f, 2.0f)
+    assert(VecCore.int8PackScaled(v, 0.0).forall(_ === 0))
+    val c = VecCore.int8PackScaled(v, 2.0)
+    assert(c.toSeq === Seq(32, -64, 127)) // 0.5*63.5=31.75->32; -63.5->ties away -64
+    // scale below a component clamps instead of overflowing the byte
+    assert(VecCore.int8PackScaled(Array(4.0f), 2.0).head === 127)
+  }
+
+  test("pqEncode picks the integer-L2 argmin per subspace, first index on ties") {
+    // dim=4, m=2, sub=2, ks=2: books = rows [1,2,3,4] and [5,6,3,4]
+    val books = Array[Byte](1, 2, 3, 4, 5, 6, 3, 4)
+    val code = Array[Byte](5, 6, 3, 4)
+    val codes = VecCore.pqEncode(code, books, m = 2, ks = 2)
+    assert(codes(0) === 1) // (5,6) exactly matches row 1's first subspace
+    assert(codes(1) === 0) // (3,4) ties between rows -> first index wins
+  }
+
+  test("pqAdc equals the direct query-centroid reconstruction dot") {
+    val books = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8) // ks=2, dim=4
+    val q = Array[Byte](10, -3, 7, 2)
+    val lut = VecCore.pqLut(q, books, m = 2, ks = 2)
+    val codes = Array[Byte](1, 0)
+    val est = VecCore.pqAdc(lut, codes, ks = 2)
+    // reconstruction: subspace 0 -> row 1 comps (5,6); subspace 1 -> row 0 (3,4)
+    val expect = 10L * 5 + -3L * 6 + 7L * 3 + 2L * 4
+    assert(est === expect)
+  }
+
+  test("pqKnn is deterministic and recalls planted duplicates at rank 1") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(120).cache()
+    // an exact duplicate quantizes to the same codes, so its ADC estimate
+    // ties the self-match (excluded) and must surface at rank 1
+    val planted = e.filter($"vec_id" < 4)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id + 100000L, v) }
+    val corpus = e.unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val q = e.filter($"vec_id" < 4)
+    val r1 = Quantize.pqKnn(q, corpus, k = 3).collect().map(_.toSeq)
+    val r2 = Quantize.pqKnn(q, corpus, k = 3).collect().map(_.toSeq)
+    assert(r1.toSeq === r2.toSeq)
+    val top1 = Quantize.pqKnn(q, corpus, k = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { id => assert(top1(id) === id + 100000L) }
+  }
 }
