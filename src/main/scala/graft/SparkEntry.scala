@@ -1005,6 +1005,27 @@ object SparkEntry {
         .select("doc_a", "doc_b")
       Dedup.dupClusters(edges)
     }),
+    // checkpoint-resumable duplicate clustering (the Iterate.resumable
+    // integration on the CC family, next to web_pagerank_resume): a rounds=2
+    // run completes blocks i0..i2, then the rounds=3 run RESUMES — all three
+    // finished blocks must be served from checkpoint (resumed=true lineage,
+    // counted in-result) and only i3 computes; the final labels are gated
+    // against the same recursive-CTE reachability oracle as doc_dup_clusters
+    "doc_dup_clusters_resume" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_cc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val d = docsWithNearDups(s, dir)
+      val edges = Dedup.jaccardVerify(nearDupCand(d), d, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val fp = s"neardup|$dir"
+      Dedup.connectedComponentsResumable(s, edges, ck, fp, rounds = 2).count()
+      val out = Dedup.connectedComponentsResumable(s, edges, ck, fp, rounds = 3)
+      val resumed = Checkpoint.metrics(s, ck)
+        .filter(col("resumed") === true)
+        .agg(countDistinct("stage").as("resumed_stages"))
+      out.crossJoin(broadcast(resumed))
+    }),
     // MinHash LSH with the PORTABLE sha256-derived hash family: the whole
     // sketch plan (shingle -> signature -> band key -> bucket join -> estimate)
     // is recomputed bit-for-bit by the oracle — the cross-engine proof that
@@ -1157,6 +1178,18 @@ object SparkEntry {
       graft.sim.Quantize.pqKnn(e.filter(col("vec_id") < 8), e, k = 5, m = 4, ks = 16)
         .withColumn("score", round(col("score"), 6))
     }),
+    // IVF + PQ composed (the FAISS IVFADC shape): coarse routing into
+    // posting lists + PQ-code scoring. nprobe = nlist here so routing is
+    // EXHAUSTIVE and the composed plan provably reproduces the flat PQ-ADC
+    // oracle bit-for-bit; nprobe < nlist is the sub-linear deployment shape
+    // (recall spec-tested), with the codes persisted list-bucketed at world
+    // scale (writeIvfBucketed's layout)
+    "emb_knn_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.sim.Quantize.ivfPqKnn(e.filter(col("vec_id") < 8), e, k = 5,
+          nlist = 8, nprobe = 8, m = 4, ks = 16)
+        .withColumn("score", round(col("score"), 6))
+    }),
     // IVF scale path: nprobe = nlist here so the posting-list plan is
     // EXHAUSTIVE and provably equals the brute-force oracle — the same
     // operator at nprobe < nlist is the sub-linear deployment shape
@@ -1194,6 +1227,22 @@ object SparkEntry {
       Similarity.ivfKnnBucketed(s, "graft_ivf_contract",
           e.filter(col("vec_id") < 8), k = 5, nprobe = 16, cents)
         .withColumn("cos", round(col("cos"), 6))
+    }),
+    // the PERSISTED world-scale IVF+PQ layout under the contract: coarse
+    // lists + PQ codes written once as a list-bucketed table (the
+    // m-bytes-per-vector product), probe lists pushed as an IN filter so the
+    // scan bucket-prunes with zero codes-side exchange (plan-asserted in
+    // QuantizeSpec); exhaustive probing (nprobe = nlist) makes it provably
+    // reproduce the flat PQ-ADC oracle
+    "emb_knn_ivfpq_bucketed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, nlist = 8, iters = 1)
+      val (scale, books) = graft.sim.Quantize.pqTrainBooks(e, ks = 16)
+      graft.sim.Quantize.writeIvfPqBucketed(s, e, cents, scale, books,
+        "graft_ivfpq_contract", s"$OracleDir/ivfpq_bucketed", buckets = 4)
+      graft.sim.Quantize.ivfPqKnnBucketed(s, "graft_ivfpq_contract",
+          e.filter(col("vec_id") < 8), k = 5, nprobe = 8, cents, scale, books)
+        .withColumn("score", round(col("score"), 6))
     }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(oraclePages(s, dir))
@@ -1354,6 +1403,42 @@ object SparkEntry {
       val out = graft.streaming.StreamGeocode
         .dedupStream(src, "warc_ts", "text", s"$spanDays days")
         .select(col("text_sha"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(out.schema).parquet(sink)
+    }),
+
+    // STATEFUL CUSTOM-STATE streaming under the contract (the fifth
+    // streaming shape): per-user sessionization via flatMapGroupsWithState
+    // with an event-time timeout — data-dependent session length is the
+    // semantics built-in windowed aggregations can't express. Run for real
+    // under Trigger.AvailableNow over the materialized events table. The
+    // parquet source picks up the whole dir in ONE data micro-batch (no
+    // maxFilesPerTrigger set), so the per-user fold sees every event sorted
+    // by event time and emits every gap-closed session exactly as the batch
+    // q11_sessionize rollup does; each user's final OPEN session then emits
+    // via the event-time timeout in the trailing no-data batch iff its gap
+    // deadline lies strictly below the final watermark (delay 0 -> watermark
+    // = max event time, ms-truncated). The oracle replays gaps-and-islands
+    // sessionization PLUS that exact finalization predicate — at sf0.01 the
+    // rule is load-bearing: 9542 of 9549 sessions emit, 7 stay open.
+    "q11_stream_sessionize" -> ((s, dir) => {
+      val evPath = oracleEvents(s, dir)
+      val sink = s"$OracleDir/stream_sess_sink"
+      val ckpt = s"$OracleDir/stream_sess_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val schema = s.read.parquet(evPath).schema
+      val src = s.readStream.schema(schema).parquet(evPath)
+      val out = graft.streaming.StreamGeocode
+        .sessionizeStream(s, src, gapMinutes = 30, watermark = "0 seconds")
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          unix_micros(col("sess_end")).as("sess_end_us"))
       val q = out.writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -1937,6 +2022,55 @@ object SparkEntry {
       |  FROM dpts, pe2 GROUP BY 1, 2),
       |inside AS (SELECT query_id, polygon_id FROM pipc WHERE cr % 2 = 1)""".stripMargin
 
+  /** PQ-ADC top-k oracle, shared by emb_knn_pq and the exhaustive-probe
+    * emb_knn_ivfpq contract query: global int8 scale, clamped global-scale
+    * codes, seed-sampled codebooks (ORDER BY vec_id LIMIT ks), integer-L2
+    * subspace assignment with ties to the lowest centroid index, exact
+    * integer ADC estimates (sum over subspaces of subvector-centroid dots ==
+    * Spark's LUT gather), descaled scores, ranks — every step past the raw
+    * float reads is exact integer math, so no IEEE-order caveats. */
+  private val EmbKnnPqSql =
+    """WITH g AS (SELECT max(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))))) AS scale FROM embeddings),
+        |cd AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(GREATEST(CAST(-127.0 AS DOUBLE),
+        |      LEAST(CAST(127.0 AS DOUBLE), round(CAST(x AS DOUBLE)
+        |        * CAST(127.0 AS DOUBLE) / g.scale))) AS BIGINT)) AS code
+        |  FROM embeddings, g),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, code
+        |  FROM (SELECT vec_id, code FROM cd ORDER BY vec_id LIMIT 16) s),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |sub AS (SELECT vec_id, j, list_slice(code, j*16 + 1, j*16 + 16) AS sc
+        |  FROM cd, js),
+        |csub AS (SELECT t, j, list_slice(code, j*16 + 1, j*16 + 16) AS cc
+        |  FROM seeds, js),
+        |d AS (SELECT sub.vec_id, sub.j, csub.t,
+        |    CAST(list_sum(list_transform(list_zip(sc, cc),
+        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+        |  FROM sub JOIN csub ON sub.j = csub.j),
+        |a AS (SELECT vec_id, j, t FROM (
+        |    SELECT vec_id, j, t,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
+        |    FROM d) x WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, j, sc AS qsc FROM sub WHERE vec_id < 8),
+        |pe AS (SELECT qs.query_id, a.vec_id AS item_id,
+        |    CAST(sum(CAST(list_sum(list_transform(list_zip(qs.qsc, csub.cc),
+        |      z -> z[1] * z[2])) AS BIGINT)) AS BIGINT) AS est
+        |  FROM qs
+        |  JOIN a ON a.j = qs.j
+        |  JOIN csub ON csub.j = a.j AND csub.t = a.t
+        |  WHERE a.vec_id <> qs.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, item_id, est,
+        |    (g.scale / CAST(127.0 AS DOUBLE)) * (g.scale / CAST(127.0 AS DOUBLE))
+        |      * CAST(est AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY est DESC, item_id)
+        |      AS rn
+        |  FROM pe, g)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, est,
+        |  round(score, 6) AS score
+        |FROM r WHERE rn <= 5""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by emb_knn_brute and the
     * exhaustive-probe emb_knn_ivf contract query. */
   private val EmbKnnBruteSql =
@@ -2406,6 +2540,31 @@ FROM fin GROUP BY doc_id"""
     // content digest regardless of which arrival won the state race
     "doc_stream_dedup" ->
       "SELECT DISTINCT sha256(text) AS text_sha FROM documents",
+    // streaming sessionization: batch gaps-and-islands (same 30-min gap as
+    // q11_sessionize) + the AvailableNow finalization rule — every
+    // gap-closed session emits in-batch; each user's LAST session emits iff
+    // its event-time-timeout deadline, floor((end_us + gap_us)/1000) ms, is
+    // STRICTLY below the final watermark floor(max_event_us/1000) ms
+    // (delay 0; Spark fires a timeout only when the watermark passes it)
+    "q11_stream_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |    sum(CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l),
+        |g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(us) AS sess_start_us, max(us) AS sess_end_us
+        |  FROM s GROUP BY 1, 2),
+        |wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events),
+        |f AS (SELECT g.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY sid DESC) AS rn FROM g)
+        |SELECT user_id, n_events, sess_start_us, sess_end_us
+        |FROM f, wm
+        |WHERE rn > 1 OR (sess_end_us + 1800000000) // 1000 < wm_ms""".stripMargin,
     "geo_stream_forward" ->
       s"""WITH $extractCtes,
          |pw AS (SELECT url, warc_ts, sha256(text) AS text_sha256
@@ -2668,6 +2827,19 @@ FROM fin GROUP BY doc_id"""
         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
         |  c.doc_id = c.cluster_id AS is_canonical
         |FROM cc c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin,
+    // resumable CC: identical reachability labels; the rounds=2 run
+    // completes blocks i0..i2, so the rounds=3 rerun serves exactly 3
+    // stages from checkpoint
+    "doc_dup_clusters_resume" ->
+      s"""WITH RECURSIVE $nearDupJaccardCtes,
+        |edges AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+        |reach(id, r) AS (SELECT src, src FROM und
+        |  UNION SELECT u.dst, re.r FROM reach re JOIN und u ON u.src = re.id),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, CAST(3 AS BIGINT) AS resumed_stages
+        |FROM cc""".stripMargin,
     // the full portable-MinHash LSH plan recomputed from raw text: sha256-hex
     // parsed to a 60-bit long (list_reduce base-16 fold), min per permutation,
     // band keys as joined signature slices, bucket self-join, zip-equality
@@ -3643,47 +3815,16 @@ FROM fin GROUP BY doc_id"""
     // (ties to the lowest centroid index), exact integer ADC estimates
     // (sum over subspaces of subvector-centroid dots == Spark's LUT gather),
     // descaled scores, ranks — every integer, so no IEEE-order caveats
-    "emb_knn_pq" ->
-      """WITH g AS (SELECT max(list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE))))) AS scale FROM embeddings),
-        |cd AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(GREATEST(CAST(-127.0 AS DOUBLE),
-        |      LEAST(CAST(127.0 AS DOUBLE), round(CAST(x AS DOUBLE)
-        |        * CAST(127.0 AS DOUBLE) / g.scale))) AS BIGINT)) AS code
-        |  FROM embeddings, g),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS t, code
-        |  FROM (SELECT vec_id, code FROM cd ORDER BY vec_id LIMIT 16) s),
-        |js AS (SELECT unnest(range(4)) AS j),
-        |sub AS (SELECT vec_id, j, list_slice(code, j*16 + 1, j*16 + 16) AS sc
-        |  FROM cd, js),
-        |csub AS (SELECT t, j, list_slice(code, j*16 + 1, j*16 + 16) AS cc
-        |  FROM seeds, js),
-        |d AS (SELECT sub.vec_id, sub.j, csub.t,
-        |    CAST(list_sum(list_transform(list_zip(sc, cc),
-        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
-        |  FROM sub JOIN csub ON sub.j = csub.j),
-        |a AS (SELECT vec_id, j, t FROM (
-        |    SELECT vec_id, j, t,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
-        |    FROM d) x WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, j, sc AS qsc FROM sub WHERE vec_id < 8),
-        |pe AS (SELECT qs.query_id, a.vec_id AS item_id,
-        |    CAST(sum(CAST(list_sum(list_transform(list_zip(qs.qsc, csub.cc),
-        |      z -> z[1] * z[2])) AS BIGINT)) AS BIGINT) AS est
-        |  FROM qs
-        |  JOIN a ON a.j = qs.j
-        |  JOIN csub ON csub.j = a.j AND csub.t = a.t
-        |  WHERE a.vec_id <> qs.query_id
-        |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, item_id, est,
-        |    (g.scale / CAST(127.0 AS DOUBLE)) * (g.scale / CAST(127.0 AS DOUBLE))
-        |      * CAST(est AS DOUBLE) AS score,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY est DESC, item_id)
-        |      AS rn
-        |  FROM pe, g)
-        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, est,
-        |  round(score, 6) AS score
-        |FROM r WHERE rn <= 5""".stripMargin,
+    "emb_knn_pq" -> EmbKnnPqSql,
+    // IVF+PQ probes ALL nlist lists in the contract query (exhaustive), so
+    // coarse routing cannot drop any candidate and the composed plan must
+    // reproduce the flat PQ-ADC result bit-for-bit — the same argument that
+    // lets emb_knn_ivf share the brute-force oracle
+    "emb_knn_ivfpq" -> EmbKnnPqSql,
+    // the persisted list-bucketed IVF+PQ layout, probed exhaustively, must
+    // also reproduce the flat PQ-ADC result bit-for-bit — same argument as
+    // emb_knn_ivf_bucketed sharing the brute-force oracle
+    "emb_knn_ivfpq_bucketed" -> EmbKnnPqSql,
     // the IVF contract query probes ALL nlist lists (exhaustive), so the
     // posting-list plan must reproduce the brute-force top-k bit-for-bit
     "emb_knn_ivf" -> EmbKnnBruteSql,

@@ -140,4 +140,102 @@ object Quantize {
       .filter(col("knn_rank") <= k)
       .select("query_id", "knn_rank", "item_id", "est", "score")
   }
+
+  /** IVF + PQ — the composed scale path (the FAISS IVFADC shape): the corpus
+    * is routed ONCE into nlist posting lists by the Lloyd-trained coarse
+    * quantizer ([[Similarity.trainIvfCentroids]]) and SCORED by PQ codes, so
+    * a probe touches nprobe/nlist of the corpus and reads m bytes per
+    * candidate instead of 4*dim. At 10^12 vectors the posting lists live as
+    * a list-bucketed table ([[Similarity.writeIvfBucketed]]'s layout, codes
+    * column added) — probe lists push down as an IN filter, the scan
+    * bucket-prunes, and the per-candidate work is [[VecCore.pqAdc]]'s
+    * m-length gather. Routing only selects WHICH candidates are scored —
+    * with nprobe = nlist the result is bit-identical to [[pqKnn]] (the
+    * contract proof); recall at nprobe < nlist follows the usual IVF
+    * coverage profile (spec-tested). */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ks: Int = 16,
+               iters: Int = 5,
+               qId: String = "vec_id", qVec: String = "embedding",
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cents = typedLit(
+      Similarity.trainIvfCentroids(corpus, nlist, iters, cId, cVec).toSeq)
+    val (scale, books) = pqTrainBooks(corpus, ks, cId, cVec)
+    val bl = lit(books)
+    val c = corpus.select(col(cId).as("item_id"),
+      nearestCentroid(col(cVec), cents).as("list"),
+      pqEncode(int8PackScaled(col(cVec), lit(scale)), bl, lit(m), lit(ks)).as("codes"))
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      pqLut(int8PackScaled(col(qVec), lit(scale)), bl, lit(m), lit(ks)).as("lut"),
+      explode(nearestCentroids(col(qVec), cents, lit(nprobe))).as("list")))
+    // a corpus vector lives in exactly one list -> (query, item) pairs are
+    // unique by construction, and probing ALL lists yields exactly pqKnn's
+    // pair set
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est").desc, col("item_id"))
+    c.join(q, Seq("list"))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("est", pqAdc(col("lut"), col("codes"), lit(ks)))
+      .withColumn("score", (lit(scale) / lit(127.0)) * (lit(scale) / lit(127.0))
+        * col("est").cast("double"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "est", "score")
+  }
+
+  /** The PERSISTED world-scale IVF+PQ layout: coarse list assignment + PQ
+    * codes written ONCE as a list-bucketed table — at 10^12 vectors this
+    * table is the product (m bytes/vector vs 4*dim for the floats), and the
+    * one-off encode pass amortizes over every query batch exactly like
+    * [[Similarity.writeIvfBucketed]]'s float layout and the packed polygon
+    * index. */
+  def writeIvfPqBucketed(spark: org.apache.spark.sql.SparkSession,
+                         corpus: DataFrame, centroids: Array[Float],
+                         scale: Double, books: Array[Byte],
+                         table: String, path: String, buckets: Int = 8,
+                         m: Int = 4, ks: Int = 16,
+                         cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    val c = corpus.select(col(cId).as("item_id"),
+      nearestCentroid(col(cVec), typedLit(centroids.toSeq)).as("list"),
+      pqEncode(int8PackScaled(col(cVec), lit(scale)), lit(books),
+        lit(m), lit(ks)).as("codes"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    c.write.bucketBy(buckets, "list").sortBy("list")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** Query batches over a [[writeIvfPqBucketed]] layout: probe lists resolve
+    * driver-side and push down as an IN filter so the scan bucket-prunes to
+    * the probed posting lists; queries broadcast with their precomputed
+    * integer LUTs; the codes side has NO exchange anywhere in the plan
+    * (plan-asserted in QuantizeSpec) — the IVFADC deployment shape where a
+    * probe reads nprobe/nlist of an m-bytes-per-vector table. */
+  def ivfPqKnnBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                       queries: DataFrame, k: Int, nprobe: Int,
+                       centroids: Array[Float], scale: Double, books: Array[Byte],
+                       m: Int = 4, ks: Int = 16,
+                       qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    val cents = typedLit(centroids.toSeq)
+    // cached: the LUT + probe-assignment work is paid once, not re-run by
+    // the driver-side distinct-lists resolve AND the join (the query batch
+    // is broadcast-sized by construction)
+    val q0 = queries.select(col(qId).as("query_id"),
+        pqLut(int8PackScaled(col(qVec), lit(scale)), lit(books),
+          lit(m), lit(ks)).as("lut"),
+        explode(nearestCentroids(col(qVec), cents, lit(nprobe))).as("list"))
+      .cache()
+    val lists = q0.select("list").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.table(table)
+      .filter(col("list").isin(lists.map(Int.box): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est").desc, col("item_id"))
+    c.join(broadcast(q0), Seq("list"))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("est", pqAdc(col("lut"), col("codes"), lit(ks)))
+      .withColumn("score", (lit(scale) / lit(127.0)) * (lit(scale) / lit(127.0))
+        * col("est").cast("double"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select("query_id", "knn_rank", "item_id", "est", "score")
+  }
 }

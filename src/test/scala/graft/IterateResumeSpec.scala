@@ -83,6 +83,43 @@ class IterateResumeSpec extends AnyFunSuite {
     assert(run("inputB", 200L).agg(sum("n")).head().getLong(0) === 609)
   }
 
+  test("connectedComponentsResumable resumes bit-identical to connectedComponents") {
+    val ck = ckpt("cc")
+    // two stars sharing no nodes + a 4-chain: converges in <= 2 propagations
+    val ccEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("doc_a", "doc_b")
+    val truth = graft.dedup.Dedup.connectedComponents(ccEdges)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // "kill" after round 1: the under-budgeted run fails LOUDLY at its
+    // convergence proof (the 4-chain needs another propagation), but its
+    // completed blocks i0..i1 stay on disk — exactly the state a mid-run
+    // kill leaves — and the rounds=3 rerun resumes from them
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.connectedComponentsResumable(
+        spark, ccEdges, ck, "edges_v1", rounds = 1)
+    }
+    val resumed = graft.dedup.Dedup.connectedComponentsResumable(
+        spark, ccEdges, ck, "edges_v1", rounds = 3)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(resumed === truth)
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("cc_i0", "cc_i1").forall(lin(_) === 1))
+    assert(Seq("cc_i2", "cc_i3").forall(lin(_) === 0))
+  }
+
+  test("connectedComponentsResumable rejects an unconverged round budget") {
+    val ck = ckpt("ccfail")
+    // an 8-chain needs ~log2 rounds of min-label hops; 1 round can't finish
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.connectedComponentsResumable(
+        spark, chain, ck, "chain_v1", rounds = 1)
+    }
+    assert(e.getMessage.contains("still changing"))
+  }
+
   test("pageRankResumable resumes bit-identical to the in-memory pageRank") {
     val ck = ckpt("pr")
     val truth = sortedRows(LinkGraph.pageRank(edges, iters = 4))

@@ -114,4 +114,79 @@ class QuantizeSpec extends AnyFunSuite {
       .select("query_id", "item_id").as[(Long, Long)].collect().toMap
     (0L until 4L).foreach { id => assert(top1(id) === id + 100000L) }
   }
+
+  test("ivfPqKnn with exhaustive probing equals the flat PQ-ADC result") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(120).cache()
+    val q = e.filter($"vec_id" < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "knn_rank", "item_id", "est")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(key(Quantize.ivfPqKnn(q, e, k = 5, nlist = 8, nprobe = 8)) ===
+      key(Quantize.pqKnn(q, e, k = 5)))
+  }
+
+  test("ivfPqKnn at nprobe=1 recalls an exact duplicate (it shares the query's list)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(120).cache()
+    val planted = e.filter($"vec_id" < 4)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id + 100000L, v) }
+    val corpus = e.unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val q = e.filter($"vec_id" < 4)
+    // identical vector -> identical nearest coarse centroid -> the
+    // duplicate's posting list IS the query's first probe, at any nprobe
+    val top1 = Quantize.ivfPqKnn(q, corpus, k = 1, nlist = 8, nprobe = 1)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { id => assert(top1(id) === id + 100000L) }
+  }
+
+  test("bucketed IVF+PQ: bucket-pruned scan, no codes-side shuffle, equals flat PQ-ADC") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" < 120).cache()
+    val cents = graft.sim.Similarity.trainIvfCentroids(e, nlist = 8, iters = 1)
+    val (scale, books) = Quantize.pqTrainBooks(e, ks = 16)
+    Quantize.writeIvfPqBucketed(spark, e, cents, scale, books,
+      "graft_ivfpq_test", s"$wh/ivfpq", buckets = 4)
+    val q = e.filter($"vec_id" < 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val knn = Quantize.ivfPqKnnBucketed(spark, "graft_ivfpq_test", q,
+        k = 3, nprobe = 2, cents, scale, books)
+      val plan = knn.queryExecution.executedPlan
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"expected bucket pruning in plan:\n$plan")
+      val shuffles = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      }
+      assert(shuffles.size == 1, s"unexpected codes-side shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // exhaustive probing over the persisted layout == flat PQ-ADC
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "knn_rank", "item_id", "est")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(key(Quantize.ivfPqKnnBucketed(spark, "graft_ivfpq_test", q,
+        k = 5, nprobe = 8, cents, scale, books)) ===
+      key(Quantize.pqKnn(q, e, k = 5)))
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_test")
+    e.unpersist()
+  }
+
+  test("pqKnn plan: corpus side is map-only to codes; one exchange (final top-k)") {
+    // filter, not limit: LocalLimit/GlobalLimit would inject its own
+    // SinglePartition exchange and hide the shape under test
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" < 100)
+    val p = Quantize.pqKnn(e.filter($"vec_id" < 4), e, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus must never sort-merge")
+    // the per-query top-k window is the plan's ONLY shuffle: every other
+    // Exchange must be the query-side broadcast (codes projection map-only)
+    val shuffles = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle (final top-k), got $shuffles:\n$p")
+  }
 }
