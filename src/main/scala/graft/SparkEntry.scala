@@ -1410,6 +1410,36 @@ object SparkEntry {
       s.read.schema(out.schema).parquet(sink)
     }),
 
+    // STREAMING WINDOWED AGGREGATION over tiles (the last streaming operator
+    // without a direct contract row): coordinate mentions extracted from the
+    // pages stream, assigned to z12 web-mercator tiles (map-only), counted
+    // per (5-min window, tile) under a 10-min watermark — the same
+    // append-mode finalization rule as geo_stream_forward (only windows
+    // whose end <= final watermark emit), recomputed by the oracle from the
+    // same raw page bytes
+    "geo_stream_tiles" -> ((s, dir) => {
+      val (_, _, _, _, scanner) = world(s)
+      oracleWorldTables(s)
+      oraclePages(s, dir)
+      val sink = s"$OracleDir/stream_tiles_sink"
+      val ckpt = s"$OracleDir/stream_tiles_ckpt"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val schema = s.read.parquet(s"$OracleDir/pages").schema
+      val src = s.readStream.schema(schema).parquet(s"$OracleDir/pages")
+      val coords = graft.etl.Extract.mentions(s, src, scanner)
+        .filter(col("kind") === "coord")
+      val out = graft.streaming.StreamGeocode.tileCounts(coords)
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("tile_z"), col("tile_x"), col("tile_y"), col("n_hits"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(out.schema).parquet(sink)
+    }),
+
     // STATEFUL CUSTOM-STATE streaming under the contract (the fifth
     // streaming shape): per-user sessionization via flatMapGroupsWithState
     // with an event-time timeout — data-dependent session length is the
@@ -2592,6 +2622,31 @@ FROM fin GROUP BY doc_id"""
          |    - ln(tan(radians(latc)) + CAST(1.0 AS DOUBLE) / cos(radians(latc))) / pi())
          |    / CAST(2.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_y
          |FROM tl""".stripMargin,
+    // streaming windowed tile counts: coord mentions re-derived from the
+    // same page bytes, z12 tile math, 5-min windows, and the append-mode
+    // finalization rule (window end <= max event time - 10-min delay)
+    "geo_stream_tiles" ->
+      s"""WITH $extractCtes,
+         |pw AS (SELECT url, warc_ts FROM read_parquet('$OracleDir/pages/*.parquet')),
+         |h AS (SELECT c.lon, c.lat, p.warc_ts FROM coords c JOIN pw p USING (url)),
+         |mx AS (SELECT max(warc_ts) AS mt FROM h),
+         |tl AS (SELECT warc_ts, lon,
+         |    least(greatest(lat, CAST(-85.05112878 AS DOUBLE)),
+         |      CAST(85.05112878 AS DOUBLE)) AS latc,
+         |    time_bucket(INTERVAL '5 minutes', warc_ts) AS wstart
+         |  FROM h),
+         |agg AS (SELECT wstart,
+         |    least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+         |      / CAST(360.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_x,
+         |    least(greatest(CAST(floor((CAST(1.0 AS DOUBLE)
+         |      - ln(tan(radians(latc)) + CAST(1.0 AS DOUBLE) / cos(radians(latc))) / pi())
+         |      / CAST(2.0 AS DOUBLE) * 4096) AS BIGINT), 0), 4095) AS tile_y,
+         |    count(*) AS n_hits
+         |  FROM tl GROUP BY 1, 2, 3)
+         |SELECT epoch_us(wstart) AS win_us, CAST(12 AS INT) AS tile_z,
+         |  tile_x, tile_y, n_hits
+         |FROM agg, mx
+         |WHERE wstart + INTERVAL '5 minutes' <= mx.mt - INTERVAL '10 minutes'""".stripMargin,
     "geo_stream_reverse" ->
       s"""WITH $extractCtes,
          |$pipCtes,
