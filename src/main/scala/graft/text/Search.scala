@@ -31,9 +31,15 @@ object Search {
     * and the document's token length. One combinable count aggregate. */
   def postings(docs: DataFrame, key: Column, text: Column): DataFrame = {
     val toks = TextAnalysis.tokens(text)
-    docs.select(key.as("doc_key"), size(toks).as("dl"), explode(toks).as("token"))
-      .groupBy("doc_key", "dl", "token")
+    // dl joins back per doc instead of riding the explode: size(toks) in the
+    // same projection as explode(toks) makes CollapseProject re-tokenize the
+    // document once per token row (the lmScore lesson — measured 13x there)
+    val lens = docs.select(key.as("doc_key"), size(toks).as("dl"))
+    docs.select(key.as("doc_key"), explode(toks).as("token"))
+      .groupBy("doc_key", "token")
       .agg(count(lit(1)).as("tf"))
+      .join(lens, "doc_key")
+      .select("doc_key", "dl", "token", "tf")
   }
 
   /**
@@ -52,12 +58,15 @@ object Search {
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
 
     // query-term postings: the isin filter runs on the exploded tokens
-    // BEFORE the aggregate exchange — only matching tokens shuffle
+    // BEFORE the aggregate exchange — only matching tokens shuffle. dl joins
+    // back per doc (the lmScore lesson: size(toks) next to explode(toks)
+    // re-tokenizes per token row)
     val qtf = docs
-      .select(key.as("doc_key"), size(toks).as("dl"), explode(toks).as("token"))
+      .select(key.as("doc_key"), explode(toks).as("token"))
       .filter(col("token").isin(queryTerms: _*))
-      .groupBy("doc_key", "dl", "token")
+      .groupBy("doc_key", "token")
       .agg(count(lit(1)).as("tf"))
+      .join(lens, "doc_key")
     val df = qtf.groupBy("token").agg(count(lit(1)).as("df"))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
