@@ -1820,6 +1820,19 @@ object SparkEntry {
         .agg(countDistinct("stage").as("resumed_stages"))
       out.crossJoin(broadcast(resumed))
     }),
+    // crawl-frontier expansion: layered BFS from a 3-node seed list over a
+    // deterministic out-degree-≤3 doc-derived link graph, min-hop labels,
+    // budget 4 rounds. Third iterative-graph shape (reachability) next to
+    // PageRank (value propagation) and CC (label convergence); the oracle
+    // re-derives min-hop by a DIFFERENT algorithm — recursive path
+    // enumeration + GROUP BY min — vs the engine's layered visited-set BFS
+    "web_crawl_frontier" -> ((s, dir) => {
+      val edges = docs(s, dir).selectExpr(
+        "pmod(doc_id, 97) AS src",
+        "pmod(pmod(doc_id, 97) * 17 + 29 + pmod(doc_id div 97, 3), 97) AS dst")
+      val seeds = s.range(3).select(col("id").as("node"))
+      graft.web.LinkGraph.crawlFrontier(edges, seeds, maxHops = 4)
+    }),
     // KMV distinct-count sketch per host over canonical URLs: the portable
     // (sha60) cardinality estimator whose k-th-minimum state and rounded
     // estimate the oracle recomputes exactly; n_exact rides along so the
@@ -4081,6 +4094,20 @@ FROM fin GROUP BY doc_id"""
          |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
          |FROM t GROUP BY 1""".stripMargin,
     "web_pagerank" -> pageRankSql(3),
+    // min-hop by recursive path enumeration (bounded by hop < 4) + GROUP BY
+    // min — a different algorithm than the engine's layered visited-set BFS
+    "web_crawl_frontier" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT DISTINCT doc_id % 97 AS src,
+         |    ((doc_id % 97) * 17 + 29 + ((doc_id // 97) % 3)) % 97 AS dst
+         |  FROM documents),
+         |reach(node, hop) AS (
+         |  SELECT CAST(v.node AS BIGINT) AS node, CAST(0 AS INT) AS hop
+         |  FROM (VALUES (0), (1), (2)) v(node)
+         |  UNION
+         |  SELECT e.dst, CAST(r.hop + 1 AS INT)
+         |  FROM reach r JOIN e ON e.src = r.node WHERE r.hop < 4)
+         |SELECT node, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY node""".stripMargin,
     // same bit-exact replay; resumed_stages gates that the rerun served
     // every previously-completed block (i0, i1, i2) from checkpoint
     "web_pagerank_resume" ->

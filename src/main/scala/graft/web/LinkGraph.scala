@@ -247,4 +247,68 @@ object LinkGraph {
     ranksCached.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     out
   }
+
+  /**
+   * Crawl-frontier expansion: layered BFS over the link graph from a seed
+   * set, labelling every reachable node with its MINIMUM hop distance
+   * (≤ `maxHops`). This is the frontier-scheduling primitive of a crawler —
+   * "what is newly discoverable k fetch rounds out from the seed list" —
+   * and the third distinct iterative-graph shape next to PageRank
+   * (value propagation) and connected components (label convergence).
+   *
+   * Scale shape: each round is ONE equi-join of the edge list with the
+   * CURRENT frontier only (not the whole visited set) on `src`, one
+   * distinct on the narrow (node) column, and one left_anti join against
+   * visited — all hash-partitioned on the node key, so AQE reuses the
+   * exchange across rounds. Frontier rows carry a single long: at crawl
+   * scale the per-round shuffle is proportional to the NEW layer, not the
+   * graph. Early-exits when a layer comes back empty (the fixpoint), so
+   * `maxHops` is a budget, not a forced cost. Per-round persist + plan cut
+   * ([[cut]]) keeps the logical plan O(1) in rounds, same as the other
+   * iterative operators.
+   *
+   * @param edges   (src: long, dst: long) — duplicates collapsed
+   * @param seeds   one `node: long` column; hop 0
+   * @param maxHops BFS depth budget (>= 0)
+   * @return (node: long, hop: int) — min hop from any seed, seeds at 0
+   */
+  def crawlFrontier(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    var visitedCached = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hop")).persist()
+    visitedCached.count()
+    var visited = cut(visitedCached)
+    var frontierCached = visitedCached
+    var frontier = visited
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val layer = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hop"))
+        .persist()
+      if (layer.count() == 0L) {
+        exhausted = true
+        layer.unpersist()
+      } else {
+        val nextVisited = visited.unionByName(cut(layer)).persist()
+        nextVisited.count()
+        visitedCached.unpersist()
+        if (frontierCached ne visitedCached) frontierCached.unpersist()
+        visitedCached = nextVisited
+        visited = cut(nextVisited)
+        frontierCached = layer
+        frontier = cut(layer)
+      }
+    }
+    val out = visited.persist()
+    out.count()
+    if (frontierCached ne visitedCached) frontierCached.unpersist()
+    visitedCached.unpersist(); e.unpersist()
+    out
+  }
 }

@@ -139,4 +139,27 @@ class WebGraphSpec extends AnyFunSuite {
       .toMap
     assert(merged === oneShot)
   }
+
+  test("crawlFrontier: min-hop labels, early exhaustion, hop-0 budget") {
+    // 1→{2,3}, 2→3, 3→4, 5→6 (disconnected): min hop beats the longer path
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = LinkGraph.crawlFrontier(e, seeds, maxHops = 3).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // exhaustion: a budget far past the diameter returns the same set
+    val wide = LinkGraph.crawlFrontier(e, seeds, maxHops = 50).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(wide === got)
+    // budget 0 = seeds only, deduplicated
+    val zero = LinkGraph.crawlFrontier(e, Seq(1L, 1L, 5L).toDF("node"),
+      maxHops = 0).collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(zero === Map(1L -> 0, 5L -> 0))
+    // a cycle terminates at the visited-set fixpoint, not the budget
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val c = LinkGraph.crawlFrontier(cyc, Seq(0L).toDF("node"), maxHops = 99)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(c === Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
 }
