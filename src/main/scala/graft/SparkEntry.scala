@@ -1833,6 +1833,22 @@ object SparkEntry {
       val seeds = s.range(3).select(col("id").as("node"))
       graft.web.LinkGraph.crawlFrontier(edges, seeds, maxHops = 4)
     }),
+    // robots-exclusion politeness gate (RFC 9309 longest-match, Allow wins
+    // ties): per-host rule arrays broadcast, URL side map-only — one
+    // BroadcastHashJoin + codegen fold. Deterministic rules: every host
+    // disallows /Dir but re-allows exactly one /Dir/p<k>. The oracle picks
+    // the winning rule by a DIFFERENT algorithm (join + row_number window
+    // ordered len DESC, allow DESC vs the engine's per-row fold)
+    "web_robots_filter" -> ((s, dir) => {
+      val rules = s.range(20).selectExpr(
+          "concat('host', id % 5, '.example', id % 4, '.com') AS host",
+          "'/Dir' AS prefix", "false AS allow")
+        .unionByName(s.range(20).selectExpr(
+          "concat('host', id % 5, '.example', id % 4, '.com') AS host",
+          "concat('/Dir/p', id % 3) AS prefix", "true AS allow"))
+      graft.web.Robots.robotsFilter(docsWithUrls(s, dir), col("url"), rules)
+        .drop("url")
+    }),
     // KMV distinct-count sketch per host over canonical URLs: the portable
     // (sha60) cardinality estimator whose k-th-minimum state and rounded
     // estimate the oracle recomputes exactly; n_exact rides along so the
@@ -4094,6 +4110,30 @@ FROM fin GROUP BY doc_id"""
          |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
          |FROM t GROUP BY 1""".stripMargin,
     "web_pagerank" -> pageRankSql(3),
+    // winning robots rule re-picked by join + row_number window (longest
+    // prefix, Allow on ties, lexicographic last) vs the engine's fold
+    "web_robots_filter" ->
+      s"""WITH $urlCanonCtes,
+         |hp AS (SELECT doc_id, host,
+         |    CASE WHEN path = '' THEN '/' ELSE path END AS path FROM c),
+         |r AS (SELECT 'host' || CAST(i % 5 AS VARCHAR) || '.example' ||
+         |      CAST(i % 4 AS VARCHAR) || '.com' AS host,
+         |      '/Dir' AS prefix, FALSE AS allow FROM range(20) t(i)
+         |  UNION ALL
+         |  SELECT 'host' || CAST(i % 5 AS VARCHAR) || '.example' ||
+         |      CAST(i % 4 AS VARCHAR) || '.com',
+         |      '/Dir/p' || CAST(i % 3 AS VARCHAR), TRUE FROM range(20) t(i)),
+         |m AS (SELECT hp.doc_id, r.prefix, r.allow,
+         |    row_number() OVER (PARTITION BY hp.doc_id
+         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix)
+         |      AS rn
+         |  FROM hp JOIN r ON r.host = hp.host
+         |    AND starts_with(hp.path, r.prefix)),
+         |b AS (SELECT doc_id, prefix, allow FROM m WHERE rn = 1)
+         |SELECT hp.doc_id, hp.host, hp.path,
+         |  COALESCE(b.allow, TRUE) AS allowed,
+         |  COALESCE(b.prefix, '') AS matched_prefix
+         |FROM hp LEFT JOIN b ON hp.doc_id = b.doc_id""".stripMargin,
     // min-hop by recursive path enumeration (bounded by hop < 4) + GROUP BY
     // min — a different algorithm than the engine's layered visited-set BFS
     "web_crawl_frontier" ->

@@ -103,4 +103,36 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke"), plan)
   }
+
+  test("robotsFilter: longest match wins, Allow beats Disallow on ties, " +
+      "default allow, deterministic tie-break") {
+    val rules = Seq(
+      ("a.com", "/",       false), // blanket disallow
+      ("a.com", "/pub",    true),  // longer allow carve-out
+      ("a.com", "/pub/x",  false), // even longer disallow inside it
+      ("b.com", "/t",      true),  // length-tie pair: allow must win
+      ("b.com", "/t",      false)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      1L -> "http://a.com/secret",   // '/' only → disallowed
+      2L -> "http://a.com/pub/ok",   // '/pub' beats '/' → allowed
+      3L -> "http://a.com/pub/x/y",  // '/pub/x' beats '/pub' → disallowed
+      4L -> "http://b.com/t/z",      // tie '/t' → allow wins
+      5L -> "http://c.com/anything", // no rules for host → default allow
+      6L -> "https://A.COM:443/pub/" // canon host+path still match
+    ).toDF("id", "url")
+    val got = graft.web.Robots.robotsFilter(urls, $"url", rules)
+      .select($"id", $"allowed", $"matched_prefix").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got === Map(
+      1L -> ((false, "/")), 2L -> ((true, "/pub")),
+      3L -> ((false, "/pub/x")), 4L -> ((true, "/t")),
+      5L -> ((true, "")), 6L -> ((true, "/pub"))))
+    // the URL side joins broadcast-side (never sort-merge): the only
+    // exchanges touch the tiny rules table (its groupBy + the broadcast)
+    val plan = graft.web.Robots.robotsFilter(urls, $"url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
