@@ -177,6 +177,23 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic point set with REAL spatial structure (for clustering /
+    * layout queries where uniform scatter is degenerate): 80% of orders keys
+    * land in one of 8 dense ~2.0 x 1.6 degree blobs, 20% scatter uniformly.
+    * Every arithmetic step is integer-exact until a single double division,
+    * in a fixed left-to-right order, so the DuckDB oracle reproduces the
+    * coordinates bit-for-bit (see `clusteredPtsCte`). */
+  private def clusteredPts(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0,
+        (col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0)
+        .otherwise((col("o_orderkey") % 8).cast("double") * 43.0 - 160.0 +
+          (col("o_orderkey") * 271 % 2000) / lit(1000.0) - 1.0).as("lon"),
+      when(col("o_orderkey") % 5 === 0,
+        (col("o_orderkey") * 104729 % 170000) / lit(1000.0) - 85.0)
+        .otherwise((col("o_orderkey") % 8 * 29 % 100).cast("double") - 49.5 +
+          (col("o_orderkey") * 523 % 1600) / lit(1000.0) - 0.8).as("lat"))
   private def embs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -1940,6 +1957,42 @@ object SparkEntry {
             .as("lat"))
       graft.engine.Tiler.pyramid(pts, zMin = 4, zMax = 8)
     }),
+    // kernel-smoothed density raster: integer binomial 3x3 kernel per hit
+    // (4/2/1), x wrapped at the antimeridian — integer weights keep the
+    // rollup exact and order-insensitive; oracle replays the explode+sum
+    "geo_heatmap" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .select(((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0)
+            .as("lon"),
+          ((col("o_orderkey") * 104729 % 170000) / lit(1000.0) - 85.0)
+            .as("lat"))
+      graft.engine.Tiler.heatmap(pts, z = 8)
+    }),
+    // Morton/Z-order locality codes over the clustered synthetic point set:
+    // the layout key for engine.ZOrder; DuckDB recomputes the interleave as
+    // an explicit per-bit shift sum (a different construction than the
+    // engine's magic-mask spread) and must agree bit-for-bit
+    "geo_zorder" -> ((s, dir) =>
+      graft.engine.ZOrder.withZ(clusteredPts(s, dir), col("lon"), col("lat"),
+          zoom = 10)
+        .select("o_orderkey", "tile_x", "tile_y", "z")),
+    // bbox scan THROUGH the z-range pruning path (aligned-quad decomposition
+    // into contiguous Morton intervals + exact tile refilter): semantically
+    // a plain bbox predicate, which is exactly what the oracle runs — the
+    // cross-engine proof that pruning never drops a row
+    "geo_zscan" -> ((s, dir) =>
+      graft.engine.ZOrder.scanBbox(
+          graft.engine.ZOrder.withZ(clusteredPts(s, dir), col("lon"),
+            col("lat"), zoom = 10),
+          minTx = 415, minTy = 390, maxTx = 432, maxTy = 402, zoom = 10)
+        .select("o_orderkey", "tile_x", "tile_y", "z")),
+    // grid-DBSCAN hotspot clustering: per-tile counts -> dense cells ->
+    // 8-neighbor adjacency (x wraps) -> connected components; the oracle
+    // re-derives the dense grid and labels components by recursive-CTE
+    // reachability (min key), including singleton dense cells
+    "geo_hotspots" -> ((s, dir) =>
+      graft.engine.Hotspots.cluster(clusteredPts(s, dir).select("lon", "lat"),
+        zoom = 10, minPts = 10)),
     // vector-side polygon analytics over the SAME packed-ring parquet the
     // reverse-geocode PIP scans: shoelace area + area-weighted centroid as
     // one ordered per-row fold (bit-deterministic), bbox, ring/vertex counts
@@ -2515,6 +2568,37 @@ FROM fin GROUP BY doc_id"""
        |  CAST(vidx AS INT) AS vidx, p.lons[vidx + 1] AS x, p.lats[vidx + 1] AS y
        |FROM kept k JOIN polys p USING (polygon_id)""".stripMargin
   }
+
+  /** DuckDB twin of [[clusteredPts]] — identical operation order, so the
+    * doubles are bit-equal. */
+  private val clusteredPtsCte: String =
+    """cpts AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0
+      |    THEN (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+      |    ELSE CAST(o_orderkey % 8 AS DOUBLE) * CAST(43.0 AS DOUBLE) - CAST(160.0 AS DOUBLE)
+      |      + (o_orderkey * 271 % 2000) / CAST(1000.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) END AS lon,
+      |  CASE WHEN o_orderkey % 5 = 0
+      |    THEN (o_orderkey * 104729 % 170000) / CAST(1000.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)
+      |    ELSE CAST(o_orderkey % 8 * 29 % 100 AS DOUBLE) - CAST(49.5 AS DOUBLE)
+      |      + (o_orderkey * 523 % 1600) / CAST(1000.0 AS DOUBLE) - CAST(0.8 AS DOUBLE) END AS lat
+      |  FROM orders)""".stripMargin
+
+  /** `cpts` snapped to zoom-10 slippy tiles (point domain stays inside the
+    * grid, so no clamp terms — same as the other tile oracles). */
+  private val clusteredTilesCte: String =
+    s"""$clusteredPtsCte,
+      |ctiles AS (SELECT o_orderkey,
+      |  CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * 1024) AS BIGINT) AS tile_x,
+      |  CAST(floor((CAST(1.0 AS DOUBLE) - ln(tan(radians(lat)) + CAST(1.0 AS DOUBLE) / cos(radians(lat))) / pi())
+      |    / CAST(2.0 AS DOUBLE) * 1024) AS BIGINT) AS tile_y
+      |  FROM cpts)""".stripMargin
+
+  /** Morton interleave as an explicit per-bit shift sum — a DIFFERENT
+    * construction than the engine's magic-mask spread, agreeing bit-for-bit. */
+  private def mortonSql(tx: String, ty: String, zoom: Int): String =
+    ((0 until zoom).map(i => s"((($tx >> $i) & 1) << ${2 * i})") ++
+      (0 until zoom).map(i => s"((($ty >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     // the same fixed HtmlText rule chain, replayed rule by rule: block
@@ -4254,6 +4338,59 @@ FROM fin GROUP BY doc_id"""
         |  FROM pts CROSS JOIN z)
         |SELECT CAST(zz AS INT) AS tile_z, tile_x, tile_y, count(*) AS n_hits
         |FROM a GROUP BY 1, 2, 3""".stripMargin,
+    // integer binomial kernel replayed as an explicit stencil cross join;
+    // integer weights make the sum order-insensitive across engines
+    "geo_heatmap" ->
+      """WITH pts AS (SELECT
+        |  (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+        |  (o_orderkey * 104729 % 170000) / CAST(1000.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS lat
+        |  FROM orders),
+        |t AS (SELECT
+        |  CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * 256) AS BIGINT) AS tx,
+        |  CAST(floor((CAST(1.0 AS DOUBLE) - ln(tan(radians(lat)) + CAST(1.0 AS DOUBLE) / cos(radians(lat))) / pi())
+        |    / CAST(2.0 AS DOUBLE) * 256) AS BIGINT) AS ty
+        |  FROM pts),
+        |k AS (SELECT a.dx, b.dy, CAST(4 AS BIGINT) >> (abs(a.dx) + abs(b.dy)) AS w
+        |  FROM range(-1, 2) a(dx), range(-1, 2) b(dy)),
+        |e AS (SELECT (t.tx + k.dx + 256) % 256 AS tile_x, t.ty + k.dy AS tile_y, k.w
+        |  FROM t CROSS JOIN k WHERE t.ty + k.dy >= 0 AND t.ty + k.dy < 256)
+        |SELECT tile_x, tile_y, CAST(sum(w) AS BIGINT) AS heat
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "geo_zorder" ->
+      s"""WITH $clusteredTilesCte
+        |SELECT o_orderkey, tile_x, tile_y,
+        |  ${mortonSql("tile_x", "tile_y", 10)} AS z
+        |FROM ctiles""".stripMargin,
+    // the oracle is the PLAIN bbox predicate — the engine's z-range-pruned
+    // scan must return exactly the same rows or pruning dropped/added one
+    "geo_zscan" ->
+      s"""WITH $clusteredTilesCte
+        |SELECT o_orderkey, tile_x, tile_y,
+        |  ${mortonSql("tile_x", "tile_y", 10)} AS z
+        |FROM ctiles
+        |WHERE tile_x BETWEEN 415 AND 432 AND tile_y BETWEEN 390 AND 402""".stripMargin,
+    // grid-DBSCAN replayed: dense grid -> 8-neighbor adjacency (x wraps mod
+    // 1024) -> recursive-CTE reachability seeded from EVERY dense cell (so
+    // singletons label themselves), component id = min tile key
+    "geo_hotspots" ->
+      s"""WITH RECURSIVE $clusteredTilesCte,
+        |cells AS (SELECT tile_x, tile_y, count(*) AS n_points
+        |  FROM ctiles GROUP BY 1, 2),
+        |dense AS (SELECT tile_x, tile_y, n_points, tile_x * 1024 + tile_y AS key
+        |  FROM cells WHERE n_points >= 10),
+        |und AS (SELECT a.key AS src, b.key AS dst FROM dense a JOIN dense b
+        |  ON ((a.tile_x - b.tile_x + 1024) % 1024) IN (0, 1, 1023)
+        |  AND abs(a.tile_y - b.tile_y) <= 1
+        |  AND NOT (a.tile_x = b.tile_x AND a.tile_y = b.tile_y)),
+        |reach(id, r) AS (SELECT key, key FROM dense
+        |  UNION SELECT u.dst, re.r FROM reach re JOIN und u ON u.src = re.id),
+        |cc AS (SELECT id AS key, min(r) AS cluster_id FROM reach GROUP BY id),
+        |stats AS (SELECT cluster_id, count(*) AS cluster_size,
+        |    CAST(sum(n_points) AS BIGINT) AS cluster_points
+        |  FROM dense d JOIN cc USING (key) GROUP BY 1)
+        |SELECT d.tile_x, d.tile_y, d.n_points, c.cluster_id,
+        |  s.cluster_size, s.cluster_points
+        |FROM dense d JOIN cc c USING (key) JOIN stats s USING (cluster_id)""".stripMargin,
     "geo_polygon_stats" ->
       s"""WITH polys AS (SELECT * FROM read_parquet('$OracleDir/polys/*.parquet')),
          |px AS (SELECT polygon_id, ring_offsets, ring_lons, ring_lats,

@@ -237,7 +237,14 @@ object Dedup {
       labels.unpersist()
       if (last != null) last.unpersist()
       last = next
-      labels = next.select("id", "label")
+      // plan cut (same role as LinkGraph.cut): each round references the
+      // label vector twice (join + least), so the carried LOGICAL plan
+      // doubles per round — harmless for 2-3-round duplicate stars, a
+      // >2 GB plan string for long-chain topologies (lattice hotspots).
+      // Re-enter the persisted vector as a LogicalRDD leaf; the RDD keeps
+      // its own lineage, so fault tolerance is unchanged.
+      val sel = next.select("id", "label")
+      labels = next.sparkSession.createDataFrame(sel.rdd, sel.schema)
       converged = changed == 0
       iter += 1
     }

@@ -49,6 +49,26 @@ object Tiler {
       .take(zMax - zMin + 1).reduce(_ unionByName _)
   }
 
+  /** Kernel-smoothed density raster ("heatmap"): every hit contributes an
+    * integer binomial 3x3 kernel (4 center / 2 edge / 1 corner — the
+    * separable [1 2 1] stencil) to its tile's neighborhood. Integer weights
+    * keep the per-tile sum EXACT and order-insensitive — a double-valued
+    * kernel would make the rollup partitioning-dependent in the last bit.
+    * Shape: map-only 9-way explode per hit, then ONE map-side-combinable
+    * sum; x wraps at the antimeridian, y rows off the mercator square drop. */
+  def heatmap(hits: DataFrame, z: Int): DataFrame = {
+    val n = 1L << z
+    val kernel = for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"),
+        lit(4L >> (dx.abs + dy.abs)).as("w"))
+    assign(hits, z)
+      .select(col("tile_x"), col("tile_y"), explode(array(kernel: _*)).as("o"))
+      .select(pmod(col("tile_x") + col("o.dx") + n, lit(n)).as("tile_x"),
+        (col("tile_y") + col("o.dy")).as("tile_y"), col("o.w").as("w"))
+      .filter(col("tile_y") >= 0 && col("tile_y") < n)
+      .groupBy("tile_x", "tile_y").agg(sum("w").as("heat"))
+  }
+
   /** Vector side: decode tile ids back to their lon/lat bounding box
     * (raster->vector direction). Inverse of the assignment math. */
   def tileBounds(tiles: DataFrame): DataFrame = {

@@ -139,6 +139,11 @@ object GeoFunctions {
   def tileX(lon: Column, z: Column): Column = invoke(geoCls, LongType, "tileX", lon, z)
   def tileY(lat: Column, z: Column): Column = invoke(geoCls, LongType, "tileY", lat, z)
 
+  /** Morton / Z-order interleave of tile coordinates (locality layout key). */
+  def morton(x: Column, y: Column): Column = invoke(geoCls, LongType, "morton", x, y)
+  def mortonX(z: Column): Column = invoke(geoCls, LongType, "mortonX", z)
+  def mortonY(z: Column): Column = invoke(geoCls, LongType, "mortonY", z)
+
   /** EPSG:3857 meters (OpenCage Mercator annotation — E8). */
   def mercatorX(lon: Column): Column = invoke(geoCls, DoubleType, "mercatorX", lon)
   def mercatorY(lat: Column): Column = invoke(geoCls, DoubleType, "mercatorY", lat)

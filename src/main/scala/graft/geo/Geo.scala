@@ -86,6 +86,45 @@ object Geo {
     if (t < 0) 0L else if (t >= n) n - 1 else t
   }
 
+  // ---- Morton / Z-order locality codes ----------------------------------------
+
+  /** Bit-spread for Morton interleave: the low 31 bits of `v` moved to the
+    * even bit positions of the result (magic-mask doubling, the standard
+    * published construction). */
+  private def mortonSpread(v: Long): Long = {
+    var x = v & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  private def mortonCompact(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+    x
+  }
+
+  /** Morton / Z-order interleave of two non-negative 31-bit tile coordinates:
+    * x occupies the even bit positions, y the odd. Monotone in quadtree
+    * depth-first order, so sorting a table by `morton(tileX, tileY)` gives the
+    * locality-preserving file layout a bbox scan can prune by z-ranges (the
+    * Z-ORDER clustering story at 100 TB — see engine.ZOrder). */
+  def morton(x: Long, y: Long): Long =
+    mortonSpread(x) | (mortonSpread(y) << 1)
+
+  /** Inverse of [[morton]]: the x (even-bit) component. */
+  def mortonX(z: Long): Long = mortonCompact(z)
+
+  /** Inverse of [[morton]]: the y (odd-bit) component. */
+  def mortonY(z: Long): Long = mortonCompact(z >>> 1)
+
   /** EPSG:3857 web-mercator meters (OpenCage `Mercator` annotation,
     * /root/reference/src/opencage.rs:448-451: x=236968.295 for lng 2.1287). */
   def mercatorX(lon: Double): Double = lon * MercMax / 180.0

@@ -98,6 +98,15 @@ object GraftExtensions {
     fn("graft_tile_y", Seq(D, I), "web-mercator tile y at zoom z") { a =>
       StaticInvoke(geoCls, LongType, "tileY", a, returnNullable = false)
     },
+    fn("graft_morton", Seq(L, L), "Morton/Z-order interleave of tile coords") { a =>
+      StaticInvoke(geoCls, LongType, "morton", a, returnNullable = false)
+    },
+    fn("graft_morton_x", Seq(L), "x component of a Morton code") { a =>
+      StaticInvoke(geoCls, LongType, "mortonX", a, returnNullable = false)
+    },
+    fn("graft_morton_y", Seq(L), "y component of a Morton code") { a =>
+      StaticInvoke(geoCls, LongType, "mortonY", a, returnNullable = false)
+    },
     fn("graft_geohash", Seq(D, D, I), "geohash of (lon, lat) at precision") { a =>
       StaticInvoke(internCls, StringType, "geohash", a, returnNullable = false)
     },

@@ -39,7 +39,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_tile_x(11.5884858D, 12), graft_tile_y(48.1700887D, 12),
         |  graft_geohash(11.5884858D, 48.1700887D, 9),
         |  graft_mercator_x(11.5884858D), graft_lv03_e(7.45D, 46.95D),
-        |  graft_dms(48.1700887D, true), graft_simhash('hello world')
+        |  graft_dms(48.1700887D, true), graft_simhash('hello world'),
+        |  graft_morton(2117, 1458), graft_morton_x(graft_morton(2117, 1458)),
+        |  graft_morton_y(graft_morton(2117, 1458))
         |""".stripMargin).head()
     val c13 = CellIndex.encode(11.5884858, 48.1700887, 13)
     assert(r.getLong(0) === c13)
@@ -52,6 +54,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(7) === Geo.wgs84ToLv03E(7.45, 46.95))
     assert(r.getString(8) === Geo.dms(48.1700887, isLat = true))
     assert(r.getLong(9) === TextCore.simhash("hello world"))
+    assert(r.getLong(10) === Geo.morton(2117, 1458))
+    assert(r.getLong(11) === 2117L)
+    assert(r.getLong(12) === 1458L)
   }
 
   test("k_ring explodes in SQL and matches the core ring") {
