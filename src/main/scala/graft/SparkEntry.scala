@@ -1096,6 +1096,9 @@ object SparkEntry {
     "doc_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "doc_readability" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.fleschScore(col("text")), 6).as("flesch"))),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"),
@@ -1856,6 +1859,18 @@ object SparkEntry {
     // disallows /Dir but re-allows exactly one /Dir/p<k>. The oracle picks
     // the winning rule by a DIFFERENT algorithm (join + row_number window
     // ordered len DESC, allow DESC vs the engine's per-row fold)
+    // per-host politeness scheduler over the events table as a fetch log:
+    // lag-window inter-fetch gaps vs a deterministic per-host crawl delay;
+    // one host-keyed exchange feeds both the window and the aggregate
+    "web_crawl_schedule" -> ((s, dir) => {
+      val hostNum = pmod(col("user_id"), lit(20L))
+      graft.web.CrawlSchedule.schedule(
+        s.read.parquet(s"$dir/events.parquet"),
+        concat(lit("host"), hostNum.cast("string"), lit(".example.com")),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_id"),
+        hostNum % 5 + 1)
+    }),
     "web_robots_filter" -> ((s, dir) => {
       val rules = s.range(20).selectExpr(
           "concat('host', id % 5, '.example', id % 4, '.com') AS host",
@@ -4084,6 +4099,16 @@ FROM fin GROUP BY doc_id"""
         |  FROM bands a JOIN bands b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_bands FROM p WHERE n_bands >= 2""".stripMargin,
+    "doc_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS w,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s
+        |  FROM documents)
+        |SELECT doc_id, round(CAST(206.835 AS DOUBLE)
+        |  - CAST(1.015 AS DOUBLE) * (w / s)
+        |  - CAST(84.6 AS DOUBLE) * (y / w), 6) AS flesch
+        |FROM t""".stripMargin,
     "doc_quality" ->
       s"""WITH ${qualityCtes("documents")}
         |SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
@@ -4218,6 +4243,23 @@ FROM fin GROUP BY doc_id"""
          |  COALESCE(b.allow, TRUE) AS allowed,
          |  COALESCE(b.prefix, '') AS matched_prefix
          |FROM hp LEFT JOIN b ON hp.doc_id = b.doc_id""".stripMargin,
+    "web_crawl_schedule" ->
+      """WITH f AS (SELECT
+        |    'host' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS host,
+        |    user_id % 20 % 5 + 1 AS delay_s, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g AS (SELECT host, delay_s, ts_us,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY host ORDER BY ts_us, event_id)
+        |      AS gap_us
+        |  FROM f)
+        |SELECT host, CAST(delay_s AS BIGINT) AS delay_s,
+        |  count(*) AS n_fetches,
+        |  CAST(sum(CASE WHEN gap_us < delay_s * 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  CAST(coalesce(min(gap_us), -1) AS BIGINT) AS min_gap_us,
+        |  CAST(max(ts_us) AS BIGINT) AS last_fetch_us,
+        |  CAST(max(ts_us) + delay_s * 1000000 AS BIGINT) AS next_allowed_us
+        |FROM g GROUP BY host, delay_s""".stripMargin,
     // min-hop by recursive path enumeration (bounded by hop < 4) + GROUP BY
     // min — a different algorithm than the engine's layered visited-set BFS
     "web_crawl_frontier" ->

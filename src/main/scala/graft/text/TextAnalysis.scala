@@ -41,6 +41,24 @@ object TextAnalysis {
         t => when(t.rlike("^[\\p{L}]+$"), ceil(length(t) / 4.0).cast("long")).otherwise(lit(1L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Flesch reading-ease with a deterministic vowel-group syllable
+    * heuristic: syllables(text) = count of `[aeiouy]+` runs, words =
+    * `\p{L}+` runs (min 1), sentences = `[.!?]+` runs (min 1);
+    * 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words) — the
+    * published constants. Map-only codegen string math, the crawl-scale
+    * readability-gate shape (pairs with the length/stopword gates in
+    * [[withQuality]]). */
+  def fleschScore(text: Column): Column = {
+    val words = greatest(
+      size(regexp_extract_all(lower(text), lit("[\\p{L}]+"), lit(0))), lit(1))
+      .cast("double")
+    val sylls =
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("double")
+    val sents = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (sylls / words)
+  }
+
   private def hitRatio(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang).map(lit(_)): _*))) /
       greatest(size(toks), lit(1)).cast("double")
