@@ -22,7 +22,13 @@ object BenchOne {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-one-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE toggle (default on): the flagship plan is map-only — two
+      // broadcast joins, zero data shuffles — so AQE's per-query-stage
+      // re-optimization barriers buy nothing here and add fixed driver
+      // latency per rep; GRAFT_BENCH_AQE=0 measures the job the way a
+      // production deployment would actually configure this plan shape.
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("GRAFT_BENCH_AQE", "1") != "0").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // split sizing: the default 128m maxPartitionBytes + 4m open-cost packs
