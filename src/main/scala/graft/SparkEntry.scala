@@ -553,6 +553,27 @@ object SparkEntry {
     // DuckDB replays every round exactly (see bpeOracleSql)
     "doc_bpe_train" -> ((s, dir) =>
       graft.text.BpeTrain.learnMerges(docs(s, dir), col("text"), rounds = 6)),
+    // checkpoint-resumed BPE training — the pipeline's one inherently
+    // SEQUENTIAL critical path made incremental: a rounds=4 run leaves
+    // blocks bpe_i0..bpe_i4 on disk; the rounds=6 rerun serves all five
+    // from checkpoint (resumed_stages=5, oracle-gated) and trains only the
+    // two new merges — the "extend the vocabulary without redoing 30k
+    // rounds" shape. Final merge table is the bit-exact 6-round replay
+    "doc_bpe_train_resume" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_bpe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val d = docs(s, dir)
+      val fp = s"docs|$dir"
+      graft.text.BpeTrain.learnMergesResumable(s, ck, fp, d, col("text"),
+        rounds = 4).count()
+      val out = graft.text.BpeTrain.learnMergesResumable(s, ck, fp, d,
+        col("text"), rounds = 6)
+      val resumed = Checkpoint.metrics(s, ck)
+        .filter(col("resumed") === true)
+        .agg(countDistinct("stage").as("resumed_stages"))
+      out.crossJoin(broadcast(resumed))
+    }),
     // the ENCODE half: corpus size in learned-BPE tokens (train 6 merges,
     // then a map-only per-occurrence apply + one per-doc sum)
     "doc_bpe_encode" -> ((s, dir) => {
@@ -1840,6 +1861,24 @@ object SparkEntry {
         .agg(countDistinct("stage").as("resumed_stages"))
       out.crossJoin(broadcast(resumed))
     }),
+    // checkpoint-resumed HITS (the second value-propagation shape): kill
+    // after iteration 2, rerun serves blocks i0..i2 from checkpoint
+    // (resumed_stages=3 gated by the oracle) and computes only i3; final
+    // hub/authority vectors are the bit-exact DuckDB replay of web_hits
+    "web_hits_resume" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_hits"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val edges = docs(s, dir).select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 17 + 29) % 64).as("dst"))
+      val fp = s"docs|$dir"
+      graft.web.LinkGraph.hitsResumable(s, edges, iters = 2, ck, fp).count()
+      val out = graft.web.LinkGraph.hitsResumable(s, edges, iters = 3, ck, fp)
+      val resumed = Checkpoint.metrics(s, ck)
+        .filter(col("resumed") === true)
+        .agg(countDistinct("stage").as("resumed_stages"))
+      out.crossJoin(broadcast(resumed))
+    }),
     // crawl-frontier expansion: layered BFS from a 3-node seed list over a
     // deterministic out-degree-≤3 doc-derived link graph, min-hop labels,
     // budget 4 rounds. Third iterative-graph shape (reachability) next to
@@ -2644,6 +2683,13 @@ FROM fin GROUP BY doc_id"""
         |FROM f""".stripMargin,
     "geo_simplify" -> simplifyOracleSql,
     "doc_bpe_train" -> bpeOracleSql(6),
+    // same bit-exact 6-round replay; resumed_stages=5 gates that the
+    // extension run served the rounds=4 checkpoint blocks (bpe_i0..bpe_i4)
+    // instead of retraining them
+    "doc_bpe_train_resume" ->
+      s"""SELECT merge_rank, pair_left, pair_right, merged, pair_n,
+         |  CAST(5 AS BIGINT) AS resumed_stages
+         |FROM (${bpeOracleSql(6)})""".stripMargin,
     "doc_bpe_encode" -> bpeEncodeOracleSql(6),
     "geo_forward_full" ->
       s"""WITH gaz AS (SELECT * FROM read_parquet('$OracleDir/gaz/*.parquet')),
@@ -4279,6 +4325,12 @@ FROM fin GROUP BY doc_id"""
     "web_pagerank_resume" ->
       s"""SELECT node, rank_scaled, CAST(3 AS BIGINT) AS resumed_stages
          |FROM (${pageRankSql(3)})""".stripMargin,
+    // same bit-exact HITS replay; resumed_stages=3 gates that the rerun
+    // served blocks i0..i2 from checkpoint instead of recomputing them
+    "web_hits_resume" ->
+      s"""SELECT node, auth_scaled, hub_scaled,
+         |  CAST(3 AS BIGINT) AS resumed_stages
+         |FROM (${hitsSql(3)})""".stripMargin,
     "web_distinct_kmv" ->
       s"""WITH $urlCanonCtes,
          |hh AS (SELECT DISTINCT host, ${sha60Sql("canon_url")} AS h FROM c),

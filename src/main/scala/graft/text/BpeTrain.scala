@@ -127,6 +127,82 @@ object BpeTrain {
   }
 
   /**
+   * Checkpoint-integrated merge learning: identical algorithm and bit-equal
+   * merge table to [[learnMerges]], with the training state flowing through
+   * [[graft.engine.Iterate.resumable]] — BPE training is the pipeline's one
+   * inherently SEQUENTIAL critical path (each merge conditions the next), so
+   * at a production vocabulary (30k-50k rounds) a killed run that restarts
+   * from round 0 is catastrophic. Here the state after round t — the
+   * rewritten word-TYPE table AND the merges learned so far, as one
+   * two-kind DataFrame (word rows carry `w/cnt/seq`, merge rows carry
+   * `merge_rank/pair_left/pair_right/merged/pair_n`; the other columns are
+   * null) — lands in `<ckptDir>/bpe_i<t>` parquet every `every` rounds with
+   * per-partition lineage, so:
+   *
+   *  - a rerun resumes from the last completed block (lineage
+   *    `resumed=true`), replaying zero pair-stat jobs for finished rounds;
+   *  - EXTENDING the vocabulary is incremental: a `rounds = 50k` run over a
+   *    checkpoint written by a `rounds = 30k` run serves the 30k prefix
+   *    from disk and trains only the 20k new merges (BpeResumeSpec);
+   *  - the parquet leaf at each block bounds the replayed-rewrite depth at
+   *    `every`, subsuming [[CutEvery]].
+   *
+   * Each round still collects its single argmax row inside the block build
+   * (the same one-scalar-per-round driver decision as [[learnMerges]]);
+   * fully-checkpointed blocks never execute it.
+   */
+  def learnMergesResumable(spark: org.apache.spark.sql.SparkSession,
+                           ckptDir: String, inputFingerprint: String,
+                           docs: DataFrame, text: Column, rounds: Int,
+                           tokenFilter: String = "^[a-z0-9]+$",
+                           every: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val nullS = lit(null).cast("string")
+    val fp = s"bpe|$tokenFilter|$inputFingerprint"
+    val fin = graft.engine.Iterate.resumable(
+        spark, ckptDir, "bpe", fp, rounds, every) {
+      docs.select(explode(TextAnalysis.tokens(text)).as("w"))
+        .filter(col("w").rlike(tokenFilter))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          TextFunctions.bpeCharSeq(col("w")).as("seq"),
+          lit(null).cast("int").as("merge_rank"), nullS.as("pair_left"),
+          nullS.as("pair_right"), nullS.as("merged"),
+          lit(null).cast("long").as("pair_n"))
+    } { (state, t) =>
+      val words = state.filter(col("merge_rank").isNull)
+      val best = words
+        .select(explode(TextFunctions.spacePairs(col("seq"))).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("pair_n"))
+        .orderBy(col("pair_n").desc, col("p").asc).limit(1)
+        .collect()
+      if (best.isEmpty) state // corpus out of pairs: every later round too
+      else {
+        val p = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(l, r) = p.split(" ", 2)
+        val pat = sqlLit(" " + p + " ")
+        val rep = sqlLit(" " + l + r + " ")
+        val mergeRow = spark.range(1).select(nullS.as("w"),
+          lit(null).cast("long").as("cnt"), nullS.as("seq"),
+          lit(t).as("merge_rank"), lit(l).as("pair_left"),
+          lit(r).as("pair_right"), lit(l + r).as("merged"),
+          lit(n).as("pair_n"))
+        words.select(col("w"), col("cnt"),
+            expr(s"replace(replace(seq, $pat, $rep), $pat, $rep)").as("seq"),
+            col("merge_rank"), col("pair_left"), col("pair_right"),
+            col("merged"), col("pair_n"))
+          .unionByName(state.filter(col("merge_rank").isNotNull))
+          .unionByName(mergeRow)
+      }
+    }
+    fin.filter(col("merge_rank").isNotNull)
+      .select(col("merge_rank"), col("pair_left"), col("pair_right"),
+        col("merged"), col("pair_n"))
+      .orderBy("merge_rank")
+  }
+
+  /**
    * ENCODE with a learned merge table: per-document BPE token counts — the
    * apply half of the tokenizer (train with [[learnMerges]], then size the
    * corpus in learned-BPE tokens, the number an LLM data pipeline actually

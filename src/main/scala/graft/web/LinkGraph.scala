@@ -208,6 +208,52 @@ object LinkGraph {
     out.select(col("v").as("node"), col("r").as("rank_scaled"))
   }
 
+  /**
+   * Checkpoint-integrated HITS: identical fixed-point arithmetic to
+   * [[hits]] (bit-equal output), with the (auth, hub) state vector flowing
+   * through [[graft.engine.Iterate.resumable]] — materialized to
+   * `<ckptDir>/hits_i<k>` parquet every `every` iterations with
+   * per-partition lineage, so a killed crawl-scale run resumes from the
+   * last completed iteration block instead of iteration 0. The parquet
+   * leaf at each block boundary also cuts the plan (subsuming [[cut]]).
+   *
+   * State after iteration i is ONE narrow DataFrame (v, a, h) — both
+   * half-step vectors together, so a block boundary is always a FULL
+   * iteration (auth and hub consistent); the i=0 state is the classic
+   * un-normalized init (a=0, h=[[HitsScale]]).
+   */
+  def hitsResumable(spark: org.apache.spark.sql.SparkSession,
+                    edges: DataFrame, iters: Int, ckptDir: String,
+                    inputFingerprint: String, every: Int = 1): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().persist()
+    def l1Normalize(raw: DataFrame, c: String): DataFrame = {
+      val tot = broadcast(raw.agg(sum(col(c)).as("__t")))
+      nodes.join(raw, Seq("v"), "left").crossJoin(tot)
+        .select(col("v"),
+          expr(s"coalesce($c, CAST(0 AS BIGINT)) * $HitsScale div __t").as(c))
+    }
+    val fp = s"hits|$inputFingerprint"
+    val out = graft.engine.Iterate.resumable(
+        spark, ckptDir, "hits", fp, iters, every) {
+      nodes.select(col("v"), lit(0L).as("a"), lit(HitsScale).as("h"))
+    } { (state, _) =>
+      val hubs = state.select(col("v"), col("h"))
+      val auths = l1Normalize(
+        e.join(hubs, e("src") === hubs("v"))
+          .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")), "a")
+      val hubsNext = l1Normalize(
+        e.join(auths, e("dst") === auths("v"))
+          .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")), "h")
+      auths.join(hubsNext, Seq("v")).select(col("v"), col("a"), col("h"))
+    }
+    e.unpersist(); nodes.unpersist()
+    out.select(col("v").as("node"), col("a").as("auth_scaled"),
+      col("h").as("hub_scaled"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // cache hygiene mirrors Dedup.connectedComponents: the base tables are

@@ -120,6 +120,47 @@ class IterateResumeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("still changing"))
   }
 
+  test("hitsResumable resumes bit-identical to the in-memory hits") {
+    val ck = ckpt("hits")
+    val truth = LinkGraph.hits(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // "kill" after iteration 2, then continue to 3
+    LinkGraph.hitsResumable(spark, edges, iters = 2, ck, "edges_v1").count()
+    val resumed = LinkGraph.hitsResumable(spark, edges, iters = 3, ck, "edges_v1")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(resumed === truth)
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("hits_i0", "hits_i1", "hits_i2").forall(lin(_) === 1))
+    assert(lin("hits_i3") === 0)
+  }
+
+  test("learnMergesResumable resumes bit-identical to learnMerges and " +
+      "extends the vocabulary incrementally") {
+    val ck = ckpt("bpe")
+    val docsDf = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ate the rat"),
+      (3L, "a cat and a rat sat on a mat")).toDF("doc_id", "text")
+    val truth = graft.text.BpeTrain.learnMerges(docsDf, col("text"), rounds = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sorted
+    // partial vocabulary first (30k-rounds production analogue): 3 rounds
+    val part = graft.text.BpeTrain.learnMergesResumable(
+      spark, ck, "docs_v1", docsDf, col("text"), rounds = 3)
+    assert(part.count() === 3)
+    // the extension run serves rounds 1-3 from checkpoint and trains only
+    // the 3 new merges; result is bit-equal to an uninterrupted 6-round run
+    val resumed = graft.text.BpeTrain.learnMergesResumable(
+        spark, ck, "docs_v1", docsDf, col("text"), rounds = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sorted
+    assert(resumed === truth)
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("bpe_i0", "bpe_i1", "bpe_i2", "bpe_i3").forall(lin(_) === 1))
+    assert(Seq("bpe_i4", "bpe_i5", "bpe_i6").forall(lin(_) === 0))
+  }
+
   test("pageRankResumable resumes bit-identical to the in-memory pageRank") {
     val ck = ckpt("pr")
     val truth = sortedRows(LinkGraph.pageRank(edges, iters = 4))
