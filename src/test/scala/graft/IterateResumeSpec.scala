@@ -161,6 +161,20 @@ class IterateResumeSpec extends AnyFunSuite {
     assert(Seq("bpe_i4", "bpe_i5", "bpe_i6").forall(lin(_) === 0))
   }
 
+  test("learnMergesResumable exhaustion parity: corpus runs out of pairs " +
+      "before the round budget") {
+    val ck = ckpt("bpex")
+    // one word type -> a handful of merges, far fewer than the budget
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val truth = graft.text.BpeTrain.learnMerges(tiny, col("text"), rounds = 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sorted
+    val got = graft.text.BpeTrain.learnMergesResumable(
+        spark, ck, "tiny_v1", tiny, col("text"), rounds = 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sorted
+    assert(got === truth)
+    assert(got.nonEmpty && got.size < 10)
+  }
+
   test("pageRankResumable resumes bit-identical to the in-memory pageRank") {
     val ck = ckpt("pr")
     val truth = sortedRows(LinkGraph.pageRank(edges, iters = 4))
