@@ -1120,6 +1120,13 @@ object SparkEntry {
     "doc_readability" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         round(TextAnalysis.fleschScore(col("text")), 6).as("flesch"))),
+    // DSIR importance resampling (hashed unigram+bigram LLR vs a target
+    // slice, top-k selection): model = ONE combinable 64-bucket count pass,
+    // scoring = broadcast ratio join + per-doc decimal sum, selection =
+    // TakeOrdered threshold broadcast back — never a global sort
+    "doc_dsir" -> ((s, dir) =>
+      graft.text.Dsir.dsirSelect(docs(s, dir), col("doc_id"), col("text"),
+        col("source").isin("src0", "src1"), k = 50)),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"),
@@ -4160,6 +4167,48 @@ FROM fin GROUP BY doc_id"""
         |SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
         |  quality_score
         |FROM q""".stripMargin,
+    // DSIR: DuckDB rebuilds the hashed-ngram model from scratch — bigrams
+    // via a position self-join (vs the engine's windowNgrams call), buckets
+    // via the portable sha60 fold, add-one smoothed LLR per bucket rounded
+    // to 7dp DECIMAL, per-doc sums, and the same top-50 threshold rule
+    "doc_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, source, list_filter(
+        |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ti AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS i FROM tok),
+        |feats AS (
+        |  SELECT doc_id, tok AS g FROM ti
+        |  UNION ALL
+        |  SELECT x.doc_id, x.tok || ' ' || y.tok AS g
+        |  FROM ti x JOIN ti y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |ex AS (SELECT f.doc_id, ${sha60Sql("g")} % 64 AS b,
+        |    (t.source IN ('src0', 'src1')) AS is_t
+        |  FROM feats f JOIN tok t ON t.doc_id = f.doc_id),
+        |cnt AS (SELECT b, count(*) AS cr,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM ex GROUP BY 1),
+        |tot AS (SELECT sum(cr) AS r_tot, sum(ct) AS t_tot FROM cnt),
+        |ratio AS (SELECT b, CAST(round(ln(
+        |    (CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 64 AS DOUBLE)) /
+        |    (CAST(cr + 1 AS DOUBLE) / CAST(r_tot + 64 AS DOUBLE))), 7)
+        |    AS DECIMAL(20,7)) AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT e.doc_id, sum(r.llr) AS wdec
+        |  FROM ex e JOIN ratio r USING (b) GROUP BY 1),
+        |w AS (SELECT tok.doc_id AS doc_key,
+        |    CAST(len(tok.toks) + greatest(len(tok.toks) - 1, 0) AS INT)
+        |      AS n_feats,
+        |    CAST(sc.wdec AS DOUBLE) AS dsir_logw
+        |  FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id),
+        |kth AS (SELECT dsir_logw AS kth_w, doc_key AS kth_key FROM
+        |  (SELECT dsir_logw, doc_key FROM w WHERE dsir_logw IS NOT NULL
+        |   ORDER BY dsir_logw DESC, doc_key ASC LIMIT 50)
+        |  ORDER BY dsir_logw ASC, doc_key DESC LIMIT 1)
+        |SELECT w.doc_key, w.n_feats, w.dsir_logw,
+        |  COALESCE(w.dsir_logw > kth.kth_w
+        |    OR (w.dsir_logw = kth.kth_w AND w.doc_key <= kth.kth_key),
+        |    FALSE) AS selected
+        |FROM w CROSS JOIN kth""".stripMargin,
     // END-TO-END training-data cleaning flagship: exact dedup survivors ->
     // near-dup cluster canonicals only (recursive-CTE components over the
     // verified-pair edges) -> quality gate on the 6dp-rounded score ->
