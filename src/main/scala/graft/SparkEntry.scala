@@ -604,6 +604,12 @@ object SparkEntry {
         .select(col("doc_id"), round(col("logit"), 6).as("logit6"),
           round(col("p_keep"), 6).as("p_keep6"),
           (round(col("p_keep"), 6) >= 0.5).as("keep"))),
+    // TRAINING the quality filter (the step that produces frozen weights):
+    // full-batch logistic GD, label = curated-source slice; each round is
+    // ONE combinable decimal-sum aggregation, weights ride as plan literals
+    "doc_logit_train" -> ((s, dir) =>
+      graft.text.LogitTrain.trainQuality(s, docs(s, dir),
+        col("source").isin("src0", "src1"), rounds = 3, lr = 0.5)),
     // sketch-driven gating: the per-source p90 length from the mergeable
     // histogram broadcast back onto the corpus — the two-pass shape a
     // crawl-scale tail-trim actually runs (sketch pass + map-only gate)
@@ -2438,6 +2444,51 @@ object SparkEntry {
        |FROM a$iters JOIN h$iters ON h$iters.v = a$iters.v""".stripMargin
   }
 
+  /** Unrolled logistic-GD replay for doc_logit_train: DuckDB refits the
+    * quality classifier round by round — identical features (the qualityCtes
+    * transforms), identical 7dp-DECIMAL gradient sums, identical fixed-order
+    * weight updates — so every row of the weight history is bit-exact. */
+  private def logitTrainSql(rounds: Int): String = {
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val base =
+      s"""${qualityCtes("documents")},
+        |f AS (SELECT
+        |    least(m.n_tokens / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS f1,
+        |    m.mean_token_len AS f2, m.punct_ratio AS f3, m.digit_ratio AS f4,
+        |    m.stop_ratio AS f5,
+        |    CASE WHEN d.source IN ('src0', 'src1') THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM m JOIN documents d USING (doc_id)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS (SELECT $zero AS b, $zero AS w1, $zero AS w2, $zero AS w3,
+        |  $zero AS w4, $zero AS w5)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT f.*, CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |    + exp(-(w.b + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3
+         |      + f.f4 * w.w4 + f.f5 * w.w5))) - f.y AS e
+         |  FROM f CROSS JOIN w${i - 1} w),
+         |g$i AS (SELECT sum(CAST(round(e, 7) AS DECIMAL(20,7))) AS s0,
+         |    sum(CAST(round(e * f1, 7) AS DECIMAL(20,7))) AS s1,
+         |    sum(CAST(round(e * f2, 7) AS DECIMAL(20,7))) AS s2,
+         |    sum(CAST(round(e * f3, 7) AS DECIMAL(20,7))) AS s3,
+         |    sum(CAST(round(e * f4, 7) AS DECIMAL(20,7))) AS s4,
+         |    sum(CAST(round(e * f5, 7) AS DECIMAL(20,7))) AS s5 FROM p$i),
+         |w$i AS (SELECT
+         |    w.b  - CAST(0.5 AS DOUBLE) * (CAST(g.s0 AS DOUBLE) / nn.n) AS b,
+         |    w.w1 - CAST(0.5 AS DOUBLE) * (CAST(g.s1 AS DOUBLE) / nn.n) AS w1,
+         |    w.w2 - CAST(0.5 AS DOUBLE) * (CAST(g.s2 AS DOUBLE) / nn.n) AS w2,
+         |    w.w3 - CAST(0.5 AS DOUBLE) * (CAST(g.s3 AS DOUBLE) / nn.n) AS w3,
+         |    w.w4 - CAST(0.5 AS DOUBLE) * (CAST(g.s4 AS DOUBLE) / nn.n) AS w4,
+         |    w.w5 - CAST(0.5 AS DOUBLE) * (CAST(g.s5 AS DOUBLE) / nn.n) AS w5
+         |  FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to rounds).map(i =>
+      s"SELECT CAST($i AS INT) AS iter, b, w1 AS w_ntok, w2 AS w_mtl, " +
+        s"w3 AS w_punct, w4 AS w_digit, w5 AS w_stop FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$steps\n$rows"
+  }
+
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
     * the engine folds into its plan — built programmatically so the oracle
     * can never drift from the engine's table. */
@@ -3348,6 +3399,8 @@ FROM fin GROUP BY doc_id"""
          |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-zz)), 6)
          |    >= CAST(0.5 AS DOUBLE) AS keep
          |FROM z""".stripMargin,
+    // logistic-GD training replay: 3 unrolled rounds, see logitTrainSql
+    "doc_logit_train" -> logitTrainSql(3),
     // the sketch chain for p90 only, joined back onto every document — the
     // gate itself is exact integer comparison
     "doc_length_gate" ->
