@@ -1985,6 +1985,12 @@ object SparkEntry {
     // SemDeDup representative selection: scaled-integer centroid per label
     // (exact floored mean), exact long dots/norms, one fixed-order float
     // chain into the rounded cosine; rep = max cosine, ties to smallest id
+    // Lloyd k-means over the embeddings (the IVF-coarse-quantizer trainer):
+    // per round a MAP-ONLY literal-centroid assignment + ONE combinable
+    // (cluster,pos) aggregation; exact scaled-integer math end to end
+    "emb_kmeans" -> ((s, dir) =>
+      graft.sim.KMeans.kmeans(embs(s, dir), col("vec_id"), col("embedding"),
+        k = 8, rounds = 3)),
     "emb_semantic_rep" -> ((s, dir) =>
       graft.sim.SemDedup.representatives(embs(s, dir),
         col("vec_id"), col("label"), col("embedding"), closeThreshold = 0.8)),
@@ -2487,6 +2493,45 @@ object SparkEntry {
         s"w3 AS w_punct, w4 AS w_digit, w5 AS w_stop FROM w$i")
       .mkString("\nUNION ALL ")
     s"WITH $base,\n$steps\n$rows"
+  }
+
+  /** Unrolled Lloyd-k-means replay for emb_kmeans: DuckDB re-runs every
+    * round — fixed-point conversion, argmin assignment (row_number, a
+    * different algorithm than the engine's least-of-structs), exact floored
+    * integer centroid means with empty-cluster carryover — bit-for-bit. */
+  private def kmeansSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""sv AS (SELECT vec_id AS id,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS s
+        |  FROM embeddings),
+        |init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+        |    AS kk
+        |  FROM (SELECT DISTINCT id FROM sv ORDER BY id LIMIT $k)),
+        |c0 AS (SELECT init.kk, sv.pos, sv.s AS c
+        |  FROM init JOIN sv USING (id))""".stripMargin
+    def assignStep(i: Int, prev: Int): String =
+      s"""d$i AS (SELECT sv.id, c.kk,
+         |    CAST(sum((sv.s - c.c) * (sv.s - c.c)) AS BIGINT) AS dist
+         |  FROM sv JOIN c$prev c ON c.pos = sv.pos GROUP BY 1, 2),
+         |a$i AS (SELECT id, kk, dist FROM (SELECT id, kk, dist,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, kk) AS rn
+         |  FROM d$i) WHERE rn = 1)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""${assignStep(i, i - 1)},
+         |m$i AS (SELECT a.kk, sv.pos, CAST(sum(sv.s) AS BIGINT) AS ss,
+         |    count(*) AS n
+         |  FROM a$i a JOIN sv ON sv.id = a.id GROUP BY 1, 2),
+         |c$i AS (SELECT p.kk, p.pos,
+         |    COALESCE((m.ss - ((m.ss % m.n + m.n) % m.n)) // m.n, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i m
+         |    ON m.kk = p.kk AND m.pos = p.pos)""".stripMargin
+    }.mkString(",\n")
+    val fin = rounds + 1
+    s"""WITH $base,\n$steps,\n${assignStep(fin, rounds)}
+       |SELECT id AS vec_id, kk AS cluster, dist AS dist_scaled
+       |FROM a$fin""".stripMargin
   }
 
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
@@ -4472,6 +4517,8 @@ FROM fin GROUP BY doc_id"""
     // exact long dots/norms, and the one fixed-order float chain; the rep
     // pick is re-derived by a DIFFERENT algorithm (row_number window vs the
     // engine's combinable min(struct))
+    // Lloyd k-means replay: 3 unrolled rounds + final assignment
+    "emb_kmeans" -> kmeansSql(8, 3),
     "emb_semantic_rep" ->
       """WITH ex AS (SELECT vec_id AS id, label AS lab,
         |    CAST(unnest(range(len(embedding))) AS INT) AS pos,

@@ -70,6 +70,12 @@ object TextInternal {
 
   def int8Dot(a: Array[Byte], b: Array[Byte]): Long = VecCore.int8Dot(a, b)
 
+  def scaleLongs(a: ArrayData, scale: Double): ArrayData =
+    new GenericArrayData(VecCore.scaleLongs(a.toFloatArray(), scale))
+
+  def longSqDist(a: ArrayData, b: ArrayData): Long =
+    VecCore.longSqDist(a.toLongArray(), b.toLongArray())
+
   def int8PackScaled(a: ArrayData, scale: Double): Array[Byte] =
     VecCore.int8PackScaled(a.toFloatArray(), scale)
 
@@ -207,6 +213,12 @@ object TextFunctions {
   def vecMaxAbs(a: Column): Column = invoke(DoubleType, "vecMaxAbs", a)
   def int8Pack(a: Column): Column = invoke(BinaryType, "int8Pack", a)
   def int8Dot(a: Column, b: Column): Column = invoke(LongType, "int8Dot", a, b)
+
+  def scaleLongs(a: Column, scale: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "scaleLongs", a, scale)
+
+  def longSqDist(a: Column, b: Column): Column =
+    invoke(LongType, "longSqDist", a, b)
   def int8PackScaled(a: Column, scale: Column): Column =
     invoke(BinaryType, "int8PackScaled", a, scale)
   def pqEncode(code: Column, books: Column, m: Column, ks: Column): Column =

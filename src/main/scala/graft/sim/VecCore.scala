@@ -288,4 +288,38 @@ object VecCore {
   /** Nearest centroid id — the IVF list assignment. */
   def nearestCentroid(v: Array[Float], flat: Array[Float]): Int =
     nearestCentroids(v, flat, 1)(0)
+
+  /** [[roundAway]] without the Int narrowing — same exact tie test. */
+  @inline private def roundAwayLong(x: Double): Long = {
+    val a = math.abs(x)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    (if (x < 0) -r else r).toLong
+  }
+
+  /** Fixed-point scaling of a float vector: out[i] = round(v[i] * scale),
+    * ties away from zero — bit-identical to SQL
+    * `CAST(round(CAST(e AS DOUBLE) * scale) AS BIGINT)` in both engines
+    * (the SemDeDup/k-means scaled-integer embedding representation). */
+  def scaleLongs(v: Array[Float], scale: Double): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = roundAwayLong(v(i).toDouble * scale)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact squared L2 distance between two scaled-integer vectors. Safe by
+    * construction for embedding scales: |diff| <= 2 * scale * maxAbs, so at
+    * scale 1e6 and |e| <= 100 the per-term square is <= 4e16 and even
+    * 100-dim sums stay far under 2^63. */
+  def longSqDist(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
 }

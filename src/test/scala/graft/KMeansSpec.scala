@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.KMeans
+
+/** Distributed Lloyd k-means in exact scaled-integer arithmetic. */
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two blobs separate; distances are exact fixed-point integers") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.1f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.9f, 1.0f)), (5L, Seq(1.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = KMeans.kmeans(pts, col("vec_id"), col("embedding"),
+        k = 2, rounds = 3)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    val (blobA, blobB) = (Seq(0L, 1L, 2L).map(r(_)._1),
+      Seq(3L, 4L, 5L).map(r(_)._1))
+    assert(blobA.distinct.size === 1 && blobB.distinct.size === 1)
+    assert(blobA.head !== blobB.head)
+    // centroid of blob A converges to the exact floored mean of the three
+    // scaled points: ((0 + 100000 + 0)/3, (0 + 0 + 100000)/3) = (33333, 33333)
+    val d0 = r(0L)._2
+    assert(d0 === 33333L * 33333L * 2)
+  }
+
+  test("identical init centroids: ties break low, empty cluster carries") {
+    val pts = Seq(
+      (0L, Seq(5.0f, 5.0f)), (1L, Seq(5.0f, 5.0f)),
+      (2L, Seq(0.0f, 0.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = KMeans.kmeans(pts, col("vec_id"), col("embedding"),
+        k = 2, rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // round 1: init c0 == c1, every point ties -> ALL to cluster 0 (low
+    // tiebreak), so cluster 1 is empty and CARRIES its init centroid (5,5).
+    // round 2: the carried centroid wins the two (5,5) points back from the
+    // all-points mean (2.75, 2.75) -> a real 2-cluster split. Without the
+    // carryover rule cluster 1 would have no centroid at all.
+    assert(Seq(0L, 1L).map(r(_)) === Seq(1, 1))
+    assert(Seq(2L, 3L).map(r(_)) === Seq(0, 0))
+  }
+
+  test("final assignment is map-only: no join in the plan") {
+    val pts = (0L to 19L).map(i => (i, Seq(i.toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = KMeans.kmeans(pts, col("vec_id"), col("embedding"),
+        k = 4, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+  }
+}
