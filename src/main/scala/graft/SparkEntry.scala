@@ -1991,6 +1991,25 @@ object SparkEntry {
     "emb_kmeans" -> ((s, dir) =>
       graft.sim.KMeans.kmeans(embs(s, dir), col("vec_id"), col("embedding"),
         k = 8, rounds = 3)),
+    // checkpoint-resumed k-means (fifth resumable iterative op): kill after
+    // round 2, rerun serves blocks i0..i2 from checkpoint (resumed_stages=3
+    // gated by the oracle) and trains only round 3; final assignment is the
+    // bit-exact DuckDB replay of emb_kmeans
+    "emb_kmeans_resume" -> ((s, dir) => {
+      val ck = s"$OracleDir/ckpt_kmeans"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val e = embs(s, dir)
+      val fp = s"embs|$dir"
+      graft.sim.KMeans.kmeansResumable(s, e, col("vec_id"), col("embedding"),
+        k = 8, rounds = 2, ck, fp).count()
+      val out = graft.sim.KMeans.kmeansResumable(s, e, col("vec_id"),
+        col("embedding"), k = 8, rounds = 3, ck, fp)
+      val resumed = Checkpoint.metrics(s, ck)
+        .filter(col("resumed") === true)
+        .agg(countDistinct("stage").as("resumed_stages"))
+      out.crossJoin(broadcast(resumed))
+    }),
     "emb_semantic_rep" -> ((s, dir) =>
       graft.sim.SemDedup.representatives(embs(s, dir),
         col("vec_id"), col("label"), col("embedding"), closeThreshold = 0.8)),
@@ -4519,6 +4538,12 @@ FROM fin GROUP BY doc_id"""
     // engine's combinable min(struct))
     // Lloyd k-means replay: 3 unrolled rounds + final assignment
     "emb_kmeans" -> kmeansSql(8, 3),
+    // same bit-exact replay; resumed_stages=3 gates that the rerun served
+    // blocks i0..i2 from checkpoint instead of recomputing them
+    "emb_kmeans_resume" ->
+      s"""SELECT vec_id, cluster, dist_scaled,
+         |  CAST(3 AS BIGINT) AS resumed_stages
+         |FROM (${kmeansSql(8, 3)})""".stripMargin,
     "emb_semantic_rep" ->
       """WITH ex AS (SELECT vec_id AS id, label AS lab,
         |    CAST(unnest(range(len(embedding))) AS INT) AS pos,

@@ -41,29 +41,88 @@ object KMeans {
              k: Int = 8, rounds: Int = 3): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sv = emb.select(idCol.cast("long").as("id"),
-        TextFunctions.scaleLongs(vecCol, lit(Scale.toDouble)).as("sv"))
-      .persist()
-    var cents: Vector[Array[Long]] = sv.orderBy("id").limit(k).collect()
+    val sv = scaled(emb, idCol, vecCol).persist()
+    var cents = initCentroids(sv, k)
+    for (_ <- 1 to rounds) cents = lloydStep(sv, cents, k)
+    assign(sv, cents).select(col("id").as("vec_id"),
+      col("cluster"), col("dist").as("dist_scaled"))
+  }
+
+  /**
+   * Checkpoint-integrated k-means: identical arithmetic to [[kmeans]]
+   * (bit-equal output), with the k x dim centroid state flowing through
+   * [[graft.engine.Iterate.resumable]] — materialized to
+   * `<ckptDir>/kmeans_i<r>` parquet per round with per-partition lineage,
+   * so a killed crawl-scale training run resumes from the last completed
+   * round instead of round 0. Fully-checkpointed prefixes never re-run the
+   * Lloyd pass (the step closure — including its bounded driver collect —
+   * is only invoked for rounds past the checkpoint).
+   */
+  def kmeansResumable(spark: org.apache.spark.sql.SparkSession,
+                      emb: DataFrame, idCol: Column, vecCol: Column,
+                      k: Int, rounds: Int, ckptDir: String,
+                      inputFingerprint: String, every: Int = 1): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sv = scaled(emb, idCol, vecCol).persist()
+    val fp = s"kmeans|k$k|$inputFingerprint"
+    val state = graft.engine.Iterate.resumable(
+        spark, ckptDir, "kmeans", fp, rounds, every) {
+      toStateDf(spark, initCentroids(sv, k))
+    } { (st, _) =>
+      toStateDf(spark, lloydStep(sv, toMatrix(st, k), k))
+    }
+    assign(sv, toMatrix(state, k)).select(col("id").as("vec_id"),
+      col("cluster"), col("dist").as("dist_scaled"))
+  }
+
+  private def scaled(emb: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    emb.select(idCol.cast("long").as("id"),
+      TextFunctions.scaleLongs(vecCol, lit(Scale.toDouble)).as("sv"))
+
+  /** Deterministic init: the k smallest-id vectors (bounded collect). */
+  private def initCentroids(sv: DataFrame, k: Int): Vector[Array[Long]] = {
+    val cents = sv.orderBy("id").limit(k).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray).toVector
     require(cents.size == k, s"need at least $k vectors, got ${cents.size}")
-    for (_ <- 1 to rounds) {
-      val upd = assign(sv, cents)
-        .select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "s")))
-        .groupBy("cluster", "pos")
-        .agg(sum("s").as("ss"), count(lit(1)).as("n"))
-        // exact floored integer mean (remainder removed first, so div is
-        // exact and floor-vs-trunc can't diverge — the SemDeDup idiom)
-        .select(col("cluster"), col("pos"),
-          expr("(ss - pmod(ss, n)) div n").as("cs"))
-        .collect()
-      val next = Array.tabulate(k)(i => cents(i).clone())
-      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-      cents = next.toVector
-    }
-    assign(sv, cents).select(col("id").as("vec_id"),
-      col("cluster"), col("dist").as("dist_scaled"))
+    cents
+  }
+
+  /** One Lloyd round: map-only assignment + ONE combinable aggregation;
+    * exact floored integer mean (remainder removed first, so div is exact
+    * and floor-vs-trunc can't diverge — the SemDeDup idiom); empty
+    * clusters carry their previous centroid. */
+  private def lloydStep(sv: DataFrame, cents: Vector[Array[Long]],
+                        k: Int): Vector[Array[Long]] = {
+    val upd = assign(sv, cents)
+      .select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "s")))
+      .groupBy("cluster", "pos")
+      .agg(sum("s").as("ss"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        expr("(ss - pmod(ss, n)) div n").as("cs"))
+      .collect()
+    val next = Array.tabulate(k)(i => cents(i).clone())
+    upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    next.toVector
+  }
+
+  /** The centroid matrix as the (cluster, pos, c) checkpoint state. */
+  private def toStateDf(spark: org.apache.spark.sql.SparkSession,
+                        cents: Vector[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (c, ki) =>
+      c.zipWithIndex.map { case (v, pos) => (ki, pos, v) }
+    }.toDF("cluster", "pos", "c")
+  }
+
+  private def toMatrix(state: DataFrame, k: Int): Vector[Array[Long]] = {
+    val rows = state.select("cluster", "pos", "c").collect()
+    require(rows.nonEmpty, "empty k-means checkpoint state")
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.fill(k)(new Array[Long](dim))
+    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    m.toVector
   }
 
   /** Map-only assignment: k literal-centroid distance columns (codegen

@@ -175,6 +175,27 @@ class IterateResumeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 10)
   }
 
+  test("kmeansResumable resumes bit-identical to the in-memory kmeans") {
+    val ck = ckpt("km")
+    val pts = spark.range(0, 60).select(col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"), (col("id") % 11).cast("float"),
+        (col("id") % 5).cast("float")).as("embedding"))
+    val truth = graft.sim.KMeans.kmeans(pts, col("vec_id"), col("embedding"),
+        k = 4, rounds = 4)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    graft.sim.KMeans.kmeansResumable(spark, pts, col("vec_id"),
+      col("embedding"), k = 4, rounds = 2, ck, "pts_v1").count()
+    val resumed = graft.sim.KMeans.kmeansResumable(spark, pts, col("vec_id"),
+        col("embedding"), k = 4, rounds = 4, ck, "pts_v1")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(resumed === truth)
+    val lin = Checkpoint.metrics(spark, ck)
+      .groupBy("stage").agg(max(col("resumed").cast("int")).as("res"))
+      .as[(String, Int)].collect().toMap
+    assert(Seq("kmeans_i0", "kmeans_i1", "kmeans_i2").forall(lin(_) === 1))
+    assert(Seq("kmeans_i3", "kmeans_i4").forall(lin(_) === 0))
+  }
+
   test("pageRankResumable resumes bit-identical to the in-memory pageRank") {
     val ck = ckpt("pr")
     val truth = sortedRows(LinkGraph.pageRank(edges, iters = 4))
