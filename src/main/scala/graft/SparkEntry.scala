@@ -1126,6 +1126,20 @@ object SparkEntry {
     "doc_readability" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         round(TextAnalysis.fleschScore(col("text")), 6).as("flesch"))),
+    // cross-snapshot n-gram NOVELTY audit (the recrawl-budget metric):
+    // candidates = planted tail-modified + unchanged copies; ref window set
+    // is ONE combinable distinct over sha60-hashed windows (narrow longs)
+    "doc_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"),
+            lit(" entirely novel trailing sentence for the audit")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.dedup.SubstringDedup.windowNovelty(newDocs, col("doc_id"),
+        col("text"), d, col("text"), n = 8)
+    }),
     // DSIR importance resampling (hashed unigram+bigram LLR vs a target
     // slice, top-k selection): model = ONE combinable 64-bucket count pass,
     // scoring = broadcast ratio join + per-doc decimal sum, selection =
@@ -1991,6 +2005,18 @@ object SparkEntry {
     "emb_kmeans" -> ((s, dir) =>
       graft.sim.KMeans.kmeans(embs(s, dir), col("vec_id"), col("embedding"),
         k = 8, rounds = 3)),
+    // cluster-balanced diversity sampling: k-means assignment -> up to 16
+    // members per cluster by a deterministic sha60 priority (the
+    // capPerStratum bounded window) — the "sample evenly across semantic
+    // clusters" step that follows k-means in a curation pipeline
+    "emb_cluster_sample" -> ((s, dir) => {
+      val asg = graft.sim.KMeans.kmeans(embs(s, dir), col("vec_id"),
+        col("embedding"), k = 8, rounds = 3)
+      val pri = graft.functions.TextFunctions.sha60(col("vec_id").cast("string"))
+      graft.text.Corpus.capPerStratum(asg.withColumn("prio", pri),
+          col("cluster"), col("vec_id"), col("prio"), n = 16)
+        .select(col("vec_id"), col("cluster"), col("prio"), col("strat_rank"))
+    }),
     // checkpoint-resumed k-means (fifth resumable iterative op): kill after
     // round 2, rerun serves blocks i0..i2 from checkpoint (resumed_stages=3
     // gated by the oracle) and trains only round 3; final assignment is the
@@ -4284,6 +4310,39 @@ FROM fin GROUP BY doc_id"""
         |SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
         |  quality_score
         |FROM q""".stripMargin,
+    // novelty audit: DuckDB rebuilds both window streams (list_transform
+    // slices vs the engine's codegen windowNgrams), the sha60-hashed
+    // distinct reference set, and the per-doc miss counts
+    "doc_novelty" ->
+      s"""WITH nd AS (SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' entirely novel trailing sentence for the audit' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |rt AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |rw AS (SELECT DISTINCT ${sha60Sql("win_text")} AS wh FROM
+        |  (SELECT unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS win_text
+        |    FROM rt WHERE len(toks) >= 8)),
+        |nt AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM nd),
+        |ne AS (SELECT doc_id, ${sha60Sql("win_text")} AS wh FROM
+        |  (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS win_text
+        |    FROM nt WHERE len(toks) >= 8)),
+        |per AS (SELECT ne.doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN rw.wh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM ne LEFT JOIN rw USING (wh) GROUP BY 1)
+        |SELECT nd.doc_id AS doc_key,
+        |  COALESCE(per.n_windows, 0) AS n_windows,
+        |  COALESCE(per.n_novel, 0) AS n_novel,
+        |  round(CAST(per.n_novel AS DOUBLE) / CAST(per.n_windows AS DOUBLE), 6)
+        |    AS novelty_ratio
+        |FROM nd LEFT JOIN per USING (doc_id)""".stripMargin,
     // DSIR: DuckDB rebuilds the hashed-ngram model from scratch — bigrams
     // via a position self-join (vs the engine's windowNgrams call), buckets
     // via the portable sha60 fold, add-one smoothed LLR per bucket rounded
@@ -4538,6 +4597,17 @@ FROM fin GROUP BY doc_id"""
     // engine's combinable min(struct))
     // Lloyd k-means replay: 3 unrolled rounds + final assignment
     "emb_kmeans" -> kmeansSql(8, 3),
+    // cluster-balanced sampling: the kmeans replay + the same sha60
+    // priority and per-cluster rank rule
+    "emb_cluster_sample" ->
+      s"""WITH km AS (${kmeansSql(8, 3)}),
+         |p AS (SELECT vec_id, cluster,
+         |    ${sha60Sql("CAST(vec_id AS VARCHAR)")} AS prio FROM km),
+         |r AS (SELECT vec_id, cluster, prio,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY prio DESC, vec_id) AS INT) AS strat_rank FROM p)
+         |SELECT vec_id, cluster, prio, strat_rank FROM r
+         |WHERE strat_rank <= 16""".stripMargin,
     // same bit-exact replay; resumed_stages=3 gates that the rerun served
     // blocks i0..i2 from checkpoint instead of recomputing them
     "emb_kmeans_resume" ->

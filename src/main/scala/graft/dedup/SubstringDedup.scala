@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.text.TextAnalysis
 
 /**
@@ -110,5 +111,49 @@ object SubstringDedup {
       .select(col("doc_key"),
         array_join(col("__kept"), " ").as("clean_text"),
         (size(col("__toks")) - size(col("__kept"))).as("n_removed_tokens"))
+  }
+
+  /**
+   * Cross-snapshot n-gram NOVELTY audit — "how much of this crawl is new
+   * content?": for each candidate document, the fraction of its n-token
+   * windows never seen in the reference snapshot. The recrawl-budget
+   * metric that sits next to incremental dedup (which answers the
+   * document-level question; this answers it at substring granularity, so
+   * a rewritten page with one new paragraph scores its paragraph, not 0
+   * or 1).
+   *
+   * Scale shape: the reference window set is ONE combinable distinct over
+   * sha60-hashed windows (narrow longs, never the window strings); the
+   * candidate side explodes once, joins on the hash, and aggregates
+   * per-doc — one hash-keyed exchange each side. Windows hash through the
+   * engine-wide portable sha60, so DuckDB replays the whole audit.
+   *
+   * @return (doc_key, n_windows: long, n_novel: long, novelty_ratio:
+   *         double — null when the doc has fewer than n tokens)
+   */
+  def windowNovelty(newDocs: DataFrame, key: Column, text: Column,
+                    ref: DataFrame, refText: Column, n: Int): DataFrame = {
+    require(n >= 2, s"window size must be >= 2, got $n")
+    val refW = ref
+      .select(explode(TextFunctions.windowNgrams(refText, lit(n))).as("w"))
+      .select(TextFunctions.sha60(col("w")).as("wh"))
+      .distinct()
+      .withColumn("seen", lit(1))
+    val ex = newDocs
+      .select(key.as("doc_key"),
+        explode(TextFunctions.windowNgrams(text, lit(n))).as("w"))
+      .select(col("doc_key"), TextFunctions.sha60(col("w")).as("wh"))
+    val per = ex.join(refW, Seq("wh"), "left")
+      .groupBy("doc_key")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("seen").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+    newDocs.select(key.as("doc_key"))
+      .join(per, Seq("doc_key"), "left")
+      .select(col("doc_key"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_windows").cast("double"), 6).as("novelty_ratio"))
   }
 }
