@@ -1312,6 +1312,20 @@ object SparkEntry {
           e.filter(col("vec_id") < 8), k = 5, nprobe = 8, cents, scale, books)
         .withColumn("score", round(col("score"), 6))
     }),
+    // margin-based bitext mining (the Artetxe & Schwenk ratio-margin shape):
+    // best-margin target per source vector over two brute-kNN directions,
+    // 7dp-DECIMAL neighborhood sums, one fixed-order margin division, a
+    // 6dp-rounded gate, and the two-way mutuality flag — the WHOLE chain is
+    // re-derived by the oracle. The kNN stage is pluggable (IVF/LSH at
+    // world scale); brute here makes the contract row exact
+    "emb_bitext_mine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.sim.BitextMine.mine(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          k = 3, minMargin = 1.02)
+        .select(col("src_id"), col("tgt_id"), round(col("cos"), 6).as("cos"),
+          round(col("margin"), 6).as("margin"), col("mutual"))
+    }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(oraclePages(s, dir))
         .select("url", "bin_len", "mime", "content_hash")),
@@ -1868,6 +1882,28 @@ object SparkEntry {
         docs(s, dir).select((col("doc_id") % 64).as("src"),
           ((col("doc_id") * 17 + 29) % 64).as("dst")),
         iters = 3)),
+    // TrustRank (the web-spam demotion signal): the same fixed-point
+    // PageRank chain with teleport restricted to a trusted seed set (the
+    // v % 8 = 0 nodes of the 64-node doc-derived graph) — every iteration
+    // replayed bit-exactly by the oracle; seed-unreachable link farms get
+    // exactly zero trust
+    "web_trustrank" -> ((s, dir) =>
+      graft.web.LinkGraph.trustRank(
+        docs(s, dir).select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 17 + 29) % 64).as("dst")),
+        s.range(0, 64, 8).toDF("node"), iters = 3)),
+    // relative spam mass = (pagerank - trust) / pagerank in ppm fixed
+    // point, clamped BEFORE the integral division so both engines stay on
+    // the non-negative domain where div and // agree — the TrustRank
+    // paper's detection metric, joining the two rank vectors
+    "web_spam_mass" -> ((s, dir) => {
+      val edges = docs(s, dir).select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 17 + 29) % 64).as("dst"))
+      graft.web.LinkGraph.spamMass(
+        graft.web.LinkGraph.pageRank(edges, iters = 3),
+        graft.web.LinkGraph.trustRank(edges,
+          s.range(0, 64, 8).toDF("node"), iters = 3))
+    }),
     // checkpoint-resumed PageRank (E10 x iterative ops): a cold run killed
     // after iteration 2 leaves blocks i0..i2 on disk; the rerun serves all
     // three from checkpoint (lineage resumed=true) and computes only i3.
@@ -2318,6 +2354,45 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
 
+  /** Bitext-mining oracle: both brute-kNN directions (k=3) over the
+    * even/odd vec_id split, 7dp-DECIMAL neighborhood sums, the engine's
+    * exact fixed-order margin chain, best-margin pick, 6dp gate at 1.02,
+    * and the backward-top-k mutuality flag — replays BitextMine.mine
+    * end-to-end. */
+  private val EmbBitextSql =
+    """WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |pc AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |  list_sum(list_transform(list_zip(s.embedding, t.embedding),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM src s, tgt t),
+        |fwd AS (SELECT sid AS query_id, tid AS item_id, cos,
+        |  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS rn FROM pc),
+        |fk AS (SELECT * FROM fwd WHERE rn <= 3),
+        |bwd AS (SELECT tid AS query_id, sid AS item_id, cos,
+        |  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS rn FROM pc),
+        |bk AS (SELECT * FROM bwd WHERE rn <= 3),
+        |sfd AS (SELECT query_id, sum(CAST(round(cos, 7) AS DECIMAL(20,7))) AS hood_sum,
+        |  count(*) AS hood_n FROM fk GROUP BY 1),
+        |sbd AS (SELECT query_id AS item_id, sum(CAST(round(cos, 7) AS DECIMAL(20,7))) AS hood_sum_b,
+        |  count(*) AS hood_n_b FROM bk GROUP BY 1),
+        |sc AS (SELECT fk.query_id, fk.item_id, fk.cos,
+        |    fk.cos / ((CAST(sfd.hood_sum AS DOUBLE) / CAST(sfd.hood_n AS DOUBLE)
+        |      + CAST(sbd.hood_sum_b AS DOUBLE) / CAST(sbd.hood_n_b AS DOUBLE))
+        |      / CAST(2.0 AS DOUBLE)) AS margin
+        |  FROM fk JOIN sfd ON sfd.query_id = fk.query_id
+        |    JOIN sbd ON sbd.item_id = fk.item_id),
+        |pk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY margin DESC, item_id) AS pick FROM sc)
+        |SELECT pk.query_id AS src_id, pk.item_id AS tgt_id,
+        |  round(pk.cos, 6) AS cos, round(pk.margin, 6) AS margin,
+        |  (m.m_src IS NOT NULL) AS mutual
+        |FROM pk LEFT JOIN (SELECT DISTINCT item_id AS m_src, query_id AS m_tgt FROM bk) m
+        |  ON pk.query_id = m.m_src AND pk.item_id = m.m_tgt
+        |WHERE pk.pick = 1 AND round(pk.margin, 6) >= CAST(1.02 AS DOUBLE)""".stripMargin
+
   /** Shared SQ8 CTE chain: per-vector maxAbs scale, ties-away int8 codes
     * (the CASE guards the all-zero vector exactly like VecCore.int8Pack),
     * and exact integer dots for the 8-query x corpus pair set — the DuckDB
@@ -2463,6 +2538,40 @@ object SparkEntry {
          |  FROM nodes LEFT JOIN c$i ON c$i.v = nodes.v)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps\nSELECT v AS node, r AS rank_scaled FROM r$iters"
+  }
+
+  /** TrustRank oracle: the pageRank fixed-point chain with teleportation
+    * restricted to the seed CTE (v % 8 = 0 — exactly the engine's
+    * range(0,64,8) seed set intersected with the node vector), every
+    * iteration unrolled; `//` == Spark `div` on the all-non-negative
+    * domain, every sum cast to BIGINT against HUGEINT widening. */
+  private def trustRankSql(iters: Int): String = {
+    val base =
+      """e0 AS (SELECT DISTINCT doc_id % 64 AS src,
+        |    (doc_id * 17 + 29) % 64 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT src AS v FROM e0
+        |  UNION SELECT DISTINCT dst FROM e0),
+        |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+        |sd AS (SELECT v FROM nodes WHERE v % 8 = 0),
+        |nsd AS (SELECT count(*) AS ns FROM sd),
+        |t0 AS (SELECT nodes.v, CASE WHEN sd.v IS NOT NULL
+        |    THEN 1000000000000 // (SELECT ns FROM nsd)
+        |    ELSE CAST(0 AS BIGINT) END AS r
+        |  FROM nodes LEFT JOIN sd ON sd.v = nodes.v)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""tc$i AS (SELECT e.dst AS v,
+         |    CAST(sum((r.r * 85) // (od.outdeg * 100)) AS BIGINT) AS s
+         |  FROM e0 e JOIN t${i - 1} r ON r.v = e.src
+         |  JOIN od ON od.src = e.src GROUP BY e.dst),
+         |t$i AS (SELECT nodes.v,
+         |    CAST(CASE WHEN sd.v IS NOT NULL
+         |        THEN (15 * 1000000000000) // (100 * (SELECT ns FROM nsd))
+         |        ELSE CAST(0 AS BIGINT) END
+         |      + COALESCE(tc$i.s, CAST(0 AS BIGINT)) AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN sd ON sd.v = nodes.v
+         |  LEFT JOIN tc$i ON tc$i.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$steps\nSELECT v AS node, r AS trust_scaled FROM t$iters"
   }
 
   /** HITS oracle: both half-steps of every iteration unrolled as CTEs in
@@ -4211,6 +4320,7 @@ FROM fin GROUP BY doc_id"""
     // persisted posting-list table + bucket-pruned scan must reproduce the
     // brute-force top-k exactly
     "emb_knn_ivf_bucketed" -> EmbKnnBruteSql,
+    "emb_bitext_mine" -> EmbBitextSql,
     // the full portable LSH-kNN plan recomputed from raw vectors: sha256
     // Rademacher planes ('hp:t:j:d', the emb_neardup_portable family),
     // ordered-fold projections, per-table bucket keys, multi-probe = key
@@ -4490,6 +4600,16 @@ FROM fin GROUP BY doc_id"""
          |  arg_max(doc_id, fetch_ts) AS latest_doc, count(*) AS n_captures
          |FROM t GROUP BY 1""".stripMargin,
     "web_pagerank" -> pageRankSql(3),
+    "web_trustrank" -> trustRankSql(3),
+    // spam mass joins the two independently-unrolled rank chains; the
+    // deficit clamps to 0 BEFORE the integral division (non-negative
+    // domain, where DuckDB // == Spark div)
+    "web_spam_mass" ->
+      s"""SELECT p.node, p.rank_scaled, t.trust_scaled,
+         |  (greatest(CAST(0 AS BIGINT), p.rank_scaled - t.trust_scaled)
+         |    * 1000000) // p.rank_scaled AS spam_mass_ppm
+         |FROM (${pageRankSql(3)}) p
+         |JOIN (${trustRankSql(3)}) t ON t.node = p.node""".stripMargin,
     // winning robots rule re-picked by join + row_number window (longest
     // prefix, Allow on ties, lexicographic last) vs the engine's fold
     "web_robots_filter" ->

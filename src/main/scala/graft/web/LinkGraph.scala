@@ -295,6 +295,102 @@ object LinkGraph {
   }
 
   /**
+   * TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank with
+   * teleportation restricted to a TRUSTED seed set — the classic web-spam
+   * demotion signal a training-data pipeline computes before sampling a
+   * crawl. Pages reachable from the trusted core in few hops keep mass;
+   * spam farms (well-interlinked but unreferenced by trusted hosts) get
+   * none, however high their plain PageRank.
+   *
+   * Identical fixed-point arithmetic and scale shape to [[pageRank]]
+   * (narrow (node, long) per-iteration shuffles, map-side partials on hot
+   * dst keys, O(1) plan via [[cut]], no driver-side state), with the
+   * teleport term landing ONLY on seed nodes:
+   *
+   *   r_0(v)     = [v in S] * Scale div |S|
+   *   r_{i+1}(v) = [v in S] * (100-d) * Scale div (100 * |S|)
+   *                + sum_{u->v} (r_i(u) * d) div (outdeg(u) * 100)
+   *
+   * Seeds outside the edge list's node set are ignored (they could receive
+   * no links and pass no mass). All quantities stay non-negative longs, so
+   * the integral `div` chain is bit-reproducible across engines and
+   * cluster sizes — the same property that lets DuckDB replay [[pageRank]].
+   *
+   * @param edges (src: long, dst: long) — duplicates collapsed
+   * @param seeds one `node: long` column — the trusted set
+   * @return (node: long, trust_scaled: long) — trust * [[Scale]]
+   */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    // seed flag pinned onto the node vector once; |S| as a broadcast 1-row
+    // aggregate, never a collect
+    val flagged = nodes.join(
+        seeds.select(col("node").as("v")).distinct()
+          .withColumn("is_seed", lit(1)),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .persist()
+    flagged.count()
+    val nsDf = broadcast(flagged.agg(
+      sum(col("is_seed")).cast("long").as("__ns")))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val base = expr(
+      s"CAST(is_seed AS BIGINT) * ${100 - dampingPct} * $Scale div (100 * __ns)")
+    var ranksCached = flagged.crossJoin(nsDf)
+      .select(col("v"),
+        expr(s"CAST(is_seed AS BIGINT) * $Scale div __ns").as("r"))
+      .persist()
+    ranksCached.count()
+    var ranks = cut(ranksCached)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("v"))
+        .join(outdeg, "src")
+        .select(col("dst").as("v"),
+          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      val next = flagged.crossJoin(nsDf)
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
+        .persist()
+      next.count()
+      ranksCached.unpersist()
+      ranksCached = next
+      ranks = cut(next)
+    }
+    val out = ranks.select(col("v").as("node"), col("r").as("trust_scaled"))
+      .persist()
+    out.count()
+    ranksCached.unpersist(); e.unpersist(); flagged.unpersist()
+    outdeg.unpersist()
+    out
+  }
+
+  /**
+   * Relative spam mass (the TrustRank paper's detection metric): the
+   * fraction of a node's PageRank NOT accounted for by trust,
+   * `(pr - trust) / pr`, in parts-per-million fixed point, clamped at 0
+   * (trusted seeds can carry more teleport mass than plain PageRank gives
+   * them). High spam mass + high PageRank = the classic link-farm
+   * signature a corpus curation pass down-weights.
+   *
+   * One equi-join of the two rank vectors (both keyed and already
+   * partitioned on `node`); the deficit is clamped BEFORE the division so
+   * every operand stays non-negative — the domain where Spark's `div`
+   * (truncate toward zero) and an external engine's floor division agree —
+   * and the oracle replays it exactly.
+   */
+  def spamMass(pageRanks: DataFrame, trustRanks: DataFrame): DataFrame =
+    pageRanks.join(trustRanks, Seq("node"))
+      .select(col("node"), col("rank_scaled"), col("trust_scaled"),
+        expr("(greatest(CAST(0 AS BIGINT), rank_scaled - trust_scaled)" +
+          " * 1000000) div rank_scaled")
+          .as("spam_mass_ppm"))
+
+  /**
    * Crawl-frontier expansion: layered BFS over the link graph from a seed
    * set, labelling every reachable node with its MINIMUM hop distance
    * (≤ `maxHops`). This is the frontier-scheduling primitive of a crawler —

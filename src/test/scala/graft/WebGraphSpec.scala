@@ -41,6 +41,47 @@ class WebGraphSpec extends AnyFunSuite {
     assert(cycle.map(_.getLong(1)).forall(_ === LinkGraph.Scale / 2))
   }
 
+  test("trustRank: seed-unreachable nodes get zero, seeds keep teleport") {
+    // trusted 0 -> 1 -> 2 chain; spam farm 10 <-> 11 interlinked but
+    // unreferenced from the trusted side
+    val e = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val t = LinkGraph.trustRank(e, seeds, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(t.keySet === Set(0L, 1L, 2L, 10L, 11L))
+    // the farm is unreachable from the seed: exactly zero trust, however
+    // well it interlinks — the property plain PageRank lacks
+    assert(t(10L) === 0L && t(11L) === 0L)
+    // trust decays along the chain, seed holds the teleport mass
+    assert(t(0L) > t(1L) && t(1L) > t(2L) && t(2L) > 0L)
+    // total trust mass <= Scale (integral truncation only loses)
+    assert(t.values.sum <= LinkGraph.Scale)
+    // bit-reproducible
+    val t2 = LinkGraph.trustRank(e, seeds, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(t === t2)
+    // seeds outside the node set are ignored, not divided into
+    val t3 = LinkGraph.trustRank(e, Seq(0L, 999L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(t3 === t)
+  }
+
+  test("spamMass: farm at ~1e6 ppm, trusted chain low, seed clamped to 0") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val pr = LinkGraph.pageRank(e, iters = 3)
+    val tr = LinkGraph.trustRank(e, seeds, iters = 3)
+    val sm = LinkGraph.spamMass(pr, tr).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // zero-trust farm: spam mass == 1e6 ppm exactly
+    assert(sm(10L) === 1000000L && sm(11L) === 1000000L)
+    // the seed's trust exceeds its plain rank -> clamped to 0
+    assert(sm(0L) === 0L)
+    // the trusted cycle sits well below the farm
+    assert(sm(1L) < 500000L && sm(2L) < 500000L)
+  }
+
   test("kmvDistinct: exact below k, estimate within 50% above k") {
     val df = (0 until 400).map(i => (s"g${i % 4}", s"v${i % (50 * (i % 4 + 1))}"))
       .toDF("g", "v")
