@@ -1039,6 +1039,17 @@ object SparkEntry {
       Dedup.jaccardVerify(nearDupCand(d), d, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
+    // asymmetric shingle containment over the same deterministic candidate
+    // set: the quote/boilerplate-inclusion signal Jaccard misses when the
+    // pair differs in size — a base doc fully contained in its
+    // tail-appended near-dup scores containment_ab = 1.0 exactly; both
+    // directions emitted, pair kept when either clears the gate
+    "doc_containment" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      Dedup.containmentVerify(nearDupCand(d), d, threshold = 0.9)
+        .withColumn("containment_ab", round(col("containment_ab"), 6))
+        .withColumn("containment_ba", round(col("containment_ba"), 6))
+    }),
     // duplicate-pair CLUSTERING: verified near-dup pairs -> connected
     // components (min-label propagation with pointer shortcut) -> per-cluster
     // canonical pick; oracle = DuckDB recursive-CTE reachability over the
@@ -1882,6 +1893,29 @@ object SparkEntry {
         docs(s, dir).select((col("doc_id") % 64).as("src"),
           ((col("doc_id") * 17 + 29) % 64).as("dst")),
         iters = 3)),
+    // deterministic synchronous label-propagation communities (LPA with
+    // ties to the smallest label — bit-reproducible, unlike classic
+    // random-tie LPA): 3 rounds over the undirected doc graph; per round
+    // one edge-label equi-join + two combinable aggs (count, then the
+    // min(struct(-n, label)) argmax — no window, no sort)
+    "web_communities" -> ((s, dir) =>
+      graft.web.LinkGraph.labelPropagation(
+        docs(s, dir).select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 17 + 29) % 64).as("dst")),
+        iters = 3)),
+    // co-citation similarity ("linked from the same page") over a 2-out
+    // edge set plus a 64-out directory supernode that the maxOutdeg cap
+    // EXCLUDES (the d^2 pair fan-out containment) — the oracle replays the
+    // cap and the canonical a < b pair counts
+    "web_cocitation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 17 + 29) % 64).as("dst"))
+        .unionByName(d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 29 + 17) % 64).as("dst")))
+        .unionByName(d.select(lit(0L).as("src"), (col("doc_id") % 64).as("dst")))
+      graft.web.LinkGraph.coCitation(e, maxOutdeg = 16)
+    }),
     // TrustRank (the web-spam demotion signal): the same fixed-point
     // PageRank chain with teleport restricted to a trusted seed set (the
     // v % 8 = 0 nodes of the 64-node doc-derived graph) — every iteration
@@ -2572,6 +2606,30 @@ object SparkEntry {
          |  LEFT JOIN tc$i ON tc$i.v = nodes.v)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps\nSELECT v AS node, r AS trust_scaled FROM t$iters"
+  }
+
+  /** Deterministic-LPA oracle: every synchronous round unrolled — the
+    * (node, label) neighbour counts and the argmax with ties to the
+    * smallest label (row_number ORDER BY n DESC, label == the engine's
+    * min(struct(-n, label))). */
+  private def lpaSql(iters: Int): String = {
+    val base =
+      """eu AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 64 AS src, (doc_id * 17 + 29) % 64 AS dst
+        |      FROM documents
+        |    UNION ALL
+        |    SELECT (doc_id * 17 + 29) % 64 AS src, doc_id % 64 AS dst
+        |      FROM documents) u
+        |  WHERE src <> dst),
+        |l0 AS (SELECT DISTINCT src AS v, src AS label FROM eu)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""lc$i AS (SELECT e.src AS v, l.label, count(*) AS n
+         |  FROM eu e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2),
+         |l$i AS (SELECT v, label FROM (SELECT v, label,
+         |    row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rn
+         |  FROM lc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$steps\nSELECT v AS node, label FROM l$iters"
   }
 
   /** HITS oracle: both half-steps of every iteration unrolled as CTEs in
@@ -3298,6 +3356,28 @@ FROM fin GROUP BY doc_id"""
       s"""WITH $nearDupJaccardCtes
         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jj
         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    // asymmetric containment in both directions over the same shingle sets
+    // and candidate pairs; single exact-integer-operand divisions, IEEE
+    // identical to the engine's inter/|sa| chain
+    "doc_containment" ->
+      s"""WITH $nearDupShingleCtes,
+        |cand AS (SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
+        |    FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |cc AS (SELECT c.doc_a, c.doc_b,
+        |    CASE WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        |        / CAST(len(a.sh) AS DOUBLE) END AS c_ab,
+        |    CASE WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE len(list_filter(b.sh, x -> list_contains(a.sh, x)))
+        |        / CAST(len(b.sh) AS DOUBLE) END AS c_ba
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |    JOIN sh b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, round(c_ab, 6) AS containment_ab,
+        |  round(c_ba, 6) AS containment_ba
+        |FROM cc
+        |WHERE c_ab >= CAST(0.9 AS DOUBLE) OR c_ba >= CAST(0.9 AS DOUBLE)""".stripMargin,
     // connected components as transitive-closure reachability: reach(n, m)
     // holds when m reaches n over the undirected verified-pair edges; the
     // component id is min(m) — identical to the engine's min-label fixpoint
@@ -4601,6 +4681,21 @@ FROM fin GROUP BY doc_id"""
          |FROM t GROUP BY 1""".stripMargin,
     "web_pagerank" -> pageRankSql(3),
     "web_trustrank" -> trustRankSql(3),
+    "web_communities" -> lpaSql(3),
+    // co-citation: the outdeg cap excludes the supernode's edges up front,
+    // then canonical a < b pair counts over the capped edge list
+    "web_cocitation" ->
+      """WITH e0 AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 64 AS src, (doc_id * 17 + 29) % 64 AS dst
+        |      FROM documents
+        |    UNION ALL SELECT doc_id % 64, (doc_id * 29 + 17) % 64 FROM documents
+        |    UNION ALL SELECT CAST(0 AS BIGINT), doc_id % 64 FROM documents) u),
+        |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+        |k AS (SELECT e0.src, e0.dst FROM e0 JOIN od ON od.src = e0.src
+        |  WHERE od.outdeg <= 16)
+        |SELECT x.dst AS a, y.dst AS b, count(*) AS cocite
+        |FROM k x JOIN k y ON y.src = x.src AND x.dst < y.dst
+        |GROUP BY 1, 2""".stripMargin,
     // spam mass joins the two independently-unrolled rank chains; the
     // deficit clamps to 0 BEFORE the integral division (non-negative
     // domain, where DuckDB // == Spark div)

@@ -149,6 +149,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment verify over an explicit candidate pair set:
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| in BOTH directions per
+    * pair — the quote/boilerplate-inclusion signal symmetric Jaccard
+    * misses when sizes differ (a page fully quoting a short doc scores
+    * containment_ab ≈ 1 at low Jaccard). Same join shape as
+    * [[jaccardVerify]] (texts carried once per candidate pair); a pair
+    * keeps when EITHER direction clears `threshold`. */
+  def containmentVerify(cand: DataFrame, docs: DataFrame, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3): DataFrame = {
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand.join(texts.withColumnRenamed("id", "doc_a").withColumnRenamed("t", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("id", "doc_b").withColumnRenamed("t", "text_b"), "doc_b")
+      .withColumn("containment_ab", containment(col("text_a"), col("text_b"), lit(shingleN)))
+      .withColumn("containment_ba", containment(col("text_b"), col("text_a"), lit(shingleN)))
+      .filter(col("containment_ab") >= threshold || col("containment_ba") >= threshold)
+      .select("doc_a", "doc_b", "containment_ab", "containment_ba")
+  }
+
   /** Exact n-gram Jaccard on LSH candidates (two-phase: cheap recall join,
     * exact verify needs the texts back — see jaccardVerify). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7,

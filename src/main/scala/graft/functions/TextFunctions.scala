@@ -50,6 +50,9 @@ object TextInternal {
   def jaccard(a: UTF8String, b: UTF8String, shingleN: Int): Double =
     TextCore.jaccard(a.toString, b.toString, shingleN)
 
+  def containment(a: UTF8String, b: UTF8String, shingleN: Int): Double =
+    TextCore.containment(a.toString, b.toString, shingleN)
+
   def winnow(text: UTF8String, k: Int, w: Int): Long =
     TextCore.winnowFingerprint(if (text == null) "" else text.toString, k, w)
 
@@ -202,6 +205,8 @@ object TextFunctions {
   def hamming(a: Column, b: Column): Column = invoke(IntegerType, "hamming", a, b)
   def jaccard(a: Column, b: Column, shingleN: Column): Column =
     invoke(DoubleType, "jaccard", a, b, shingleN)
+  def containment(a: Column, b: Column, shingleN: Column): Column =
+    invoke(DoubleType, "containment", a, b, shingleN)
   def winnow(text: Column, k: Column, w: Column): Column =
     invoke(LongType, "winnow", text, k, w)
   def portableWinnow(text: Column, k: Column, w: Column): Column =

@@ -186,6 +186,25 @@ object TextCore {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
+  /** Asymmetric shingle containment: |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| — the quote/boilerplate-inclusion signal Jaccard
+    * misses when the two texts differ greatly in size (a short doc fully
+    * quoted inside a long one has high containment but low Jaccard).
+    * Same shingle sets as [[jaccard]]. 0.0 when A has no shingles. */
+  def containment(textA: String, textB: String, shingleN: Int): Double = {
+    val a = shingleHashes(textA, shingleN)
+    val b = shingleHashes(textB, shingleN)
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[java.lang.Long]()
+    a.foreach(sa.add(_))
+    val sb = new java.util.HashSet[java.lang.Long]()
+    b.foreach(sb.add(_))
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / sa.size
+  }
+
   /** 64-bit SimHash over unigram token hashes weighted by term frequency. */
   def simhash(text: String): Long = {
     val toks = tokenize(text)

@@ -391,6 +391,87 @@ object LinkGraph {
           .as("spam_mass_ppm"))
 
   /**
+   * Synchronous label-propagation community detection (Raghavan et al.
+   * 2007, made deterministic): over the UNDIRECTED link graph, every node
+   * starts labelled with itself and each round adopts the most frequent
+   * label among its neighbours, ties to the SMALLEST label — the
+   * deterministic tie-break that makes the fixed round count
+   * bit-reproducible on any cluster (classic LPA's random tie-break and
+   * vertex order are not). Communities = same-label groups after `iters`
+   * rounds; the host-cluster / mirror-farm grouping signal of a crawl
+   * corpus, distinct from connected components (which merge everything
+   * touching) and from PageRank (value propagation).
+   *
+   * Scale shape per round: ONE equi-join of the undirected edge list with
+   * the current label vector on the neighbour key, one combinable
+   * (node, label) count, and one combinable per-node argmax — the
+   * min(struct(-n, label)) trick, no window, no sort. Narrow (node, long)
+   * shuffles throughout; per-round persist + [[cut]] keeps the plan O(1).
+   *
+   * @param edges (src: long, dst: long) — direction ignored, self-loops
+   *              dropped, duplicates collapsed
+   * @return (node: long, label: long) — label is some member node id
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    var labelsCached = und.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).persist()
+    labelsCached.count()
+    var labels = cut(labelsCached)
+    for (_ <- 1 to iters) {
+      val next = und.join(labels, und("dst") === labels("v"))
+        .groupBy(und("src"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("n")).as("negn"), col("label").as("l"))).as("t"))
+        .select(col("src").as("v"), col("t.l").as("label"))
+        .persist()
+      next.count()
+      labelsCached.unpersist()
+      labelsCached = next
+      labels = cut(next)
+    }
+    val out = labels.select(col("v").as("node"), col("label")).persist()
+    out.count()
+    labelsCached.unpersist(); und.unpersist()
+    out
+  }
+
+  /**
+   * Co-citation similarity (Small 1973, the link-graph analogue of
+   * "documents cited together are related"): for every pair of link
+   * TARGETS, how many distinct pages link to both. `coCitation(reverse
+   * (edges))` is bibliographic coupling (shared out-links — the mirror /
+   * template-farm signal). Ordered canonically `a < b`.
+   *
+   * Scale shape: the pair fan-out of a source with out-degree d is d², so
+   * sources above `maxOutdeg` are EXCLUDED up front (the standard
+   * supernode containment — a directory page linking to 10^5 targets
+   * asserts almost nothing about any pair) and the drop is loggable from
+   * the returned plan's other side; the self-join is an equi-join on the
+   * source key over the capped edge list, then one combinable count on
+   * (a, b).
+   *
+   * @param edges (src: long, dst: long) — duplicates collapsed
+   * @return (a: long, b: long, cocite: long), a < b
+   */
+  def coCitation(edges: DataFrame, maxOutdeg: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val kept = e.join(od.filter(col("outdeg") <= maxOutdeg), "src")
+      .select(col("src"), col("dst")).persist()
+    val out = kept.as("x").join(kept.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("cocite"))
+    out.persist().count()
+    kept.unpersist()
+    out
+  }
+
+  /**
    * Crawl-frontier expansion: layered BFS over the link graph from a seed
    * set, labelling every reachable node with its MINIMUM hop distance
    * (≤ `maxHops`). This is the frontier-scheduling primitive of a crawler —

@@ -61,6 +61,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: full inclusion scores 1.0 where jaccard stays low") {
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+    // b fully contains a's text plus a long unrelated tail
+    val b = Seq((2L, "alpha beta gamma delta epsilon zeta " +
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"))
+    val d = (a ++ b).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentVerify(cand, d, threshold = 0.9).collect()
+    assert(r.length === 1)
+    // every shingle of a appears in b
+    assert(r(0).getAs[Double]("containment_ab") === 1.0)
+    // but b is mostly NOT in a, and symmetric jaccard would miss the pair
+    assert(r(0).getAs[Double]("containment_ba") < 0.5)
+    val j = Dedup.jaccardVerify(cand, d, threshold = 0.0).collect()
+    assert(j(0).getAs[Double]("jaccard") < 0.5)
+    // the gate drops unrelated pairs in both directions
+    val neg = Seq((3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentVerify(Seq((1L, 3L)).toDF("doc_a", "doc_b"),
+      d.unionByName(neg), threshold = 0.9).count() === 0)
+  }
+
   test("simhash blocking finds hamming<=3 pairs with full recall vs brute force") {
     val base = docs.select($"doc_id", $"text").limit(150)
     val near = base.filter($"doc_id" < 5)

@@ -82,6 +82,38 @@ class WebGraphSpec extends AnyFunSuite {
     assert(sm(1L) < 500000L && sm(2L) < 500000L)
   }
 
+  test("labelPropagation: two bridged 4-cliques split into two communities") {
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val e = (cliqueA ++ cliqueB ++ Seq((3L, 10L))).toDF("src", "dst")
+    val r = LinkGraph.labelPropagation(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // clique majorities beat the bridge: A converges to label 0, B to 10
+    assert((0L to 3L).forall(r(_) === 0L))
+    assert((10L to 13L).forall(r(_) === 10L))
+    // deterministic (the tie-to-smallest rule, unlike classic random LPA)
+    val r2 = LinkGraph.labelPropagation(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === r2)
+  }
+
+  test("coCitation: shared-source pair counts, supernode excluded by cap") {
+    val e = Seq((1L, 20L), (1L, 21L), (2L, 20L), (2L, 21L), (3L, 20L),
+      (3L, 22L)).toDF("src", "dst")
+    val r = LinkGraph.coCitation(e, maxOutdeg = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // 20 and 21 are co-cited by sources 1 and 2; canonical a < b order
+    assert(r((20L, 21L)) === 2L)
+    assert(r((20L, 22L)) === 1L)
+    assert(!r.contains((21L, 20L)))
+    // a directory supernode above the cap asserts nothing about any pair
+    val withSuper = e.unionByName(
+      (100L to 120L).map(d => (9L, d)).toDF("src", "dst"))
+    val capped = LinkGraph.coCitation(withSuper, maxOutdeg = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(capped === r)
+  }
+
   test("kmvDistinct: exact below k, estimate within 50% above k") {
     val df = (0 until 400).map(i => (s"g${i % 4}", s"v${i % (50 * (i % 4 + 1))}"))
       .toDF("g", "v")
