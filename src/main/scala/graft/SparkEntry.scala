@@ -1158,6 +1158,20 @@ object SparkEntry {
     "doc_dsir" -> ((s, dir) =>
       graft.text.Dsir.dsirSelect(docs(s, dir), col("doc_id"), col("text"),
         col("source").isin("src0", "src1"), k = 50)),
+    // Efraimidis-Spirakis weighted sampling without replacement: priority
+    // ln(u)/w with hash-derived u, 7dp grain, DSIR's kth-threshold
+    // selection (two TakeOrdered jobs, no global sort) — the oracle
+    // replays the hash, the log chain, and the exact top-k cut
+    "doc_weighted_sample" -> ((s, dir) =>
+      graft.text.Corpus.weightedSample(docs(s, dir), col("doc_id"),
+        col("n_chars"), k = 100)),
+    // corpus-overlap scalar between the base crawl and the deterministic
+    // next snapshot from ONE shared KMV sketch (Broder resemblance): the k
+    // smallest union hashes are a uniform union sample, the both-sides
+    // fraction estimates J(A,B) — all integer-derived, replayed exactly
+    "web_snapshot_overlap" -> ((s, dir) =>
+      graft.sketch.Kmv.kmvJaccard(docs(s, dir), newSnapshot(s, dir),
+        col("text"), k = 256)),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"),
@@ -4533,6 +4547,47 @@ FROM fin GROUP BY doc_id"""
         |  round(CAST(per.n_novel AS DOUBLE) / CAST(per.n_windows AS DOUBLE), 6)
         |    AS novelty_ratio
         |FROM nd LEFT JOIN per USING (doc_id)""".stripMargin,
+    // A-ES weighted sampling: hash-derived u, ln(u)/w at 7dp, kth-threshold
+    // cut with key tie-break — the whole chain replayed
+    "doc_weighted_sample" ->
+      s"""WITH ws AS (SELECT doc_id AS doc_key, CAST(n_chars AS BIGINT) AS w,
+         |    CASE WHEN n_chars > 0 THEN
+         |      round(ln(CAST(${sha60Sql("CAST(doc_id AS VARCHAR) || ':v1'")} + 1
+         |        AS DOUBLE) / CAST(1152921504606846976.0 AS DOUBLE))
+         |      / CAST(n_chars AS DOUBLE), 7) END AS priority
+         |  FROM documents),
+         |kth AS (SELECT priority AS kth_p, doc_key AS kth_key FROM (
+         |    SELECT doc_key, priority FROM (
+         |      SELECT doc_key, priority FROM ws WHERE w > 0
+         |      ORDER BY priority DESC, doc_key ASC LIMIT 100) top_k
+         |    ORDER BY priority ASC, doc_key DESC LIMIT 1) kth_row)
+         |SELECT doc_key, w, priority,
+         |  COALESCE(w > 0 AND (priority > kth.kth_p
+         |    OR (priority = kth.kth_p AND doc_key <= kth.kth_key)), false)
+         |    AS selected
+         |FROM ws, kth""".stripMargin,
+    // shared-KMV resemblance: union k-minima flagged by side membership
+    "web_snapshot_overlap" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 30000000 AS doc_id,
+         |    text || ' fresh crawl tail' AS text
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 40000000 AS doc_id,
+         |    'entirely new page body number ' || CAST(doc_id AS VARCHAR) ||
+         |      ' with unrelated words qwx zvy' AS text
+         |    FROM documents WHERE doc_id % 7 = 1),
+         |ka AS (SELECT DISTINCT ${sha60Sql("text")} AS h FROM documents),
+         |kb AS (SELECT DISTINCT ${sha60Sql("text")} AS h FROM nd),
+         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) t
+         |  ORDER BY h ASC LIMIT 256),
+         |fl AS (SELECT ku.h, ea.h IS NOT NULL AS ia, eb.h IS NOT NULL AS ib
+         |  FROM ku LEFT JOIN ka ea ON ea.h = ku.h LEFT JOIN kb eb ON eb.h = ku.h)
+         |SELECT CAST(count(*) AS BIGINT) AS k_used,
+         |  CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  round(CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS jaccard_est
+         |FROM fl""".stripMargin,
     // DSIR: DuckDB rebuilds the hashed-ngram model from scratch — bigrams
     // via a position self-join (vs the engine's windowNgrams call), buckets
     // via the portable sha60 fold, add-one smoothed LLR per bucket rounded

@@ -57,4 +57,40 @@ object Kmv {
             .cast("long")))
       .join(exact, Seq("key"))
   }
+
+  /**
+   * Corpus-overlap (resemblance/Jaccard) estimate between two document
+   * sets from one shared k-minimum-values sketch (Broder 1997): the k
+   * smallest sha60 hashes of the UNION are a uniform sample of the union,
+   * so the fraction of them present in BOTH sides estimates J(A, B). The
+   * snapshot-diff scalar of a recrawl pipeline ("how much of the new crawl
+   * is the old crawl"), at sketch cost — each side contributes only its
+   * distinct hashes, the selection is a TakeOrdered over narrow longs, and
+   * two broadcast-size semi-join probes finish it. Exact below k union
+   * values; every number integer-derived, replayable anywhere.
+   *
+   * @return one row (k_used: long, n_both: long, jaccard_est: double)
+   */
+  def kmvJaccard(a: DataFrame, b: DataFrame, valueCol: Column,
+                 k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvJaccard needs k >= 2")
+    val ha = a.select(TextFunctions.sha60(valueCol).as("h")).distinct().persist()
+    val hb = b.select(TextFunctions.sha60(valueCol).as("h")).distinct().persist()
+    val unionK = ha.unionByName(hb).distinct()
+      .orderBy(col("h").asc).limit(k)
+    val flags = unionK
+      .join(ha.withColumn("in_a", lit(1)), Seq("h"), "left")
+      .join(hb.withColumn("in_b", lit(1)), Seq("h"), "left")
+    val out = flags.agg(
+      count(lit(1)).as("k_used"),
+      sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"))
+      .select(col("k_used"), col("n_both"),
+        round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
+          .as("jaccard_est"))
+      .persist()
+    out.count()
+    ha.unpersist(); hb.unpersist()
+    out
+  }
 }

@@ -176,6 +176,46 @@ object Corpus {
         s => s.getField("t"))).as("text"),
         count(lit(1)).as("n_segments"))
 
+  /**
+   * Deterministic weighted sampling without replacement (Efraimidis &
+   * Spirakis 2006, A-ES): every item gets priority ln(u) / w with
+   * u = (sha60(key:salt) + 1) / 2^60 — the top-k by priority is an exact
+   * weight-proportional sample without replacement, reproducible on any
+   * engine/cluster because u is hash-derived, never drawn. The priority is
+   * rounded to 7dp (the validated cross-engine `ln` grain, same as DSIR's
+   * LLR) with ties broken by key.
+   *
+   * Scale shape: priority is map-only; selection is the DSIR
+   * kth-threshold — two TakeOrderedAndProject jobs on k rows broadcast
+   * back as a 1-row threshold, never a global sort. Items with
+   * non-positive weight are never selected.
+   *
+   * @return (doc_key, w, priority, selected)
+   */
+  def weightedSample(docs: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = "v1"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (TextFunctions.sha60(
+        concat(key.cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(graft.sketch.Kmv.Domain)
+    // priority only for positive weights (ANSI double division would
+    // throw on w = 0; non-positive weights are unselectable anyway)
+    val w = docs.select(key.as("doc_key"), weight.cast("long").as("w"),
+        when(weight.cast("long") > 0,
+          round(log(u) / weight.cast("double"), 7)).as("priority"))
+      .persist()
+    val kth = w.filter(col("w") > 0)
+      .orderBy(col("priority").desc, col("doc_key").asc).limit(k)
+      .orderBy(col("priority").asc, col("doc_key").desc).limit(1)
+      .select(col("priority").as("kth_p"), col("doc_key").as("kth_key"))
+    w.crossJoin(broadcast(kth))
+      .select(col("doc_key"), col("w"), col("priority"),
+        coalesce(col("w") > 0 && (col("priority") > col("kth_p") ||
+            (col("priority") === col("kth_p") &&
+              col("doc_key") <= col("kth_key"))),
+          lit(false)).as("selected"))
+  }
+
   /** C4-style boilerplate segment rules, each surfaced as its own flag so a
     * pipeline can audit WHY a segment dropped: fewer than `minWords` tokens
     * (shared tokenizer), a blacklist phrase (policy/boilerplate markers),

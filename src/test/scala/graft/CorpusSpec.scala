@@ -14,6 +14,31 @@ class CorpusSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
   lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
 
+  test("weightedSample: exactly k selected, weight-proportional, deterministic") {
+    val r = Corpus.weightedSample(docs, $"doc_id", $"n_chars", k = 40).cache()
+    assert(r.filter($"selected").count() === 40)
+    assert(r.count() === docs.count()) // every doc flagged, none dropped
+    // weight-proportionality: the selected set's mean weight exceeds the
+    // corpus mean (heavier docs are favoured)
+    val meanSel = r.filter($"selected").agg(avg($"w")).head.getDouble(0)
+    val meanAll = r.agg(avg($"w")).head.getDouble(0)
+    assert(meanSel > meanAll)
+    // deterministic across runs; a different salt reshuffles the draw
+    val r2 = Corpus.weightedSample(docs, $"doc_id", $"n_chars", k = 40)
+    assert(r.collect().toSet === r2.collect().toSet)
+    val resalted = Corpus.weightedSample(docs, $"doc_id", $"n_chars",
+      k = 40, salt = "v2").filter($"selected")
+      .select("doc_key").as[Long].collect().toSet
+    val orig = r.filter($"selected").select("doc_key").as[Long].collect().toSet
+    assert(resalted !== orig)
+    // zero/negative weights are never selected
+    val withZero = docs.withColumn("n_chars",
+      when($"doc_id" % 2 === 0, lit(0L)).otherwise($"n_chars"))
+    val z = Corpus.weightedSample(withZero, $"doc_id", $"n_chars", k = 40)
+      .filter($"selected").select("doc_key").as[Long].collect()
+    assert(z.forall(_ % 2 !== 0L) && z.length === 40)
+  }
+
   test("withSplit: deterministic, exhaustive, and approximately proportional") {
     val a = Corpus.withSplit(docs, $"doc_id").select("doc_id", "split")
     val b = Corpus.withSplit(docs, $"doc_id").select("doc_id", "split")

@@ -179,6 +179,26 @@ class WebGraphSpec extends AnyFunSuite {
     assert(t20.getAs[Long]("n_src_hosts") === 3L)
   }
 
+  test("kmvJaccard: exact below k, estimate near truth above k") {
+    // |A|=60, |B|=60, |A ∩ B|=30 -> J = 30/90
+    val a = (0 until 60).map(i => s"item$i").toDF("v")
+    val b = (30 until 90).map(i => s"item$i").toDF("v")
+    // k above the union size: exact
+    val exact = Kmv.kmvJaccard(a, b, col("v"), k = 256).head
+    assert(exact.getLong(0) === 90L && exact.getLong(1) === 30L)
+    assert(math.abs(exact.getDouble(2) - 30.0 / 90.0) < 1e-6)
+    // k below the union size: a uniform union sample, estimate within 0.2
+    val est = Kmv.kmvJaccard(a, b, col("v"), k = 32).head
+    assert(est.getLong(0) === 32L)
+    assert(math.abs(est.getDouble(2) - 30.0 / 90.0) < 0.2)
+    // disjoint and identical corpora hit the boundaries exactly
+    val dis = Kmv.kmvJaccard(a, (100 until 160).map(i => s"x$i").toDF("v"),
+      col("v"), k = 32).head
+    assert(dis.getDouble(2) === 0.0)
+    val same = Kmv.kmvJaccard(a, a, col("v"), k = 32).head
+    assert(same.getDouble(2) === 1.0)
+  }
+
   test("hllDistinct: small exact-ish via linear counting, large within 50%") {
     val df = (0 until 600).map(i => (s"g${i % 3}", s"v${i % (40 * (i % 3 + 1))}"))
       .toDF("g", "v")
