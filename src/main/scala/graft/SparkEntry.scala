@@ -2256,7 +2256,50 @@ object SparkEntry {
             .as("sunrise_epoch"),
           GeoFunctions.sunset(col("lon"), col("lat"), ts).cast("long")
             .as("sunset_epoch"))
-    })
+    }),
+    // triangle count + local clustering coefficient per node over a DENSE
+    // deterministic multigraph (src = id mod 48, dst = id div 48 mod 48 —
+    // NOT the functional pagerank graph, which is triangle-starved by
+    // construction). Engine: degree-ordered wedge enumeration (supernodes
+    // never pair their neighbors); oracle: id-ordered 3-way self-join — two
+    // different algorithms that must agree exactly, all-integer output
+    "web_triangles" -> ((s, dir) =>
+      graft.web.LinkGraph.triangles(
+        docs(s, dir).select((col("doc_id") % 48).as("src"),
+          expr("(doc_id div 48) % 48").as("dst")))),
+    // log2-bucketed degree histogram with exact counts + integral ppm
+    // shares — the power-law first look that sizes broadcast/salting
+    // thresholds; bucket = bit-length(degree) - 1, pure integer both sides
+    "web_degree_hist" -> ((s, dir) =>
+      graft.web.LinkGraph.degreeHistogram(
+        docs(s, dir).select((col("doc_id") % 48).as("src"),
+          expr("(doc_id div 48) % 48").as("dst")))),
+    // great-circle navigation annotations per gazetteer point against the
+    // fixed track (2,41)->(3,42): initial bearing from track start, signed
+    // cross-track offset from the track — map-only row-local trig chains,
+    // integral contract columns (micro-degrees / millimeters)
+    "geo_track" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey").as("place_id"),
+          ((col("o_orderkey") * 7919 % 1000) / lit(1000.0) + 2.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 1000) / lit(1000.0) + 41.0).as("lat"))
+      pts.select(col("place_id"),
+        round(GeoFunctions.bearingDeg(lit(2.0), lit(41.0),
+          col("lon"), col("lat")) * 1000000.0, 0).cast("long")
+          .as("bearing_udeg"),
+        round(GeoFunctions.crossTrackM(lit(2.0), lit(41.0), lit(3.0),
+          lit(42.0), col("lon"), col("lat")) * 1000.0, 0).cast("long")
+          .as("cross_track_mm"))
+    }),
+    // character-distribution quality gate: exact integer Gini impurity of
+    // the 38-class char distribution (the gating column — no IEEE in it),
+    // class count, and a fixed-order Shannon-entropy chain rounded 6dp
+    "doc_char_dist" -> ((s, dir) =>
+      graft.text.TextAnalysis.withCharDistribution(docs(s, dir))
+        .select(col("doc_id"), col("n_chars_cd").cast("long").as("n_chars"),
+          col("n_char_classes").cast("long").as("n_char_classes"),
+          col("char_gini_ppm"), col("char_entropy_b6")))
   )
 
   // ---- oracle SQL fragments for the materialized-input pipeline queries ---
@@ -2982,6 +3025,62 @@ FROM fin GROUP BY doc_id"""
     ((0 until zoom).map(i => s"((($tx >> $i) & 1) << ${2 * i})") ++
       (0 until zoom).map(i => s"((($ty >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
+
+  /** Dense deterministic triangle-graph edges (canonical undirected) +
+    * degree CTE, shared by the web_triangles / web_degree_hist oracles. */
+  private val triEdgeCte: String =
+    """raw AS (SELECT DISTINCT least(doc_id % 48, (doc_id // 48) % 48) AS u,
+      |    greatest(doc_id % 48, (doc_id // 48) % 48) AS v
+      |  FROM documents WHERE doc_id % 48 <> (doc_id // 48) % 48)""".stripMargin
+  private val triDegCte: String =
+    """deg AS (SELECT node, count(*) AS degree FROM (
+      |    SELECT u AS node FROM raw UNION ALL SELECT v FROM raw) GROUP BY node)""".stripMargin
+
+  private val DegToRadSql = "(pi() / CAST(180.0 AS DOUBLE))"
+
+  /** Geo.bearingDeg's exact chain: atan2 azimuth in degrees normalized to
+    * [0, 360) via the same fmod round-trip. Single line (embedded inside
+    * stripMargin templates). */
+  private def bearingSql(lon1: String, lat1: String,
+                         lon2: String, lat2: String): String =
+    s"fmod(fmod(atan2(sin(($lon2 - $lon1) * $DegToRadSql) * cos($lat2 * $DegToRadSql), " +
+      s"cos($lat1 * $DegToRadSql) * sin($lat2 * $DegToRadSql) - sin($lat1 * $DegToRadSql) " +
+      s"* cos($lat2 * $DegToRadSql) * cos(($lon2 - $lon1) * $DegToRadSql)) / $DegToRadSql, " +
+      "CAST(360.0 AS DOUBLE)) + CAST(360.0 AS DOUBLE), CAST(360.0 AS DOUBLE))"
+
+  /** doc_char_dist oracle: generated from the SAME alphabet constant the
+    * engine uses ([[graft.text.TextAnalysis.CharClasses]]), every chain in
+    * the same class order — counts via replace() length-diff, all-integer
+    * Gini, fixed-order entropy sum. */
+  private def charDistSql: String = {
+    val cls = graft.text.TextAnalysis.CharClasses
+    val cnts = cls.zipWithIndex.map { case (ch, i) =>
+      val esc = if (ch == "'") "''" else ch
+      s"n - length(replace(t, '$esc', '')) AS c$i"
+    }.mkString(",\n  ")
+    val names = cls.indices.map(i => s"c$i")
+    val sumC = names.mkString(" + ")
+    val allNames = names :+ s"c${cls.size}"
+    val sumSq = allNames.map(c => s"$c * $c").reduce((a, b) => s"$a + $b")
+    val nCls = allNames.map(c => s"(CASE WHEN $c > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val ent = allNames.map(c =>
+      s"(CASE WHEN $c > 0 THEN -((CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        s"* log2(CAST($c AS DOUBLE) / CAST(n AS DOUBLE))) " +
+        "ELSE CAST(0.0 AS DOUBLE) END)").reduce((a, b) => s"$a + $b")
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS t,
+       |    length(lower(text)) AS n FROM documents),
+       |cnt AS (SELECT doc_id, n,
+       |  $cnts FROM lo),
+       |cnt2 AS (SELECT *, n - ($sumC) AS c${cls.size} FROM cnt)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       |  CAST($nCls AS BIGINT) AS n_char_classes,
+       |  CASE WHEN n > 0 THEN 1000000 - (($sumSq) * 1000000) // (n * n)
+       |    ELSE CAST(0 AS BIGINT) END AS char_gini_ppm,
+       |  CASE WHEN n > 0 THEN round($ent, 6)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS char_entropy_b6
+       |FROM cnt2""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // the same fixed HtmlText rule chain, replayed rule by rule: block
@@ -5209,7 +5308,68 @@ FROM fin GROUP BY doc_id"""
          |SELECT o_orderkey, lon, lat, epoch_day,
          |  max(CASE WHEN rise THEN secs END) AS sunrise_epoch,
          |  max(CASE WHEN NOT rise THEN secs END) AS sunset_epoch
-         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin
+         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
+    // id-ordered 3-way self-join (a < b < c) — a DIFFERENT triangle
+    // algorithm than the engine's degree-ordered wedge enumeration; exact
+    // integer contract so they must agree bit-for-bit
+    "web_triangles" ->
+      s"""WITH $triEdgeCte,
+         |$triDegCte,
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM raw e1 JOIN raw e2 ON e2.u = e1.v
+         |  JOIN raw e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tc AS (SELECT node, count(*) AS t FROM (
+         |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY node)
+         |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN d.degree > 1
+         |    THEN (2 * CAST(COALESCE(tc.t, 0) AS BIGINT) * 1000000)
+         |      // (CAST(d.degree AS BIGINT) * (CAST(d.degree AS BIGINT) - 1))
+         |    ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+         |FROM deg d LEFT JOIN tc ON tc.node = d.node""".stripMargin,
+    "web_degree_hist" ->
+      s"""WITH $triEdgeCte,
+         |$triDegCte,
+         |tot AS (SELECT count(*) AS n_total FROM deg)
+         |SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(degree) AS BIGINT) AS min_degree,
+         |  CAST(max(degree) AS BIGINT) AS max_degree,
+         |  (CAST(count(*) AS BIGINT) * 1000000)
+         |    // (SELECT CAST(n_total AS BIGINT) FROM tot) AS share_ppm
+         |FROM deg GROUP BY 1""".stripMargin,
+    // identical IEEE trig chain (the knn-oracle haversine precedent):
+    // bearing = atan2(sin dλ cos φ2, cos φ1 sin φ2 − sin φ1 cos φ2 cos dλ)
+    // normalized via the same fmod round-trip, cross-track through the
+    // bearing in RADIANS after that normalization — integral contract
+    // columns (micro-degrees, millimeters)
+    "geo_track" ->
+      s"""WITH p AS (SELECT o_orderkey AS place_id,
+         |  (o_orderkey * 7919 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) AS plon,
+         |  (o_orderkey * 104729 % 1000) / CAST(1000.0 AS DOUBLE) + CAST(41.0 AS DOUBLE) AS plat
+         |  FROM orders WHERE o_orderkey % 29 = 0),
+         |b AS (SELECT place_id, plon, plat,
+         |  ${bearingSql("CAST(2.0 AS DOUBLE)", "CAST(41.0 AS DOUBLE)", "plon", "plat")} AS b13,
+         |  ${bearingSql("CAST(2.0 AS DOUBLE)", "CAST(41.0 AS DOUBLE)",
+             "CAST(3.0 AS DOUBLE)", "CAST(42.0 AS DOUBLE)")} AS b12,
+         |  (CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE),
+         |    sqrt(sin((plat - CAST(41.0 AS DOUBLE)) * $DegToRadSql / CAST(2.0 AS DOUBLE))
+         |       * sin((plat - CAST(41.0 AS DOUBLE)) * $DegToRadSql / CAST(2.0 AS DOUBLE))
+         |       + cos(CAST(41.0 AS DOUBLE) * $DegToRadSql) * cos(plat * $DegToRadSql)
+         |       * sin((plon - CAST(2.0 AS DOUBLE)) * $DegToRadSql / CAST(2.0 AS DOUBLE))
+         |       * sin((plon - CAST(2.0 AS DOUBLE)) * $DegToRadSql / CAST(2.0 AS DOUBLE)))))
+         |  ) / CAST(6371008.8 AS DOUBLE) AS d13 FROM p)
+         |SELECT place_id,
+         |  CAST(round(b13 * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS bearing_udeg,
+         |  CAST(round(asin(sin(d13) * sin(b13 * $DegToRadSql - b12 * $DegToRadSql))
+         |    * CAST(6371008.8 AS DOUBLE) * CAST(1000.0 AS DOUBLE), 0) AS BIGINT)
+         |    AS cross_track_mm
+         |FROM b""".stripMargin,
+    // the engine's 38-class chains replayed class by class in the same
+    // order: replace() length-diff counts, all-integer Gini, the
+    // fixed-order entropy sum — generated from the SAME alphabet constant
+    "doc_char_dist" -> charDistSql
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

@@ -124,6 +124,15 @@ object GeoFunctions {
   def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
     invoke(geoCls, DoubleType, "haversineM", lon1, lat1, lon2, lat2)
 
+  /** Initial great-circle bearing 1→2, degrees in [0, 360). */
+  def bearingDeg(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    invoke(geoCls, DoubleType, "bearingDeg", lon1, lat1, lon2, lat2)
+
+  /** Signed cross-track meters of point 3 from the great circle 1→2. */
+  def crossTrackM(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                  lon3: Column, lat3: Column): Column =
+    invoke(geoCls, DoubleType, "crossTrackM", lon1, lat1, lon2, lat2, lon3, lat3)
+
   /** Even-odd ray-cast PIP on packed ring arrays — E5. */
   def rayCast(lon: Column, lat: Column, ringOffsets: Column,
               ringLons: Column, ringLats: Column): Column =

@@ -34,6 +34,40 @@ object Geo {
     2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /**
+   * Initial great-circle bearing (forward azimuth) from point 1 to point 2,
+   * degrees in [0, 360). The classic
+   * `atan2(sin dλ · cos φ2, cos φ1 · sin φ2 − sin φ1 · cos φ2 · cos dλ)`
+   * chain, written as the exact operation sequence the DuckDB oracle
+   * replays; the contract row rounds to micro-degrees so the comparison is
+   * integral.
+   */
+  def bearingDeg(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = lat1 * DegToRad
+    val p2 = lat2 * DegToRad
+    val dl = (lon2 - lon1) * DegToRad
+    val y = math.sin(dl) * math.cos(p2)
+    val x = math.cos(p1) * math.sin(p2) -
+      math.sin(p1) * math.cos(p2) * math.cos(dl)
+    val deg = math.atan2(y, x) / DegToRad
+    (deg % 360.0 + 360.0) % 360.0
+  }
+
+  /**
+   * Signed cross-track distance in meters of point 3 from the great circle
+   * through point 1 toward point 2 (negative = left of track):
+   * `asin(sin(d13 / R) · sin(θ13 − θ12)) · R` with d13 the haversine
+   * distance 1→3 and θ the [[bearingDeg]] azimuths — the standard spherical
+   * navigation identity, one row-local expression chain.
+   */
+  def crossTrackM(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+                  lon3: Double, lat3: Double): Double = {
+    val d13 = haversineM(lon1, lat1, lon3, lat3) / EarthRadiusM
+    val t13 = bearingDeg(lon1, lat1, lon3, lat3) * DegToRad
+    val t12 = bearingDeg(lon1, lat1, lon2, lat2) * DegToRad
+    math.asin(math.sin(d13) * math.sin(t13 - t12)) * EarthRadiusM
+  }
+
   // ---- point-in-polygon on packed ring arrays --------------------------------
 
   /**

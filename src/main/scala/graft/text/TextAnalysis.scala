@@ -214,6 +214,74 @@ object TextAnalysis {
       .withColumn("winnow_fp", TextFunctions.winnow(text, lit(8), lit(16)))
       .withColumn("simhash", TextFunctions.simhash(text))
 
+  /** Fixed alphabet for character-distribution stats: 26 letters + 10
+    * digits + space; everything else is one implicit "other" class.
+    * Package-visible so the oracle SQL generator replays the same classes
+    * in the same order. */
+  private[graft] val CharClasses: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "0123456789".map(_.toString) :+ " ").toSeq
+
+  /**
+   * Character-distribution quality signals — the cheap gibberish/encoding-
+   * junk gate (base64 blobs, minified JS, binary spills all have flat or
+   * degenerate char distributions):
+   *
+   *   - `char_gini_ppm`: Gini impurity `1 - Σ pᵢ²` of the lowercased
+   *     char-class distribution, in parts per million. PURE integer
+   *     arithmetic (`1e6 - (Σcᵢ² · 1e6) div n²`) — exact, order-insensitive,
+   *     replayable bit-for-bit by any engine; this is the gating column.
+   *   - `char_entropy_b6`: Shannon entropy in bits, rounded to 6 dp. The
+   *     sum is ONE fixed-order left-to-right chain over the 38 classes
+   *     (same determinism contract as [[withLogitQuality]]'s logit chain).
+   *   - `n_char_classes`: distinct classes present (integer).
+   *
+   * Scale shape: map-only — per class one `replace` length-diff count, no
+   * explode (a per-CHARACTER explode would shuffle text-length × rows), no
+   * shuffle at all; 37 codegen'd string passes ≈ one regex pass over the
+   * row. At 100 TB this runs at scan speed alongside the other gates.
+   */
+  def withCharDistribution(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    // CollapseProject inlines withColumn chains, so reference the lowered
+    // text through a SINGLE materialized column and build every count off
+    // it; each count column is referenced more than once downstream, so
+    // those are materialized through named columns too (gini/entropy read
+    // them by name, never re-inline the 37-pass chain).
+    // counts as LONG from the start: the Gini sum-of-squares would overflow
+    // INT (ANSI mode errors, not wraps) past ~46k-char documents
+    val withLo = docs.withColumn("lo_cd", lower(text))
+      .withColumn("n_chars_cd", length(col("lo_cd")).cast("long"))
+    val cntCols = CharClasses.zipWithIndex.map { case (ch, i) =>
+      s"c${i}_cd" -> (col("n_chars_cd") -
+        length(replace(col("lo_cd"), lit(ch), lit(""))).cast("long"))
+    }
+    val withCnt0 = cntCols.foldLeft(withLo) { case (d, (nm, c)) =>
+      d.withColumn(nm, c)
+    }
+    val named = cntCols.map { case (nm, _) => col(nm) }
+    val other = col("n_chars_cd") - named.reduce(_ + _)
+    val withCnt = withCnt0.withColumn("co_cd", other)
+    val all = named :+ col("co_cd")
+    val n = col("n_chars_cd")
+    val sumSq = all.map(c => c * c).reduce(_ + _)
+    val gini = when(n > 0, lit(1000000L) -
+        expr("(sum_sq_cd * 1000000) div (n_chars_cd * n_chars_cd)"))
+      .otherwise(lit(0L))
+    val nd = n.cast("double")
+    val entropy = all.map { c =>
+      val p = c.cast("double") / nd
+      when(c > 0, -(p * log2(p))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nClasses = all.map(c => when(c > 0, 1).otherwise(0)).reduce(_ + _)
+    withCnt
+      .withColumn("sum_sq_cd", sumSq)
+      .withColumn("char_gini_ppm", gini)
+      .withColumn("n_char_classes", nClasses)
+      .withColumn("char_entropy_b6", when(n > 0, round(entropy, 6))
+        .otherwise(lit(0.0)))
+      .drop(("lo_cd" +: "co_cd" +: "sum_sq_cd" +: cntCols.map(_._1)): _*)
+  }
+
   /**
    * Unigram language-model quality score — the distributed analog of the
    * CCNet perplexity gate: train unigram probabilities p(t) = count(t)/total

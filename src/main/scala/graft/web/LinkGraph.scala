@@ -534,4 +534,116 @@ object LinkGraph {
     visitedCached.unpersist(); e.unpersist()
     out
   }
+
+  /**
+   * Triangle count + local clustering coefficient per node, over the
+   * UNDIRECTED simple graph induced by `edges` (self-loops dropped,
+   * direction and duplicates collapsed).
+   *
+   * Scale shape — the skew story is the whole point of this operator. A
+   * naive wedge enumeration (`adj ⋈ adj` on the shared endpoint) explodes
+   * quadratically at supernodes: a host with 10^6 in-links generates 10^12
+   * wedge rows. Instead every edge is ORIENTED from its lower endpoint to
+   * its higher endpoint in the (degree, id) total order, and wedges are
+   * enumerated only at the LOW end (the "compact-forward" / degree-ordered
+   * algorithm): each node's oriented out-degree is O(sqrt(m)), so the wedge
+   * join emits O(m^{3/2}) rows TOTAL regardless of skew — the supernode
+   * never pairs its neighbors, its low-degree neighbors each pair it with
+   * their few other higher-order neighbors. Three shuffles end to end
+   * (degree agg, wedge self-join on the apex, closing equi-join on the
+   * wedge pair), all on narrow (long, long) rows; per-node counts come back
+   * as one combinable sum. Everything downstream of the joins is exact
+   * integer arithmetic, so the result is bit-reproducible at any
+   * parallelism.
+   *
+   * @param edges (src: long, dst: long) — any direction, dups/self-loops ok
+   * @return (node, degree, triangles, clustering_ppm) where clustering_ppm
+   *         = floor(2 * triangles * 1e6 / (degree * (degree - 1))), 0 for
+   *         degree <= 1 — the local clustering coefficient in parts per
+   *         million (exact integral division; no IEEE in the contract)
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    // canonical undirected simple edges: u < v
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient each edge from the (degree, id)-smaller endpoint to the larger;
+    // both degree lookups are equi-joins on the edge endpoints (narrow rows)
+    val du = deg.select(col("node").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("lo"), col("v").as("hi")))
+          .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .persist()
+    // wedges at the low apex: every unordered pair of oriented out-neighbors,
+    // emitted once with (b, c) in the same (degree, id) orientation order so
+    // the closing join probes the oriented edge set directly
+    val w1 = oriented.select(col("lo").as("apex"), col("hi").as("b"))
+    val w2 = oriented.select(col("lo").as("apex"), col("hi").as("c"))
+    val wedges = w1.join(w2, "apex").filter(col("b") < col("c"))
+    // a wedge (apex; b, c) closes iff the oriented edge b->c or c->b exists;
+    // membership via an inner join on the canonical (min, max) key
+    val closing = oriented.select(
+      least(col("lo"), col("hi")).as("b"),
+      greatest(col("lo"), col("hi")).as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(col("apex"), col("b"), col("c"))
+    val corners = tris.select(col("apex").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") > 1,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+    out.persist().count()
+    oriented.unpersist(); und.unpersist()
+    out
+  }
+
+  /**
+   * Degree-distribution histogram over the undirected simple graph: one row
+   * per occupied log2 bucket (bucket k holds degrees in [2^k, 2^{k+1})),
+   * with exact node counts and integral ppm shares — the standard first
+   * look at whether a crawl graph is power-law and where its supernode
+   * tail sits, and the input to choosing broadcast/salting thresholds.
+   *
+   * Scale shape: one degree aggregation (same as [[triangles]]) plus one
+   * 64-bucket aggregation — the second shuffle carries at most 64 rows per
+   * map partition. The log2 bucket is computed as bit-length minus one
+   * (`length(bin(degree)) - 1`), pure integer, replayable anywhere.
+   */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val total = deg.select(count(lit(1)).as("n_total"))
+    deg.select((length(bin(col("degree"))) - 1).cast("long").as("bucket"),
+        col("degree"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n_nodes * 1000000) div n_total"))
+      .select(col("bucket"), col("n_nodes"), col("min_degree"),
+        col("max_degree"), col("share_ppm"))
+  }
 }

@@ -98,4 +98,42 @@ class GeoFunctionsSpec extends AnyFunSuite {
       assert(Geo.haversineM(11.58, 48.17, lon, lat) < 10000)
     }
   }
+
+  test("bearingDeg: cardinal directions, range, antisymmetry-ish") {
+    // due east along the equator
+    assert(math.abs(Geo.bearingDeg(0, 0, 10, 0) - 90.0) < 1e-9)
+    // due west
+    assert(math.abs(Geo.bearingDeg(10, 0, 0, 0) - 270.0) < 1e-9)
+    // due north / due south on a meridian
+    assert(math.abs(Geo.bearingDeg(5, 10, 5, 20) - 0.0) < 1e-9)
+    assert(math.abs(Geo.bearingDeg(5, 20, 5, 10) - 180.0) < 1e-9)
+    // always normalized
+    for (i <- 0 until 50) {
+      val b = Geo.bearingDeg(-170 + i * 7 % 340, -80 + i * 3 % 160,
+        -170 + i * 11 % 340, -80 + i * 5 % 160)
+      assert(b >= 0.0 && b < 360.0)
+    }
+  }
+
+  test("crossTrackM: sign and magnitude on an equatorial track") {
+    // track west->east along the equator; a point due north of it is LEFT
+    // (negative by the spherical convention sin(t13 - t12) with t12 = 90°)
+    val north = Geo.crossTrackM(0, 0, 10, 0, 5, 1)
+    val south = Geo.crossTrackM(0, 0, 10, 0, 5, -1)
+    assert(north < 0 && south > 0)
+    // |1 degree of latitude| off an equatorial great circle ≈ 111.2 km
+    assert(math.abs(math.abs(north) - 111194.9) < 200)
+    assert(math.abs(north + south) < 1e-6)
+    // a point ON the track has ~zero cross-track
+    assert(math.abs(Geo.crossTrackM(0, 0, 10, 0, 5, 0)) < 1e-6)
+    // Column wrappers evaluate inside codegen
+    val df = spark.range(1).select(
+      graft.functions.GeoFunctions.bearingDeg(lit(0.0), lit(0.0),
+        lit(10.0), lit(0.0)).as("b"),
+      graft.functions.GeoFunctions.crossTrackM(lit(0.0), lit(0.0),
+        lit(10.0), lit(0.0), lit(5.0), lit(1.0)).as("xt"))
+      .collect().head
+    assert(math.abs(df.getDouble(0) - 90.0) < 1e-9)
+    assert(df.getDouble(1) < 0)
+  }
 }

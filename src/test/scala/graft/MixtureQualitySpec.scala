@@ -102,4 +102,27 @@ class MixtureQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(out === Map("a" -> true, "b" -> true, "c" -> false, "d" -> false))
   }
+
+  test("charDistribution: hand-computed gini/entropy, degenerate vs diverse") {
+    val df = Seq(
+      (1L, "aaaa"),          // one class: gini 0, entropy 0
+      (2L, "ab"),            // two equal classes: gini 0.5, entropy 1 bit
+      (3L, "aAaA"),          // lowercased -> one class
+      (4L, "a1 b~")          // a,1,space,b + other(~): 5 classes of 1
+    ).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.withCharDistribution(df)
+      .select("doc_id", "n_chars_cd", "n_char_classes", "char_gini_ppm",
+        "char_entropy_b6")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getInt(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(1L) === ((4L, 1, 0L, 0.0)))
+    // gini = 1 - 2*(1/2)^2 = 0.5 -> 500000 ppm; entropy = 1 bit
+    assert(r(2L) === ((2L, 2, 500000L, 1.0)))
+    assert(r(3L) === ((4L, 1, 0L, 0.0)))
+    // 5 singleton classes in 5 chars: gini = 1 - 5/25 = 0.8; entropy log2 5
+    assert(r(4L)._1 === 5L)
+    assert(r(4L)._2 === 5)
+    assert(r(4L)._3 === 800000L)
+    assert(math.abs(r(4L)._4 - 2.321928) < 1e-6)
+  }
 }

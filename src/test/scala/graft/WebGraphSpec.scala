@@ -255,4 +255,43 @@ class WebGraphSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
     assert(c === Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
+
+  test("triangles: K4, triangle-free star, direction/dup/self-loop collapse") {
+    // K4: every node in C(3,2)=3 triangles, degree 3, clustering 1.0
+    val k4 = (for (i <- 0 to 3; j <- 0 to 3 if i != j) yield (i.toLong, j.toLong))
+      .toDF("src", "dst") // both directions present = dup collapse exercised
+    val r = LinkGraph.triangles(k4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r.size === 4)
+    r.values.foreach { case (deg, tri, cc) =>
+      assert(deg === 3L); assert(tri === 3L); assert(cc === 1000000L)
+    }
+    // star K1,3: zero triangles; center degree 3 cc 0, leaves degree 1 cc 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 0L)).toDF("src", "dst")
+    val s = LinkGraph.triangles(star).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(s(0L) === ((3L, 0L, 0L)))
+    assert(s(1L) === ((1L, 0L, 0L)))
+    // one triangle hanging off a path: 0-1-2-0 plus 2-3
+    val mix = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+    val m = LinkGraph.triangles(mix).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(m(0L) === ((2L, 1L, 1000000L)))
+    assert(m(2L) === ((3L, 1L, 333333L))) // 2*1*1e6 div (3*2)
+    assert(m(3L) === ((1L, 0L, 0L)))
+  }
+
+  test("degreeHistogram: log2 buckets, exact counts, ppm shares") {
+    // degrees: node 0 -> 4 (bucket 2), nodes 1..4 -> 1 (bucket 0)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val h = LinkGraph.degreeHistogram(e).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(h(0L) === ((4L, 1L, 1L, 800000L)))
+    assert(h(2L) === ((1L, 4L, 4L, 200000L)))
+    assert(h.size === 2)
+  }
 }
