@@ -2299,7 +2299,41 @@ object SparkEntry {
       graft.text.TextAnalysis.withCharDistribution(docs(s, dir))
         .select(col("doc_id"), col("n_chars_cd").cast("long").as("n_chars"),
           col("n_char_classes").cast("long").as("n_char_classes"),
-          col("char_gini_ppm"), col("char_entropy_b6")))
+          col("char_gini_ppm"), col("char_entropy_b6"))),
+    // streaming heavy hitters: 4 REAL micro-batches each append a PARTIAL
+    // Count-Min cell table; the cell-SUM merge of the partials equals the
+    // whole-stream sketch EXACTLY, so the oracle's from-scratch
+    // re-derivation over the full host stream is the mergeability proof —
+    // the CM sibling of web_stream_distinct's max-merged HLL registers
+    "web_stream_heavy" -> ((s, dir) => {
+      val sink = s"$OracleDir/stream_cm_sink"
+      val ckpt = s"$OracleDir/stream_cm_ckpt"
+      val inDir = s"$OracleDir/stream_cm_in"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      Seq(sink, ckpt, inDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      docsWithUrls(s, dir).repartition(4).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      graft.streaming.StreamSketch.cmPartials(src,
+        graft.etl.UrlOps.urlHost(col("url")), CmDepth, CmWidth, sink, ckpt)
+        .awaitTermination()
+      val partials = s.read.parquet(sink)
+      val merged = graft.sketch.CountMin.merge(
+        partials.select("cm_row", "cm_col", "cm_cnt"))
+      val hosts = docsWithUrls(s, dir)
+        .select(graft.etl.UrlOps.urlHost(col("url")).as("host"))
+      val top = hosts.groupBy("host").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("host")).limit(15)
+      graft.sketch.CountMin.estimate(merged, top, col("host"),
+          CmDepth, CmWidth)
+        .join(top, col("item") === col("host"))
+        .select(col("host"), col("n_true"), col("cm_est"))
+        .crossJoin(broadcast(partials.agg(
+          countDistinct(col("batch_id")).as("n_batches"))))
+    })
   )
 
   // ---- oracle SQL fragments for the materialized-input pipeline queries ---
@@ -5369,7 +5403,28 @@ FROM fin GROUP BY doc_id"""
     // the engine's 38-class chains replayed class by class in the same
     // order: replace() length-diff counts, all-integer Gini, the
     // fixed-order entropy sum — generated from the SAME alphabet constant
-    "doc_char_dist" -> charDistSql
+    "doc_char_dist" -> charDistSql,
+    // whole-stream Count-Min re-derivation over the host stream: because
+    // the per-batch partials merge by cell SUM, merge(partials) ==
+    // sketch(whole stream) cell-for-cell — a hash match here proves the
+    // streaming maintenance path; batch count pinned by the 4-file input
+    "web_stream_heavy" ->
+      s"""WITH $urlCanonCtes,
+         |top AS (SELECT host, count(*) AS n_true FROM c GROUP BY 1
+         |  ORDER BY n_true DESC, host LIMIT 15),
+         |cells AS (SELECT host, unnest(range($CmDepth)) AS r FROM c),
+         |sk AS (SELECT r,
+         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || host")} % $CmWidth AS cc,
+         |    count(*) AS cm_cnt FROM cells GROUP BY 1, 2),
+         |tc AS (SELECT host, n_true, unnest(range($CmDepth)) AS r FROM top),
+         |tcell AS (SELECT host, n_true, r,
+         |    ${sha60Sql("'cm:' || CAST(r AS VARCHAR) || ':' || host")} % $CmWidth AS cc
+         |  FROM tc)
+         |SELECT t.host, t.n_true,
+         |  min(coalesce(sk.cm_cnt, CAST(0 AS BIGINT))) AS cm_est,
+         |  CAST(4 AS BIGINT) AS n_batches
+         |FROM tcell t LEFT JOIN sk ON sk.r = t.r AND sk.cc = t.cc
+         |GROUP BY 1, 2""".stripMargin
   )
   // Remaining oracle-less queries (rows-only): the non-ANSI sketches
   // (minhash/simhash/xxhash64 signatures, LSH ANN, the multimodal feature

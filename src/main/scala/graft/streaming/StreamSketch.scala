@@ -42,4 +42,28 @@ object StreamSketch {
     * (max-merge + the standard HLL estimation chain). */
   def estimateFromPartials(partials: DataFrame): DataFrame =
     Hll.estimate(Hll.merge(partials.select("key", "bucket", "reg")))
+
+  /**
+   * Streaming Count-Min maintenance — the heavy-hitter sibling of
+   * [[hllPartials]]: each micro-batch appends its PARTIAL sketch cells
+   * (cm_row, cm_col, cm_cnt, batch_id); the live sketch at any point is
+   * the cell-SUM merge of everything appended so far, and
+   * `CountMin.merge(partials) == CountMin.sketch(whole stream)` EXACTLY
+   * (cell-for-cell), because the sketch is a pure count aggregate. Same
+   * restart story: constant-size per-batch state (depth×width cells max),
+   * append-only sink, no streaming state store; checkpointed offsets keep
+   * a batch from double-appending.
+   */
+  def cmPartials(src: DataFrame, itemCol: Column, depth: Int, width: Int,
+                 sinkPath: String, checkpointPath: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sketch.CountMin.sketch(batch, itemCol, depth, width)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

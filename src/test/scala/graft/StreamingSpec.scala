@@ -221,6 +221,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming Count-Min partials cell-sum to the batch sketch exactly") {
+    import graft.sketch.CountMin
+    import graft.streaming.StreamSketch
+    val dir = Files.createTempDirectory("graft-stream-cm").toString
+    val data = (0 until 400).map(i => s"item${i % 23}").toDF("it")
+    data.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    StreamSketch.cmPartials(src, col("it"), 4, 128,
+      s"$dir/sink", s"$dir/ckpt").awaitTermination()
+    val partials = spark.read.parquet(s"$dir/sink")
+    assert(partials.select("batch_id").distinct().count() === 4)
+    // cell-for-cell: merged partials == one-shot whole-stream sketch
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)
+    val streamed = CountMin.merge(
+      partials.select("cm_row", "cm_col", "cm_cnt")).collect().map(key).toMap
+    val oneShot = CountMin.sketch(data, col("it"), 4, 128)
+      .collect().map(key).toMap
+    assert(streamed === oneShot)
+    // and estimates over the merged sketch never undercount
+    val cand = Seq("item0", "item22", "absent").toDF("it")
+    val est = CountMin.estimate(CountMin.merge(
+        partials.select("cm_row", "cm_col", "cm_cnt")),
+      cand, col("it"), 4, 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("item0") >= 18L)   // true count ceil(400/23)=18
+    assert(est("item22") >= 17L)
+  }
+
   test("SemDedup representative: centroid-closest member wins, ties to id") {
     import graft.sim.SemDedup
     val emb = Seq(
