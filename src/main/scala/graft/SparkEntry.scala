@@ -2300,6 +2300,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars_cd").cast("long").as("n_chars"),
           col("n_char_classes").cast("long").as("n_char_classes"),
           col("char_gini_ppm"), col("char_entropy_b6"))),
+    // Gopher rule gate (Rae et al. 2021 A1.1): the published crawl-filter
+    // rule list as per-rule columns + the conjunctive keep flag, over a
+    // derived corpus that exercises every rule — symbol-heavy (%9),
+    // all-bullet-lines (%11) and ellipsis-end (%13) variants injected
+    // deterministically next to the raw docs; map-only codegen string math
+    "doc_gopher_rules" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val txt = when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" # # # # # # # # # # # #")))
+        .when(col("doc_id") % 11 === 0,
+          concat(lit("- "),
+            replace(col("text"), lit(" value "), lit("\n- value "))))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit("...\nto be continued...")))
+        .when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit(" the deal is that we have to be of one mind and go with it")))
+        .otherwise(col("text"))
+      graft.text.TextAnalysis.withGopherRules(
+          d.select(col("doc_id"), txt.as("text")))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_ratio", "ellipsis_ratio", "alpha_ratio",
+          "n_req_stopwords", "gopher_keep")
+    }),
     // streaming heavy hitters: 4 REAL micro-batches each append a PARTIAL
     // Count-Min cell table; the cell-SUM merge of the partials equals the
     // whole-stream sketch EXACTLY, so the oracle's from-scratch
@@ -5404,6 +5428,74 @@ FROM fin GROUP BY doc_id"""
     // order: replace() length-diff counts, all-integer Gini, the
     // fixed-order entropy sum — generated from the SAME alphabet constant
     "doc_char_dist" -> charDistSql,
+    // the Gopher rule chain replayed verbatim: same derived corpus, same
+    // one-split tokenizations, length-diff symbol counts, 6dp-rounded
+    // ratios BEFORE the rule comparisons, distinct-stopword intersect
+    "doc_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN text || ' # # # # # # # # # # # #'
+         |      WHEN doc_id % 11 = 0
+         |        THEN '- ' || replace(text, ' value ', chr(10) || '- value ')
+         |      WHEN doc_id % 13 = 0
+         |        THEN text || '...' || chr(10) || 'to be continued...'
+         |      WHEN doc_id % 2 = 0 THEN text ||
+         |        ' the deal is that we have to be of one mind and go with it'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> length(x) > 0) AS ws,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> length(trim(l)) > 0) AS ls,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM base),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(ls), 1) AS BIGINT) AS n_lines,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS word_chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      AS n_hash,
+         |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+         |      AS BIGINT) AS n_dots,
+         |    CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+         |      AS n_ell,
+         |    CAST(len(list_filter(ls,
+         |      l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')
+         |      OR ends_with(trim(l), '…'))) AS BIGINT) AS n_ellend,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(toks),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+         |      AS n_req_stopwords
+         |  FROM t),
+         |r AS (SELECT doc_id, n_words,
+         |    round(CAST(word_chars AS DOUBLE)
+         |      / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS mean_word_len,
+         |    round(CAST(n_hash + n_dots + n_ell AS DOUBLE)
+         |      / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS symbol_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         |      AS bullet_ratio,
+         |    round(CAST(n_ellend AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         |      AS ellipsis_ratio,
+         |    round(CAST(n_alpha AS DOUBLE)
+         |      / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS alpha_ratio,
+         |    n_req_stopwords
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, n_req_stopwords,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len BETWEEN CAST(3.0 AS DOUBLE)
+         |     AND CAST(10.0 AS DOUBLE)
+         |   AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+         |   AND bullet_ratio <= CAST(0.9 AS DOUBLE)
+         |   AND ellipsis_ratio <= CAST(0.3 AS DOUBLE)
+         |   AND alpha_ratio >= CAST(0.8 AS DOUBLE)
+         |   AND n_req_stopwords >= 2) AS gopher_keep
+         |FROM r""".stripMargin,
     // whole-stream Count-Min re-derivation over the host stream: because
     // the per-batch partials merge by cell SUM, merge(partials) ==
     // sketch(whole stream) cell-for-cell — a hash match here proves the

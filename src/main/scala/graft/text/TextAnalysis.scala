@@ -282,6 +282,76 @@ object TextAnalysis {
       .drop(("lo_cd" +: "co_cd" +: "sum_sq_cd" +: cntCols.map(_._1)): _*)
   }
 
+  /** The Gopher repetition-free document-filter rule list (Rae et al. 2021
+    * §A1.1) needs ≥2 distinct hits from this closed 8-word set. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models",
+   * appendix A1.1) — the published crawl-filter rule list as per-rule
+   * columns plus the conjunctive keep flag, distinct from [[withQuality]]'s
+   * blended score: word-count bounds [50, 100000], mean word length
+   * [3, 10], symbol-to-word ratio ('#' plus non-overlapping "..." plus '…')
+   * ≤ 0.1, bullet-start line ratio ≤ 0.9, ellipsis-end line ratio ≤ 0.3,
+   * ≥ 80% of words containing a letter, and ≥ 2 distinct hits from the
+   * closed 8-word stopword list.
+   *
+   * Everything is map-only codegen string math: word counts via one split,
+   * total word chars via the whitespace-strip length trick (no per-word
+   * lambda sum), symbol counts via length-diff replaces, and the stopword
+   * hit count via ONE `array_intersect` against a literal array so the
+   * token array is evaluated once (CollapseProject would inline a per-word
+   * lambda 8×). Every ratio is rounded to 6dp BEFORE the rule comparison so
+   * the keep decision is engine-independent; an external engine (the DuckDB
+   * oracle) replays the identical chain.
+   */
+  def withGopherRules(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val d0 = docs
+      .withColumn("ws_g", filter(split(trim(text), "\\s+"), w => length(w) > 0))
+      .withColumn("lines_g", filter(split(text, "\n"), l => length(trim(l)) > 0))
+      .withColumn("toks_g", tokens(text))
+    val nWords = size(col("ws_g")).cast("long")
+    val nLines = greatest(size(col("lines_g")), lit(1)).cast("long")
+    // sum of word lengths == chars left after stripping ALL whitespace
+    val wordChars = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val meanLen = round(wordChars / greatest(nWords, lit(1L)).cast("double"), 6)
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val nDots = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / lit(3)).cast("long")
+    val nEllChar = (length(text) - length(replace(text, lit("…"), lit("")))).cast("long")
+    val symbolRatio = round(
+      (nHash + nDots + nEllChar) / greatest(nWords, lit(1L)).cast("double"), 6)
+    val nBullet = size(filter(col("lines_g"),
+      l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val bulletRatio = round(nBullet / nLines.cast("double"), 6)
+    val nEllEnd = size(filter(col("lines_g"), l => {
+      val t = trim(l)
+      t.endsWith("...") || t.endsWith("…")
+    })).cast("long")
+    val ellipsisRatio = round(nEllEnd / nLines.cast("double"), 6)
+    val nAlpha = size(filter(col("ws_g"), w => w.rlike("\\p{L}"))).cast("long")
+    val alphaRatio = round(nAlpha / greatest(nWords, lit(1L)).cast("double"), 6)
+    val nStop = size(array_intersect(col("toks_g"),
+      array(GopherStopwords.map(lit(_)): _*))).cast("long")
+    d0.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("bullet_ratio", bulletRatio)
+      .withColumn("ellipsis_ratio", ellipsisRatio)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("n_req_stopwords", nStop)
+      .withColumn("gopher_keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("n_req_stopwords") >= 2L)
+      .drop("ws_g", "lines_g", "toks_g")
+  }
+
   /**
    * Unigram language-model quality score — the distributed analog of the
    * CCNet perplexity gate: train unigram probabilities p(t) = count(t)/total

@@ -115,4 +115,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     val pmis = r.map(_.getAs[Double]("pmi6"))
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
+
+  test("Gopher rule gate: each rule trips on its own planted violation") {
+    import graft.text.TextAnalysis
+    val good = (("the deal is that we have to be of one mind and go " * 5) +
+      "morewords plainly wordsmith herein").trim // 69 words, mean len 3.13, passes
+    val docs = Seq(
+      (1L, good),
+      (2L, "too few words the of"),                      // word-count rule
+      (3L, good + (" ################" * 2)),            // symbol ratio (mean len ok)
+      (4L, good.split(' ').map("- " + _).mkString("\n")), // all bullet lines
+      (5L, good + "...\nwait...\nmore..."),              // ellipsis-end lines
+      (6L, good + (" 123 456 789 000" * 8)),             // alpha-word ratio
+      (7L, ("zq xv wk jm " * 20).trim)                   // no required stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withGopherRules(docs)
+      .orderBy("doc_id").collect()
+    def keep(i: Int) = r(i).getAs[Boolean]("gopher_keep")
+    assert(keep(0), "clean doc must pass every rule")
+    assert(!keep(1) && r(1).getAs[Long]("n_words") < 50L)
+    assert(!keep(2) && r(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!keep(3) && r(3).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!keep(4) && r(4).getAs[Double]("ellipsis_ratio") > 0.3)
+    assert(!keep(5) && r(5).getAs[Double]("alpha_ratio") < 0.8)
+    assert(!keep(6) && r(6).getAs[Long]("n_req_stopwords") < 2L)
+    // per-rule columns: the clean doc's values are exactly hand-derivable
+    assert(r(0).getAs[Long]("n_words") === 69L)
+    assert(r(0).getAs[Long]("n_req_stopwords") === 7L)
+    assert(r(0).getAs[Double]("bullet_ratio") === 0.0)
+    assert(r(0).getAs[Double]("symbol_ratio") === 0.0)
+  }
 }
