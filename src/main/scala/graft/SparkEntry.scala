@@ -715,6 +715,13 @@ object SparkEntry {
     "doc_bm25" -> ((s, dir) =>
       graft.text.Search.bm25(docs(s, dir), col("doc_id"), col("text"),
         queryTerms = Bm25QueryTerms, topK = 20)),
+    // TF-IDF keyword extraction: top-3 characteristic terms per doc with
+    // the smooth sklearn idf, 7dp-DECIMAL scores (the bm25 determinism
+    // contract), ties by term asc; DuckDB replays the identical ln chain
+    "doc_tfidf" -> ((s, dir) =>
+      graft.text.Search.tfIdfTopK(docs(s, dir), col("doc_id"), col("text"),
+          k = 3)
+        .withColumnRenamed("doc_key", "doc_id")),
     // heavy hitters: exact top-20 3-grams (tie-break gram asc) checked
     // against the portable Count-Min sketch (4x512, sha60 family) — the
     // sketch is bounded cells regardless of stream size and broadcast to
@@ -2222,6 +2229,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("lon"), col("lat"),
           GeoFunctions.mgrs(col("lon"), col("lat")).as("mgrs"))
     }),
+    // geohash annotation (opencage.rs:474 schema slot): the engine's
+    // interval-bisection encoder vs DuckDB's list_reduce replay of the
+    // SAME bisection (all midpoints are exact dyadic doubles, so the two
+    // IEEE chains are identical) + Morton interleave + base32 lookup; the
+    // precision-5 column is computed by an INDEPENDENT engine call but the
+    // oracle derives it as the 9-char prefix — the prefix-refinement
+    // property proven cross-engine
+    "geo_geohash" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0).as("lon"),
+          ((col("o_orderkey") * 104729 % 163800) / lit(1000.0) - 79.9).as("lat"))
+        .select(col("o_orderkey"), col("lon"), col("lat"),
+          GeoFunctions.geohash(col("lon"), col("lat"), lit(9)).as("geohash"),
+          GeoFunctions.geohash(col("lon"), col("lat"), lit(5)).as("geohash5"))
+    }),
     // qibla bearing + Maidenhead locator (E8 annotations, opencage.rs:583/
     // 594) — pure spherical-trig / grid arithmetic DuckDB re-derives with
     // the same operation order (incl. Spark's pmod-on-double semantics)
@@ -2274,6 +2297,26 @@ object SparkEntry {
       graft.web.LinkGraph.degreeHistogram(
         docs(s, dir).select((col("doc_id") % 48).as("src"),
           expr("(doc_id div 48) % 48").as("dst")))),
+    // k-core decomposition by iterative peeling over a core+periphery+path
+    // graph built to EXERCISE the loop (a power-law star fringe that dies
+    // in two rounds, a dense 24-node core that survives, and an attached
+    // 8-hop path that unravels one node per round — 10 peel rounds at
+    // sf0.01 AND sf0.1, convergence proven in-operator); the oracle
+    // replays every peel round as an unrolled CTE chain with margin
+    "web_kcore" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = d.select((col("doc_id") % 100).as("src"),
+          expr("100 div (1 + ((doc_id * 17 + 5) % 100))").as("dst"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") % 24).as("src"),
+            expr("(doc_id * 37 + (doc_id div 24) * 17 + 11) % 24").as("dst")))
+        .unionByName(d.filter(col("doc_id") % 25 === 0)
+          .select((lit(500L) + expr("(doc_id div 25) % 8")).as("src"),
+            (lit(501L) + expr("(doc_id div 25) % 8")).as("dst")))
+        .unionByName(d.filter(col("doc_id") % 500 === 0)
+          .select(lit(0L).as("src"), lit(500L).as("dst")))
+      graft.web.LinkGraph.kCore(e, k = 2)
+    }),
     // great-circle navigation annotations per gazetteer point against the
     // fixed track (2,41)->(3,42): initial bearing from track start, signed
     // cross-track offset from the track — map-only row-local trig chains,
@@ -2727,6 +2770,45 @@ object SparkEntry {
     * (node, label) neighbour counts and the argmax with ties to the
     * smallest label (row_number ORDER BY n DESC, label == the engine's
     * min(struct(-n, label))). */
+  /** Unrolled k-core peeling oracle: `rounds` CTE rounds of degree-filter-
+    * restrict over the web_kcore graph (peeling is monotone, so unrolling
+    * PAST the fixed point is a no-op — rounds is set with margin over the
+    * measured 10-round convergence at sf0.01/sf0.1). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous CTE
+    // several times, and DuckDB inlines plain CTEs — 14 unrolled rounds
+    // would expand exponentially (measured: fd exhaustion re-scanning the
+    // parquet). Materializing keeps the chain linear, one pass per round.
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM k$i)
+         |    AND v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+       |  FROM (
+       |    SELECT doc_id % 100 AS u,
+       |        100 // (1 + ((doc_id * 17 + 5) % 100)) AS v
+       |      FROM documents
+       |    UNION ALL
+       |    SELECT doc_id % 24,
+       |        (doc_id * 37 + (doc_id // 24) * 17 + 11) % 24
+       |      FROM documents WHERE doc_id % 5 = 0
+       |    UNION ALL
+       |    SELECT 500 + (doc_id // 25) % 8, 501 + (doc_id // 25) % 8
+       |      FROM documents WHERE doc_id % 25 = 0
+       |    UNION ALL
+       |    SELECT 0, 500 FROM documents WHERE doc_id % 500 = 0)
+       |  WHERE u <> v),
+       |$steps
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   private def lpaSql(iters: Int): String = {
     val base =
       """eu AS (SELECT DISTINCT src, dst FROM (
@@ -3083,6 +3165,48 @@ FROM fin GROUP BY doc_id"""
     ((0 until zoom).map(i => s"((($tx >> $i) & 1) << ${2 * i})") ++
       (0 until zoom).map(i => s"((($ty >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
+
+  /** Geohash oracle: replay the engine's interval-bisection bit chain as a
+    * list_reduce fold (every midpoint (mn+mx)/2 from ±180/±90 is an exact
+    * dyadic double, so DuckDB's IEEE decisions match the JVM's bit for
+    * bit), Morton-interleave the 23 lon + 22 lat decision bits, then map
+    * each 5-bit group through the base32 alphabet. */
+  private def geohashSql: String = {
+    def fold(v: String, lo: String, steps: Int): String =
+      s"""list_reduce(list_prepend(
+         |      {mn: CAST(-$lo AS DOUBLE), mx: CAST($lo AS DOUBLE),
+         |       acc: CAST(0 AS BIGINT)},
+         |      list_transform(range($steps), i ->
+         |        {mn: CAST(0.0 AS DOUBLE), mx: CAST(0.0 AS DOUBLE),
+         |         acc: CAST(0 AS BIGINT)})),
+         |      (s, x) -> CASE
+         |        WHEN $v >= (s.mn + s.mx) / CAST(2.0 AS DOUBLE)
+         |        THEN {mn: (s.mn + s.mx) / CAST(2.0 AS DOUBLE), mx: s.mx,
+         |              acc: s.acc * 2 + 1}
+         |        ELSE {mn: s.mn, mx: (s.mn + s.mx) / CAST(2.0 AS DOUBLE),
+         |              acc: s.acc * 2} END).acc""".stripMargin
+    val morton =
+      ((0 until 23).map(i => s"(((ilon >> $i) & 1) << ${2 * i})") ++
+        (0 until 22).map(j => s"(((ilat >> $j) & 1) << ${2 * j + 1})"))
+        .mkString(" + ")
+    val chars = (0 until 9).map(c =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(((z >> ${40 - 5 * c}) & 31) + 1 AS INT), 1)").mkString(", ")
+    s"""WITH pts AS (SELECT o_orderkey,
+       |    (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE)
+       |      - CAST(180.0 AS DOUBLE) AS lon,
+       |    (o_orderkey * 104729 % 163800) / CAST(1000.0 AS DOUBLE)
+       |      - CAST(79.9 AS DOUBLE) AS lat
+       |  FROM orders),
+       |b AS (SELECT o_orderkey, lon, lat,
+       |    ${fold("lon", "180.0", 23)} AS ilon,
+       |    ${fold("lat", "90.0", 22)} AS ilat
+       |  FROM pts),
+       |zc AS (SELECT o_orderkey, lon, lat, $morton AS z FROM b)
+       |SELECT o_orderkey, lon, lat, concat($chars) AS geohash,
+       |  substr(concat($chars), 1, 5) AS geohash5
+       |FROM zc""".stripMargin
+  }
 
   /** Dense deterministic triangle-graph edges (canonical undirected) +
     * degree CTE, shared by the web_triangles / web_degree_hist oracles. */
@@ -4101,6 +4225,27 @@ FROM fin GROUP BY doc_id"""
         |SELECT doc_key, n_terms, bm25_score,
         |  CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_key) AS INT) AS rank
         |FROM scored ORDER BY bm25_score DESC, doc_key LIMIT 20""".stripMargin,
+    // smooth-idf TF-IDF replayed with the identical op order (ln of the
+    // (N+1)/(df+1) double quotient, +1, * tf, 7dp DECIMAL) and the same
+    // (score desc, term asc) per-doc top-3 window
+    "doc_tfidf" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |tf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        |tfa AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT t.doc_id, t.term, t.tf, f.df,
+        |    CAST(round(
+        |      (ln(CAST(s.n_docs + 1 AS DOUBLE) / CAST(f.df + 1 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE)) * CAST(t.tf AS DOUBLE), 7)
+        |      AS DECIMAL(20,7)) AS tfidf7
+        |  FROM tfa t JOIN dfa f USING (term) CROSS JOIN n s),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf7 DESC, term) AS INT) AS term_rank FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf7, term_rank
+        |FROM rk WHERE term_rank <= 3""".stripMargin,
     // DuckDB rebuilds every Count-Min cell (sha60 family, pmod width) from
     // the full 3-gram stream and re-estimates the exact top-20 — proving
     // both the exact counts and the sketch plan
@@ -4894,6 +5039,9 @@ FROM fin GROUP BY doc_id"""
     "web_pagerank" -> pageRankSql(3),
     "web_trustrank" -> trustRankSql(3),
     "web_communities" -> lpaSql(3),
+    // unrolled peel rounds with margin over the measured 10-round fixed
+    // point — extra rounds are no-ops on a converged core
+    "web_kcore" -> kcoreSql(2, 14),
     // co-citation: the outdeg cap excludes the supernode's edges up front,
     // then canonical a < b pair counts over the capped edge list
     "web_cocitation" ->
@@ -5220,6 +5368,7 @@ FROM fin GROUP BY doc_id"""
          |  FROM pr)
          |SELECT polygon_id, nv AS n_vertices, round(per, 3) AS perimeter_m
          |FROM f""".stripMargin,
+    "geo_geohash" -> geohashSql,
     "geo_mgrs" ->
       s"""WITH pts AS (SELECT o_orderkey,
          |    (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,

@@ -88,4 +88,50 @@ object Search {
     top.withColumn("rank", row_number().over(
       Window.orderBy(col("bm25_score").desc, col("doc_key"))))
   }
+
+  /**
+   * TF-IDF keyword extraction: the top-k highest-scoring terms of every
+   * document, with the smooth idf that never zeroes a term present in all
+   * documents (idf = ln((N+1)/(df+1)) + 1 — the sklearn smooth variant).
+   * This is the per-document characteristic-terms signal (topic tagging,
+   * near-dup explanation, index pruning), complementing [[bm25]]'s
+   * per-query ranking.
+   *
+   * Scale shape: term frequencies are ONE combinable (doc, token) count
+   * with map-side partials; document frequencies are one combinable count
+   * over the (doc, token) distincts (never a countDistinct — the tf
+   * aggregate already collapsed to distinct pairs); N folds in as a 1-row
+   * broadcast. The top-k window partitions BY DOCUMENT — millions of
+   * independent k-row heaps, no global sort anywhere.
+   *
+   * Determinism: the score is rounded to 7 dp into DECIMAL(20,7) before
+   * ranking (each score is computed once, not summed, so the only IEEE
+   * sensitivity is the final-ulp ln boundary — same accepted contract as
+   * [[bm25]]), and ties break by term ascending.
+   *
+   * @return (doc_key, term, tf, df, tfidf7: decimal(20,7), term_rank) —
+   *         k rows per doc (fewer when the doc has < k distinct terms)
+   */
+  def tfIdfTopK(docs: DataFrame, key: Column, text: Column,
+                k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = TextAnalysis.tokens(text)
+    val tf = docs.select(key.as("doc_key"), explode(toks).as("term"))
+      .groupBy("doc_key", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1L)).cast("double") /
+      (col("df") + lit(1L)).cast("double")) + lit(1.0)
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf7",
+        round(idf * col("tf").cast("double"), 7).cast("decimal(20,7)"))
+    scored
+      .withColumn("term_rank", row_number().over(Window
+        .partitionBy(col("doc_key"))
+        .orderBy(col("tfidf7").desc, col("term"))))
+      .filter(col("term_rank") <= k)
+      .select("doc_key", "term", "tf", "df", "tfidf7", "term_rank")
+  }
 }

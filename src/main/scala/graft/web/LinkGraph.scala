@@ -646,4 +646,68 @@ object LinkGraph {
       .select(col("bucket"), col("n_nodes"), col("min_degree"),
         col("max_degree"), col("share_ppm"))
   }
+
+  /**
+   * k-core of the undirected simple graph induced by `edges`: the maximal
+   * subgraph in which every node has degree >= k, computed by synchronous
+   * iterative peeling (delete all nodes with degree < k, recompute, repeat
+   * to a fixed point). The k-core is the standard "remove the crawl fringe"
+   * signal — link farms and boilerplate nav pages live in the low-core
+   * shells, the genuinely interlinked content survives.
+   *
+   * Scale shape: each peel round is ONE degree aggregation over the live
+   * edge list (combinable long count, narrow (node, long) shuffle rows —
+   * map-side partials absorb supernodes) plus two anti-joins removing the
+   * dropped endpoints. The dropped set shrinks geometrically after the
+   * first round, so AQE broadcasts it; round one (where most of a web
+   * graph dies) stays a shuffle anti-join on narrow keys. The live edge
+   * list is re-entered as a LogicalRDD each round ([[cut]]) so the plan
+   * stays O(1) in round count — the same discipline as [[pageRank]]. One
+   * driver-side scalar per round (the dropped-node count, needed for the
+   * convergence test) — never a collect of node sets.
+   *
+   * Termination is PROVEN, not assumed: the loop requires a fixed point
+   * within `maxRounds` and fails loudly otherwise, so an under-budgeted
+   * run can never emit a half-peeled subgraph as if it were the core.
+   *
+   * @param edges (src: long, dst: long) — any direction, dups/self-loops ok
+   * @return (node, core_degree) — the surviving nodes with their degree
+   *         INSIDE the k-core (all >= k); empty result if no k-core exists
+   */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    var live = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    live.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val drop = degrees(live).filter(col("degree") < k)
+        .select("node").persist()
+      if (drop.count() == 0L) {
+        converged = true
+        drop.unpersist()
+      } else {
+        val next = cut(
+          live.join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+            .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+            .select("u", "v")).persist()
+        next.count()
+        live.unpersist(); drop.unpersist()
+        live = next
+        round += 1
+      }
+    }
+    require(converged,
+      s"k-core peeling did not reach a fixed point in $maxRounds rounds " +
+        s"(k=$k) — raise maxRounds; emitting a half-peeled shell would be " +
+        "silently wrong")
+    degrees(live).select(col("node"), col("degree").as("core_degree"))
+  }
 }

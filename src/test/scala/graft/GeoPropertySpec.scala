@@ -118,6 +118,16 @@ class GeoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("geohash known vectors (the published reference encodings)") {
+    // the canonical geohash.org example: 57.64911 N, 10.40744 E
+    assert(Geo.geohash(10.40744, 57.64911, 11) === "u4pruydqqvj")
+    // the original Wikipedia worked example: ezs42 <- 42.605 N, 5.603 W
+    assert(Geo.geohash(-5.603, 42.605, 5) === "ezs42")
+    // hemisphere corners land in the expected base32 quadrant chars
+    assert(Geo.geohash(-180.0, -90.0, 1) === "0")
+    assert(Geo.geohash(179.999, 89.999, 1) === "z")
+  }
+
   test("normalization: case/diacritic perturbations still match") {
     import graft.etl.Norm
     forAll(Gen.oneOf("Schwabing, München", "Carrer de Calatrava 64, Barcelona",

@@ -158,4 +158,36 @@ class RetrievalSketchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(1L -> 2, 2L -> 1))
   }
+
+  test("tfIdfTopK: rare terms outscore common ones, hand-checked score") {
+    // N=3; "spark" in all 3 docs (df=3), "quark" only in doc 1 (df=1)
+    val d = docs(
+      1L -> "spark quark quark",
+      2L -> "spark filler",
+      3L -> "spark other")
+    val out = Search.tfIdfTopK(d, col("doc_id"), col("text"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).doubleValue(), r.getInt(5)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // quark: tf=2 df=1 -> (ln(4/2)+1)*2; spark: tf=1 df=3 -> ln(4/4)+1 = 1
+    assert(doc1.map(x => (x._2, x._3, x._4)).toSeq ===
+      Seq(("quark", 2L, 1L), ("spark", 1L, 3L)))
+    val expQuark = BigDecimal((math.log(2.0) + 1.0) * 2.0)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(doc1.head._5 - expQuark) < 1e-12)
+    assert(doc1.last._5 === 1.0)
+    // every doc contributes at most k rows; docs with 2 terms emit 2
+    assert(out.count(_._1 == 2L) === 2)
+  }
+
+  test("tfIdfTopK: ties break by term ascending inside the k window") {
+    // doc 1 has three distinct singleton terms, all same idf -> same score;
+    // k=2 must keep the lexicographically first two
+    val d = docs(1L -> "cc bb aa", 2L -> "dd")
+    val keep = Search.tfIdfTopK(d, col("doc_id"), col("text"), k = 2)
+      .filter(col("doc_key") === 1L).collect()
+      .map(r => (r.getString(1), r.getInt(5))).sortBy(_._2)
+    assert(keep.map(_._1).toSeq === Seq("aa", "bb"))
+  }
 }

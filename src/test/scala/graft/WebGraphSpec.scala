@@ -294,4 +294,34 @@ class WebGraphSpec extends AnyFunSuite {
     assert(h(2L) === ((1L, 4L, 4L, 200000L)))
     assert(h.size === 2)
   }
+
+  test("kCore: peels tails layer by layer, keeps the dense core") {
+    // triangle 0-1-2 with a 3-hop tail 2-3-4-5: the 2-core is exactly the
+    // triangle, and the tail must unravel one node per round (3 rounds)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = LinkGraph.kCore(e, k = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(core === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // k above the max degree: empty core, still converges
+    assert(LinkGraph.kCore(e, k = 4).collect().isEmpty)
+    // direction/duplicates/self-loops collapse before peeling
+    val noisy = Seq((1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (0L, 0L))
+      .toDF("src", "dst")
+    val c2 = LinkGraph.kCore(noisy, k = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(c2 === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCore: under-budgeted maxRounds fails loudly, never half-peeled") {
+    // 4-hop tail off a triangle needs 4 peel rounds; cap at 2 must throw
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.kCore(e, k = 2, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("fixed point"))
+    // with budget it converges to the triangle
+    assert(LinkGraph.kCore(e, k = 2, maxRounds = 8).collect().length === 3)
+  }
 }
