@@ -672,6 +672,51 @@ object SparkEntry {
     "doc_lm_bigram" -> ((s, dir) =>
       graft.text.TextAnalysis.bigramLmScore(docs(s, dir), col("doc_id"),
         col("text"), lam = 0.7)),
+    // interpolated KNESER-NEY bigram LM (the KenLM/CCNet smoothing family):
+    // discounted bigram MLE backed off to the CONTINUATION distribution
+    // N1+(.b)/T — all model quantities are combinable counts over bigram
+    // types, scoring the same hash-join + per-doc decimal-sum shape
+    "doc_lm_kn" -> ((s, dir) =>
+      graft.text.TextAnalysis.knBigramLmScore(docs(s, dir), col("doc_id"),
+        col("text"), d = 0.75)),
+    // CCNet head/middle/tail perplexity bucketing: corpus-derived thresholds
+    // from the MERGEABLE quantile sketch (never a global sort/ntile), bucket
+    // membership an exact integer compare on per-token NLL in 1e-7 nats
+    "doc_ccnet_buckets" -> ((s, dir) =>
+      graft.text.Corpus.ccnetBuckets(docs(s, dir), col("doc_id"),
+        col("text"), lam = 0.7)),
+    // Unicode NFC normalization (UAX #15 canonical compose) as a codegen
+    // StaticInvoke — the cleanup pass every multilingual corpus needs before
+    // hashing/dedup (decomposed accents hash differently); a deterministic
+    // combining-mark suffix on every 3rd doc makes the changed flag real
+    "doc_unicode_norm" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 3 === 0,
+        lit(" cafe\u0301 A\u030A n\u0303o")).otherwise(lit(""))
+      docs(s, dir)
+        .withColumn("raw", concat(col("text"), suffix))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.nfcNorm(col("raw")).as("norm_text"),
+          (graft.functions.TextFunctions.nfcNorm(col("raw")) =!= col("raw"))
+            .as("changed"),
+          length(col("raw")).cast("int").as("n_chars_raw"),
+          length(graft.functions.TextFunctions.nfcNorm(col("raw")))
+            .cast("int").as("n_chars_norm"))
+    }),
+    // one-pass corpus profiler (the data-quality audit before any training
+    // run): row/null/distinct counts and exact length stats in ONE
+    // aggregation job; the ppm mean is integral so the row hashes portably
+    "doc_profile" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text_nonnull"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(length(col("text"))).cast("int").as("min_len"),
+        max(length(col("text"))).cast("int").as("max_len"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        expr("(sum(CAST(length(text) AS BIGINT)) * 1000000) div count(1)")
+          .as("avg_len_ppm"))),
     // Bloom-filter blocklist membership: the filter is <= m rows no matter
     // how large the blocklist, broadcast to the probe — candidates never
     // shuffle; misses exact, false positives bounded and audited here
@@ -4158,6 +4203,133 @@ FROM fin GROUP BY doc_id"""
         |SELECT tok.doc_id AS doc_key, CAST(len(tok.toks) AS INT) AS n_tokens,
         |  CAST(sc.sdec AS DOUBLE) / len(tok.toks) AS lm2_logprob
         |FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id""".stripMargin,
+    // Kneser-Ney: DuckDB rebuilds prefix/fan-out/fan-in/type counts from the
+    // position self-join's bigram table and replays the identical discount
+    // chain (same operation order, every literal cast to DOUBLE)
+    "doc_lm_kn" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |ti AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS i FROM tok),
+        |pairs AS (SELECT x.doc_id, x.tok AS a, y.tok AS b
+        |  FROM ti x JOIN ti y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |pf AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+        |  count(*) AS n1p_fwd FROM bc GROUP BY 1),
+        |sf AS (SELECT b, count(*) AS n1p_bwd FROM bc GROUP BY 1),
+        |tt AS (SELECT count(*) AS t_types FROM bc),
+        |pterm AS (SELECT p.doc_id,
+        |    CAST(round(ln(
+        |      (greatest(CAST(bc.c_ab AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |         CAST(0 AS DOUBLE))
+        |       + CAST(0.75 AS DOUBLE) * CAST(pf.n1p_fwd AS DOUBLE)
+        |         * (CAST(sf.n1p_bwd AS DOUBLE) / CAST(tt.t_types AS DOUBLE)))
+        |      / CAST(pf.c_a AS DOUBLE)), 7) AS DECIMAL(20,7)) AS t
+        |  FROM pairs p JOIN bc ON bc.a = p.a AND bc.b = p.b
+        |  JOIN pf ON pf.a = p.a JOIN sf ON sf.b = p.b CROSS JOIN tt),
+        |fterm AS (SELECT tok.doc_id,
+        |    CAST(round(ln(CAST(coalesce(sf.n1p_bwd, 0) + 1 AS DOUBLE)
+        |      / CAST(tt.t_types + v.vocab AS DOUBLE)), 7)
+        |      AS DECIMAL(20,7)) AS t
+        |  FROM tok LEFT JOIN sf ON sf.b = tok.toks[1]
+        |  CROSS JOIN tt CROSS JOIN v
+        |  WHERE len(tok.toks) >= 1),
+        |sc AS (SELECT doc_id, sum(t) AS sdec
+        |  FROM (SELECT * FROM fterm UNION ALL SELECT * FROM pterm)
+        |  GROUP BY 1)
+        |SELECT tok.doc_id AS doc_key, CAST(len(tok.toks) AS INT) AS n_tokens,
+        |  CAST(sc.sdec AS DOUBLE) / len(tok.toks) AS kn_logprob
+        |FROM tok LEFT JOIN sc ON sc.doc_id = tok.doc_id""".stripMargin,
+    // CCNet bucketing: the bigram-LM decimal sum becomes integral per-token
+    // NLL (micro-nat floor division, both operands non-negative so // == div),
+    // the log-histogram sketch is rebuilt cell by cell, and the head/middle
+    // thresholds are the deterministic bucket upper bounds
+    "doc_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM ex),
+        |ti AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS i FROM tok),
+        |pairs AS (SELECT x.doc_id, x.tok AS a, y.tok AS b
+        |  FROM ti x JOIN ti y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |pterm AS (SELECT p.doc_id,
+        |    CAST(round(ln(
+        |      CAST(0.7 AS DOUBLE) * (CAST(bc.c_ab AS DOUBLE) / ua.cnt)
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+        |        * (CAST(ub.cnt AS DOUBLE) / t.total)), 7) AS DECIMAL(20,7)) AS t
+        |  FROM pairs p JOIN bc ON bc.a = p.a AND bc.b = p.b
+        |  JOIN uni ua ON ua.token = p.a JOIN uni ub ON ub.token = p.b
+        |  CROSS JOIN tot t),
+        |fterm AS (SELECT tok.doc_id,
+        |    CAST(round(ln(CAST(u.cnt AS DOUBLE) / t.total), 7)
+        |      AS DECIMAL(20,7)) AS t
+        |  FROM tok JOIN uni u ON u.token = tok.toks[1] CROSS JOIN tot t
+        |  WHERE len(tok.toks) >= 1),
+        |sc AS (SELECT doc_id, sum(t) AS sdec
+        |  FROM (SELECT * FROM fterm UNION ALL SELECT * FROM pterm)
+        |  GROUP BY 1),
+        |nll AS (SELECT tok.doc_id, CAST(len(tok.toks) AS INT) AS n_tokens,
+        |    CAST((-sc.sdec) * 10000000 AS BIGINT)
+        |      // CAST(len(tok.toks) AS BIGINT) AS nll_e7
+        |  FROM tok JOIN sc ON sc.doc_id = tok.doc_id
+        |  WHERE len(tok.toks) >= 1),
+        |hb AS (SELECT CAST(CASE WHEN v < 4 THEN v
+        |    ELSE (length(bin(v)) - 1) * 4 + ((v >> (length(bin(v)) - 3)) & 3)
+        |    END AS INT) AS bucket FROM (SELECT nll_e7 AS v FROM nll)),
+        |hc AS (SELECT bucket, count(*) AS cnt FROM hb GROUP BY 1),
+        |ht AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hc),
+        |hm AS (SELECT bucket,
+        |  CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM hc),
+        |pp AS (SELECT CAST(unnest([33, 66]) AS INT) AS pct),
+        |q AS (SELECT pp.pct, min(bucket) AS b
+        |  FROM hm CROSS JOIN ht CROSS JOIN pp
+        |  WHERE cum >= (ht.n_total * pp.pct + 99) // 100 GROUP BY 1),
+        |ub2 AS (SELECT pct, CASE WHEN b < 4 THEN CAST(b AS BIGINT)
+        |    ELSE (CAST(b % 4 + 5 AS BIGINT) << ((b // 4) - 2)) - 1 END AS est
+        |  FROM q),
+        |th AS (SELECT max(CASE WHEN pct = 33 THEN est END) AS t33,
+        |    max(CASE WHEN pct = 66 THEN est END) AS t66 FROM ub2)
+        |SELECT nll.doc_id AS doc_key, nll.n_tokens, nll.nll_e7,
+        |  th.t33, th.t66,
+        |  CASE WHEN nll.nll_e7 <= th.t33 THEN 'head'
+        |       WHEN nll.nll_e7 <= th.t66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM nll CROSS JOIN th""".stripMargin,
+    // NFC normalization: DuckDB's utf8proc nfc_normalize and the JDK's
+    // Normalizer implement the same UAX #15 algorithm, so the composed
+    // strings agree byte-for-byte; the suffix is built DECOMPOSED from
+    // chr() codepoints in both engines
+    "doc_unicode_norm" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' cafe' || chr(769) || ' A' || chr(778)
+        |      || ' n' || chr(771) || 'o'
+        |    ELSE '' END AS raw FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  nfc_normalize(raw) <> raw AS changed,
+        |  CAST(length(raw) AS INT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS n_chars_norm
+        |FROM raw""".stripMargin,
+    "doc_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(text) AS BIGINT) AS n_text_nonnull,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(min(length(text)) AS INT) AS min_len,
+        |  CAST(max(length(text)) AS INT) AS max_len,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST((CAST(sum(length(text)) AS BIGINT) * 1000000) // count(*)
+        |    AS BIGINT) AS avg_len_ppm
+        |FROM documents""".stripMargin,
     // the rewriter re-derived relationally: DuckDB marks covered token
     // positions with a span range-join instead of Spark's per-row lambda
     "doc_substring_strip" ->

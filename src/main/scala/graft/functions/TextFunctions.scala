@@ -47,6 +47,14 @@ object TextInternal {
 
   def hamming(a: Long, b: Long): Int = TextCore.hamming(a, b)
 
+  /** Unicode NFC normalization (canonical decomposition + composition) via
+    * the JDK's Normalizer — the same algorithm (UAX #15) DuckDB's
+    * `nfc_normalize` implements through utf8proc, so normalized strings
+    * agree byte-for-byte across engines. */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      if (s == null) "" else s.toString, java.text.Normalizer.Form.NFC))
+
   def jaccard(a: UTF8String, b: UTF8String, shingleN: Int): Double =
     TextCore.jaccard(a.toString, b.toString, shingleN)
 
@@ -197,6 +205,9 @@ object TextFunctions {
 
   def sigOverlap(a: Column, b: Column): Column = invoke(DoubleType, "sigOverlap", a, b)
   def simhash(text: Column): Column = invoke(LongType, "simhash", text)
+
+  /** NFC-normalize a string column (codegen StaticInvoke, no SerDe). */
+  def nfcNorm(text: Column): Column = invoke(StringType, "nfc", text)
   def bpeCharSeq(w: Column): Column = invoke(StringType, "bpeCharSeq", w)
   /** HTML (binary, UTF-8) -> clean text via the fixed HtmlText rule chain. */
   def htmlText(html: Column): Column = invoke(StringType, "htmlText", html)

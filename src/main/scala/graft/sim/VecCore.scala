@@ -322,4 +322,15 @@ object VecCore {
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
+
+  /** Exact dot product of two scaled-integer vectors. Safe by construction
+    * for embedding scales: at scale 1e6 and |e| <= 100 the per-term product
+    * is <= 1e16 and a 10^4-dim sum stays far under Long range. */
+  def longDot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 }

@@ -335,4 +335,49 @@ object Corpus {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("n_occurrences").desc, col("token"))) - 1)
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+   * document with the interpolated bigram LM, derive corpus-level head/middle
+   * thresholds, and tag each document `head` / `middle` / `tail` by where its
+   * per-token negative log-likelihood falls. The signature CCNet move is that
+   * thresholds come from the CORPUS distribution, not fixed constants.
+   *
+   * Exactness: the per-doc score stays in the exact integer domain end to
+   * end — the 7-dp DECIMAL LM sum becomes per-token NLL in 1e-7 nats via an
+   * integral division (`nll_e7 = (−sdec · 10^7) div n_tokens`, both operands
+   * non-negative so floor == truncate in every engine) — so bucket membership
+   * is an integer comparison with no float boundary.
+   *
+   * Scale shape: the thresholds are NOT a global sort/ntile (a corpus-wide
+   * window would single-partition 10^12 rows); they come from the mergeable
+   * log-histogram quantile sketch ([[graft.sketch.QuantileHist]], ≤ ~250
+   * cells, combinable map-side), then ride back as a broadcast 1-row join.
+   * Sketch quantiles are deterministic bucket upper bounds, so the head/tail
+   * split is reproducible bit-for-bit — the property that matters when the
+   * bucket feeds a training-mix contract. Empty documents are excluded
+   * (no tokens → no perplexity to bucket).
+   *
+   * @return (doc_key, n_tokens, nll_e7, t33, t66, bucket)
+   */
+  def ccnetBuckets(docs: DataFrame, key: Column, text: Column,
+                   lam: Double = 0.7): DataFrame = {
+    val nll = TextAnalysis.bigramLmDecimal(docs, key, text, lam)
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_key"), col("n_tokens"),
+        expr("CAST((-__sdec) * 10000000 AS BIGINT) div CAST(n_tokens AS BIGINT)")
+          .as("nll_e7"))
+    val cells = graft.sketch.QuantileHist.cells(nll, lit("corpus"), col("nll_e7"))
+    val th = graft.sketch.QuantileHist.quantiles(cells, Seq(33, 66))
+      .groupBy("key").agg(
+        max(when(col("pct") === 33, col("est_value"))).as("t33"),
+        max(when(col("pct") === 66, col("est_value"))).as("t66"))
+      .drop("key")
+    nll.crossJoin(broadcast(th))
+      .select(col("doc_key"), col("n_tokens"), col("nll_e7"),
+        col("t33"), col("t66"),
+        when(col("nll_e7") <= col("t33"), lit("head"))
+          .when(col("nll_e7") <= col("t66"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -410,7 +410,17 @@ object TextAnalysis {
    * @return (doc_key, n_tokens: int, lm2_logprob: double; null for empty docs)
    */
   def bigramLmScore(docs: DataFrame, key: Column, text: Column,
-                    lam: Double = 0.7): DataFrame = {
+                    lam: Double = 0.7): DataFrame =
+    bigramLmDecimal(docs, key, text, lam)
+      .select(col("doc_key"), col("n_tokens"),
+        (col("__sdec").cast("double") / col("n_tokens")).as("lm2_logprob"))
+
+  /** [[bigramLmScore]] with the EXACT per-doc DECIMAL sum still exposed
+    * (`__sdec`, scale 7) — the form corpus-level consumers need when the
+    * downstream math must stay in the exact integer domain (e.g.
+    * [[graft.text.Corpus.ccnetBuckets]]'s micro-nat thresholds). */
+  private[graft] def bigramLmDecimal(docs: DataFrame, key: Column,
+                                     text: Column, lam: Double): DataFrame = {
     require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
     val toks = tokens(text)
     val base = docs.select(key.as("doc_key"), toks.as("toks"))
@@ -441,7 +451,83 @@ object TextAnalysis {
       .groupBy("doc_key").agg(sum(col("t")).as("__sdec"))
     base.select(col("doc_key"), size(col("toks")).cast("int").as("n_tokens"))
       .join(scored, Seq("doc_key"), "left")
+  }
+
+  /**
+   * Interpolated KNESER-NEY bigram LM score — the smoothing family KenLM
+   * (and therefore the original CCNet pipeline) actually uses, where
+   * [[bigramLmScore]] is plain Jelinek-Mercer interpolation. All model
+   * quantities come from the bigram TYPE/count tables with a fixed absolute
+   * discount `d`:
+   *
+   *   - prefix count      c(a·)      = Σ_b c(a,b)
+   *   - fan-out           N1+(a·)    = |{b : c(a,b) > 0}|
+   *   - fan-in            N1+(·b)    = |{a : c(a,b) > 0}|
+   *   - bigram types      T          = |{(a,b) : c(a,b) > 0}|
+   *   - continuation prob p_cont(b)  = N1+(·b) / T
+   *
+   * and every position i ≥ 1 scores
+   *   ln( (max(c(a,b) − d, 0) + d · N1+(a·) · p_cont(b)) / c(a·) ).
+   * The first token scores the add-one-smoothed continuation probability
+   * ln( (N1+(·b) + 1) / (T + V) ) with V the unigram vocabulary size, so the
+   * term is positive even for a token that only ever occurs document-initial.
+   * Because the model is trained on the corpus being scored, every scored
+   * bigram has c(a,b) ≥ 1 and every prefix has c(a·) ≥ 1 — no zero path.
+   *
+   * Scale shape: identical to [[bigramLmScore]] — bigrams from ONE codegen
+   * windowNgrams explode, the model is combinable counts over bigram types
+   * (map-side partials absorb the Zipf head), scoring is hash joins back by
+   * token keys. Determinism: the per-position double chain is fixed-order,
+   * rounded to 7 dp and summed as DECIMAL (the doc_lm_bigram contract), so
+   * DuckDB replays every score bit-for-bit from a position self-join.
+   *
+   * @param d absolute discount in (0,1); 0.75 is the classic choice
+   * @return (doc_key, n_tokens: int, kn_logprob: double; null for empty docs)
+   */
+  def knBigramLmScore(docs: DataFrame, key: Column, text: Column,
+                      d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount d must be in (0,1), got $d")
+    val toks = tokens(text)
+    val base = docs.select(key.as("doc_key"), toks.as("toks"))
+    val ex = base.select(explode(col("toks")).as("token"))
+    val uni = ex.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val bgEx = docs.select(key.as("doc_key"),
+      explode(graft.functions.TextFunctions.windowNgrams(text, lit(2))).as("g"))
+    val bg = bgEx.groupBy("g").agg(count(lit(1)).as("c_ab"))
+    val bgSplit = bg
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+    val pref = bgSplit.groupBy("a")
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_fwd"))
+    val suff = bgSplit.groupBy("b").agg(count(lit(1)).as("n1p_bwd"))
+    val types = bg.agg(count(lit(1)).as("t_types"))
+    val pairTerms = bgEx
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+      .join(bg, "g")
+      .join(pref, "a")
+      .join(suff, "b")
+      .crossJoin(broadcast(types))
+      .select(col("doc_key"), round(log(
+          (greatest(col("c_ab").cast("double") - lit(d), lit(0.0)) +
+            lit(d) * col("n1p_fwd").cast("double") *
+              (col("n1p_bwd").cast("double") / col("t_types").cast("double"))) /
+            col("c_a").cast("double")), 7)
+        .cast("decimal(20,7)").as("t"))
+    val firstTerms = base.filter(size(col("toks")) >= 1)
+      .select(col("doc_key"), element_at(col("toks"), 1).as("b"))
+      .join(suff, Seq("b"), "left")
+      .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
+      .select(col("doc_key"), round(log(
+          (coalesce(col("n1p_bwd"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_types") + col("vocab")).cast("double")), 7)
+        .cast("decimal(20,7)").as("t"))
+    val scored = firstTerms.unionByName(pairTerms)
+      .groupBy("doc_key").agg(sum(col("t")).as("__sdec"))
+    base.select(col("doc_key"), size(col("toks")).cast("int").as("n_tokens"))
+      .join(scored, Seq("doc_key"), "left")
       .select(col("doc_key"), col("n_tokens"),
-        (col("__sdec").cast("double") / col("n_tokens")).as("lm2_logprob"))
+        (col("__sdec").cast("double") / col("n_tokens")).as("kn_logprob"))
   }
 }

@@ -78,6 +78,93 @@ class MixtureQualitySpec extends AnyFunSuite {
     assert(out(3L) === ((0, None)))
   }
 
+  // ---- knBigramLmScore -----------------------------------------------------
+
+  test("knBigramLmScore matches hand-computed Kneser-Ney chain") {
+    // corpus: "x y x y" + "y z"
+    // bigram types: (x,y):2 (y,x):1 (y,z):1 -> T=3; vocab V=3
+    // pref: x (c_a=2, fwd=1), y (c_a=2, fwd=2); fan-in: x=1 y=1 z=1
+    val d = Seq((1L, "x y x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLmScore(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def dec(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    // first token: ln((fan_in + 1) / (T + V))
+    val f_x = dec(math.log(2.0 / 6))            // doc1 starts with x
+    val f_y = dec(math.log(2.0 / 6))            // doc2 starts with y
+    // (x,y): (max(2-.75,0) + .75*1*(1/3)) / 2 = 0.75
+    val p_xy = dec(math.log((1.25 + 0.75 * 1.0 * (1.0 / 3)) / 2))
+    // (y,x) and (y,z): (0.25 + .75*2*(1/3)) / 2 = 0.375
+    val p_yx = dec(math.log((0.25 + 0.75 * 2.0 * (1.0 / 3)) / 2))
+    val exp1 = (f_x + p_xy + p_yx + p_xy).toDouble / 4
+    val exp2 = (f_y + p_yx).toDouble / 2
+    assert(out(1L)._1 === 4)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-9)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-9)
+  }
+
+  test("knBigramLmScore: empty doc null, single-token doc scores first term") {
+    val d = Seq((1L, "x y"), (2L, "x"), (3L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLmScore(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(3L) === ((0, None)))
+    // doc 2: one token "x", fan-in(x)=0 (never a continuation), T=1, V=2
+    // -> ln((0+1)/(1+2)) = ln(1/3)
+    val exp = BigDecimal(math.log(1.0 / 3))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble / 1
+    assert(out(2L)._1 === 1)
+    assert(math.abs(out(2L)._2.get - exp) < 1e-9)
+  }
+
+  // ---- ccnetBuckets ----------------------------------------------------------
+
+  test("ccnetBuckets: thresholds ordered, buckets respect the integer NLL") {
+    // three perplexity strata separated by well over the sketch's 25%
+    // bucket width: pure repetition (very low NLL), one rare token in a
+    // common frame, and all-unique tokens (NLL ~ ln corpus size per token)
+    val docs = ((1L to 10L).map(i => (i, "the the the the the the")) ++
+      (11L to 20L).map(i => (i, s"the cat uniq$i mat")) ++
+      (21L to 30L).map(i =>
+        (i, s"zq$i wv$i kj$i mn$i pq$i rs$i uv$i ab$i cd$i ef$i")))
+      .toDF("doc_id", "text")
+    val out = Corpus.ccnetBuckets(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.length === 30)
+    val (t33, t66) = (out.head._3, out.head._4)
+    assert(t33 <= t66)
+    // bucket is exactly the integer comparison against the thresholds
+    out.foreach { case (_, nll, lo, hi, b) =>
+      val expect = if (nll <= lo) "head" else if (nll <= hi) "middle" else "tail"
+      assert(b === expect, s"nll=$nll lo=$lo hi=$hi")
+    }
+    // the strata land in order: repetitive docs never in tail, unique never in head
+    val byBucket = out.groupBy(_._5).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert((1L to 10L).forall(i => !byBucket("tail").contains(i)))
+    assert((21L to 30L).forall(i => !byBucket("head").contains(i)))
+    // every head NLL <= every middle NLL <= every tail NLL
+    def nlls(b: String) = out.filter(_._5 == b).map(_._2)
+    assert(nlls("head").max <= nlls("middle").min)
+    assert(nlls("middle").max <= nlls("tail").min)
+  }
+
+  // ---- nfcNorm ---------------------------------------------------------------
+
+  test("nfcNorm composes combining marks and is identity on ASCII") {
+    val d = Seq((1L, "cafe\u0301 A\u030A n\u0303o"), (2L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        graft.functions.TextFunctions.nfcNorm(col("text")).as("n"),
+        length(col("text")).as("lr"),
+        length(graft.functions.TextFunctions.nfcNorm(col("text"))).as("ln"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 === "caf\u00e9 \u00c5 \u00f1o")
+    assert(out(1L)._2 === 12 && out(1L)._3 === 9)
+    assert(out(2L) === (("plain ascii", 11, 11)))
+  }
+
   // ---- Bloom ---------------------------------------------------------------
 
   test("bloom has no false negatives and bounded size") {
