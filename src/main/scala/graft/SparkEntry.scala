@@ -1941,6 +1941,47 @@ object SparkEntry {
     // per-registered-domain crawl stats (pages / canonical urls / hosts)
     "web_host_stats" -> ((s, dir) =>
       graft.etl.UrlOps.hostStats(docsWithUrls(s, dir), col("url"))),
+    // page-graph -> host-graph rollup (the input to host-level centrality
+    // and crawl-budget allocation): two page-id hash joins + ONE host-pair
+    // aggregation; dst stays inside the 64-page block so every edge keys a
+    // real page in both engines
+    "web_hostgraph" -> ((s, dir) => {
+      val pages = docsWithUrls(s, dir).select(col("doc_id").as("page_id"),
+        graft.etl.UrlOps.urlHost(col("url")).as("host"))
+      val edges = docs(s, dir).select(col("doc_id").as("src"),
+        ((col("doc_id") - pmod(col("doc_id"), lit(64L))) +
+          pmod(col("doc_id") * 17 + 29, lit(64L))).as("dst"))
+      graft.web.LinkGraph.hostGraph(edges, pages)
+    }),
+    // redirect-chain resolution by pointer doubling (log L rounds, not L):
+    // deterministic chains 8k+0->1->2->3 plus a seeded 62<->63 cycle and a
+    // 61->cycle feeder; cycles surface as status=unresolved with NULLs,
+    // never a silently bouncing target
+    "web_redirects" -> ((s, dir) => {
+      val nodes = docs(s, dir)
+        .select(pmod(col("doc_id"), lit(64L)).as("n")).distinct()
+      val chain = nodes.filter(pmod(col("n"), lit(8L)) < 3)
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val extra = nodes.filter(col("n").isin(61L, 62L, 63L))
+        .select(col("n").as("src"),
+          when(col("n") === 61L, lit(62L))
+            .when(col("n") === 62L, lit(63L)).otherwise(lit(62L)).as("dst"))
+      graft.web.LinkGraph.resolveRedirects(chain.unionByName(extra),
+        doublings = 4)
+    }),
+    // rule-based sentence segmentation (the decontamination/bitext
+    // granularity): capture-group boundary mark + one split, two codegen
+    // string passes, map-only — RE2-replayable by design (no lookbehind).
+    // The synthetic corpus carries no punctuation, so deterministic
+    // terminators are injected by literal replaces in BOTH engines first
+    "doc_sentences" -> ((s, dir) => {
+      val punct = replace(replace(replace(col("text"),
+        lit("table "), lit("table. ")),
+        lit("row "), lit("row! ")),
+        lit("key "), lit("key? "))
+      graft.text.Corpus.sentences(
+        docs(s, dir).withColumn("text", punct), col("doc_id"), col("text"))
+    }),
     // recrawl snapshot selection: latest capture per canonical URL, winner
     // via a combinable max(struct(ts, key)) — deterministic under ties
     "web_url_latest" -> ((s, dir) =>
@@ -2141,6 +2182,13 @@ object SparkEntry {
     "emb_kmeans" -> ((s, dir) =>
       graft.sim.KMeans.kmeans(embs(s, dir), col("vec_id"), col("embedding"),
         k = 8, rounds = 3)),
+    // dominant principal direction by power iteration in exact fixed-point:
+    // per-round map-only projection (direction = plan literal) + ONE
+    // combinable per-dimension aggregation; infinity-norm renormalization
+    // keeps every step in sign-split integer division
+    "emb_pca_power" -> ((s, dir) =>
+      graft.sim.Pca.powerIteration(embs(s, dir), col("vec_id"),
+        col("embedding"), rounds = 3)),
     // cluster-balanced diversity sampling: k-means assignment -> up to 16
     // members per cluster by a deterministic sha60 priority (the
     // capPerStratum bounded window) — the "sample evenly across semantic
@@ -2986,6 +3034,41 @@ object SparkEntry {
     s"""WITH $base,\n$steps,\n${assignStep(fin, rounds)}
        |SELECT id AS vec_id, kk AS cluster, dist AS dist_scaled
        |FROM a$fin""".stripMargin
+  }
+
+  /** DuckDB replay of Pca.powerIteration: per round a per-vector exact dot
+    * (HUGEINT products summed, cast BIGINT), the per-dimension matvec, the
+    * sign-split 1e-12 compression, and the infinity-norm renormalization —
+    * all integral, unrolled one CTE block per round like kmeansSql. */
+  private def pcaSql(rounds: Int): String = {
+    val base =
+      """e AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS x
+        |  FROM embeddings),
+        |v0 AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM e)"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT e.vec_id,
+         |    CAST(sum(CAST(e.x AS HUGEINT) * vv.v) AS BIGINT) AS dot
+         |  FROM e JOIN v$p vv ON vv.pos = e.pos GROUP BY 1),
+         |w$i AS (SELECT e.pos, sum(CAST(e.x AS HUGEINT) * d$i.dot) AS w
+         |  FROM e JOIN d$i ON d$i.vec_id = e.vec_id GROUP BY 1),
+         |u$i AS (SELECT pos, CASE WHEN w < 0 THEN -1 ELSE 1 END
+         |    * CAST(abs(w) // 1000000000000 AS BIGINT) AS u FROM w$i),
+         |m$i AS (SELECT max(abs(u)) AS m FROM u$i),
+         |v$i AS (SELECT pos, CASE WHEN u < 0 THEN -1 ELSE 1 END
+         |    * ((abs(u) * 1000000) // m) AS v FROM u$i CROSS JOIN m$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,\n$steps
+       |SELECT e.vec_id,
+       |  CAST(sum(CAST(e.x AS HUGEINT) * vv.v) AS BIGINT) AS pc1_scaled,
+       |  CAST(m.m AS BIGINT) AS eig_u
+       |FROM e JOIN v$rounds vv ON vv.pos = e.pos CROSS JOIN m$rounds m
+       |GROUP BY 1, 3""".stripMargin
   }
 
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
@@ -5201,6 +5284,55 @@ FROM fin GROUP BY doc_id"""
          |  count(*) AS n_pages, count(DISTINCT canon_url) AS n_canon_urls,
          |  count(DISTINCT host) AS n_hosts
          |FROM c GROUP BY 1""".stripMargin,
+    "web_hostgraph" ->
+      s"""WITH $urlCanonCtes,
+         |pages AS (SELECT doc_id AS page_id, host FROM c),
+         |edges AS (SELECT doc_id AS src,
+         |    (doc_id - (doc_id % 64)) + ((doc_id * 17 + 29) % 64) AS dst
+         |  FROM documents),
+         |j AS (SELECT p1.host AS src_host, p2.host AS dst_host, e.src
+         |  FROM edges e JOIN pages p1 ON p1.page_id = e.src
+         |  JOIN pages p2 ON p2.page_id = e.dst)
+         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
+         |  src_host = dst_host AS intra_host
+         |FROM j GROUP BY 1, 2""".stripMargin,
+    // the oracle walks chains LINEARLY with a recursive CTE (a different
+    // algorithm from the engine's pointer doubling); a src is resolved iff
+    // its walk reaches a non-source node — cycles exhaust the hop guard
+    "web_redirects" ->
+      """WITH RECURSIVE
+        |nodes AS (SELECT DISTINCT doc_id % 64 AS n FROM documents),
+        |r AS (SELECT n AS src, n + 1 AS dst FROM nodes WHERE n % 8 < 3
+        |  UNION ALL SELECT n AS src,
+        |    CASE WHEN n = 61 THEN 62 WHEN n = 62 THEN 63 ELSE 62 END AS dst
+        |  FROM nodes WHERE n IN (61, 62, 63)),
+        |walk(src, cur, hops) AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) FROM r
+        |  UNION ALL
+        |  SELECT w.src, r2.dst, w.hops + 1
+        |  FROM walk w JOIN r r2 ON r2.src = w.cur
+        |  WHERE w.hops < 70),
+        |term AS (SELECT src, cur AS final_dst, hops FROM walk
+        |  WHERE cur NOT IN (SELECT src FROM r))
+        |SELECT r.src, t.final_dst, t.hops,
+        |  CASE WHEN t.src IS NULL THEN 'unresolved'
+        |       ELSE 'resolved' END AS status
+        |FROM r LEFT JOIN term t ON t.src = r.src""".stripMargin,
+    "doc_sentences" ->
+      """WITH pu AS (SELECT doc_id,
+        |    replace(replace(replace(text, 'table ', 'table. '),
+        |      'row ', 'row! '), 'key ', 'key? ') AS text FROM documents),
+        |m AS (SELECT doc_id,
+        |    regexp_replace(text, '([.!?]) +', '\1' || chr(1), 'g') AS mk
+        |  FROM pu),
+        |e AS (SELECT doc_id,
+        |    CAST(unnest(range(len(string_split(mk, chr(1))))) AS INT)
+        |      AS sent_idx,
+        |    unnest(string_split(mk, chr(1))) AS sentence FROM m)
+        |SELECT doc_id AS doc_key, sent_idx, sentence,
+        |  CAST(length(sentence) AS INT) AS n_chars
+        |FROM e WHERE length(sentence) > 0""".stripMargin,
     "web_url_latest" ->
       s"""WITH $urlCanonCtes,
          |t AS (SELECT canon_url, doc_id,
@@ -5344,6 +5476,7 @@ FROM fin GROUP BY doc_id"""
     // engine's combinable min(struct))
     // Lloyd k-means replay: 3 unrolled rounds + final assignment
     "emb_kmeans" -> kmeansSql(8, 3),
+    "emb_pca_power" -> pcaSql(3),
     // cluster-balanced sampling: the kmeans replay + the same sha60
     // priority and per-cluster rank rule
     "emb_cluster_sample" ->

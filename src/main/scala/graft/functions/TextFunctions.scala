@@ -87,6 +87,9 @@ object TextInternal {
   def longSqDist(a: ArrayData, b: ArrayData): Long =
     VecCore.longSqDist(a.toLongArray(), b.toLongArray())
 
+  def longDot(a: ArrayData, b: ArrayData): Long =
+    VecCore.longDot(a.toLongArray(), b.toLongArray())
+
   def int8PackScaled(a: ArrayData, scale: Double): Array[Byte] =
     VecCore.int8PackScaled(a.toFloatArray(), scale)
 
@@ -235,6 +238,8 @@ object TextFunctions {
 
   def longSqDist(a: Column, b: Column): Column =
     invoke(LongType, "longSqDist", a, b)
+  def longDot(a: Column, b: Column): Column =
+    invoke(LongType, "longDot", a, b)
   def int8PackScaled(a: Column, scale: Column): Column =
     invoke(BinaryType, "int8PackScaled", a, scale)
   def pqEncode(code: Column, books: Column, m: Column, ks: Column): Column =

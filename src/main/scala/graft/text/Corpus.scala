@@ -337,6 +337,26 @@ object Corpus {
   }
 
   /**
+   * Rule-based sentence segmentation — the granularity decontamination and
+   * parallel-corpus mining actually operate at. The rule is deliberately a
+   * pure-regex contract (terminator [.!?] followed by spaces ends a
+   * sentence) with NO lookbehind, so any RE2-class engine replays it: the
+   * boundary is marked by a capture-group replace (`"$1" + `), then
+   * one split — two codegen string passes, map-only, no shuffle at all.
+   * Empty segments (e.g. a trailing terminator) are dropped; `sent_idx`
+   * keeps the pre-filter position so downstream joins stay stable.
+   *
+   * @return (doc_key, sent_idx: int, sentence, n_chars: int)
+   */
+  def sentences(docs: DataFrame, key: Column, text: Column): DataFrame = {
+    val marked = regexp_replace(text, "([.!?]) +", "$1")
+    docs.select(key.as("doc_key"),
+        posexplode(split(marked, "")).as(Seq("sent_idx", "sentence")))
+      .filter(length(col("sentence")) > 0)
+      .withColumn("n_chars", length(col("sentence")).cast("int"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score every
    * document with the interpolated bigram LM, derive corpus-level head/middle
    * thresholds, and tag each document `head` / `middle` / `tail` by where its

@@ -674,6 +674,75 @@ object LinkGraph {
    * @return (node, core_degree) — the surviving nodes with their degree
    *         INSIDE the k-core (all >= k); empty result if no k-core exists
    */
+  /**
+   * Page-level link graph → HOST-level graph, the rollup behind host-level
+   * PageRank/TrustRank and crawl-budget allocation: every (src_page,
+   * dst_page) edge maps through the page→host table and aggregates to
+   * (src_host, dst_host) with a link count and the distinct linking-page
+   * count; `intra_host` flags self-host edges (usually dropped before
+   * centrality, kept here so the caller decides).
+   *
+   * Scale shape: two hash joins keyed on page id (the natural partitioning
+   * of both inputs) followed by ONE aggregation keyed on the host pair —
+   * map-side partials absorb the head (most links are intra-host or point
+   * at a few hub hosts). The distinct-src count rides the same shuffle via
+   * Spark's Expand, not a second job.
+   */
+  def hostGraph(edges: DataFrame, pages: DataFrame): DataFrame = {
+    val sh = pages.select(col("page_id").as("src"), col("host").as("src_host"))
+    val dh = pages.select(col("page_id").as("dst"), col("host").as("dst_host"))
+    edges.join(sh, "src").join(dh, "dst")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_src_pages"))
+      .withColumn("intra_host", col("src_host") === col("dst_host"))
+  }
+
+  /**
+   * Redirect-chain resolution by POINTER DOUBLING: each round composes the
+   * partial walk with itself (`f ← f∘f`), so a chain of length L resolves in
+   * ⌈log₂ L⌉ rounds instead of L — the difference between 4 and 10^4 passes
+   * over a crawl-scale redirect table with deep chains. A source whose walk
+   * never reaches a terminal (a node that is not itself a redirect source)
+   * within `doublings` rounds — a cycle, or a chain deeper than
+   * 2^doublings — surfaces as status `unresolved` with NULL target/hops
+   * rather than a silently wrong answer.
+   *
+   * Scale shape: per round ONE self equi-join of the state table on the
+   * current-target key plus a plan cut (LogicalRDD re-entry, the same O(1)
+   * plan idiom as [[pageRank]]); the final terminal check is a left join
+   * against the distinct source set.
+   *
+   * @param redirects (src, dst) — at most one dst per src (a function)
+   * @return (src, final_dst, hops, status) — hops = exact chain length for
+   *         resolved rows
+   */
+  def resolveRedirects(redirects: DataFrame, doublings: Int = 4): DataFrame = {
+    require(doublings >= 1 && doublings <= 20,
+      s"doublings must be in [1,20], got $doublings")
+    var st = cut(redirects.select(col("src"), col("dst").as("cur"),
+      lit(1L).as("hops"))).persist()
+    st.count()
+    for (_ <- 1 to doublings) {
+      val g = st.select(col("src").as("g_src"), col("cur").as("g_cur"),
+        col("hops").as("g_hops"))
+      val next = cut(st.join(g, st("cur") === g("g_src"), "left")
+        .select(col("src"),
+          coalesce(col("g_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops")))
+        .persist()
+      next.count(); st.unpersist(); st = next
+    }
+    val srcs = redirects.select(col("src").as("cur")).distinct()
+      .withColumn("is_src", lit(true))
+    st.join(srcs, Seq("cur"), "left")
+      .select(col("src"),
+        when(col("is_src").isNull, col("cur")).as("final_dst"),
+        when(col("is_src").isNull, col("hops")).as("hops"),
+        when(col("is_src").isNotNull, lit("unresolved"))
+          .otherwise(lit("resolved")).as("status"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node"))

@@ -220,4 +220,22 @@ class CorpusSpec extends AnyFunSuite {
     // counts: a=3, b=3, c=2, d=1 → tie a/b broken by token asc
     assert(v.toSeq === Seq((0, "a", 3L), (1, "b", 3L), (2, "c", 2L)))
   }
+
+  test("sentences: terminator+spaces splits, empties dropped, indices stable") {
+    val d = Seq(
+      (1L, "One two. Three four!  Five?"),
+      (2L, "No terminator here"),
+      (3L, "Trailing dot. "),
+      (4L, "a.b stays glued. next")).toDF("doc_id", "text")
+    val out = Corpus.sentences(d, col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(byDoc(1L).map(_._3) === Seq("One two.", "Three four!", "Five?"))
+    assert(byDoc(1L).map(_._2) === Seq(0, 1, 2))
+    assert(byDoc(2L) === Seq((2L, 0, "No terminator here", 18)))
+    // trailing ". " leaves an empty tail segment that is dropped
+    assert(byDoc(3L) === Seq((3L, 0, "Trailing dot.", 13)))
+    // a dot NOT followed by a space never splits
+    assert(byDoc(4L).map(_._3) === Seq("a.b stays glued.", "next"))
+  }
 }

@@ -53,4 +53,40 @@ class KMeansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
   }
+
+  // ---- Pca.powerIteration ----------------------------------------------------
+
+  test("power iteration recovers the dominant axis; projections exact longs") {
+    // spread along e1 dominates a small e2 component
+    val pts = (1 to 40).map(i =>
+      (i.toLong, Seq(0.5f + i * 0.02f, (i % 5) * 0.01f))).toDF("vec_id", "embedding")
+    val r = graft.sim.Pca.powerIteration(pts, col("vec_id"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 40)
+    assert(r.head._3 > 0L)                       // eigenvalue proxy positive
+    // pc1 order matches the e1 coordinate order
+    val sortedByPc = r.sortBy(_._2).map(_._1).toSeq
+    assert(sortedByPc === (1L to 40L))
+    // dominant-axis projection magnitude ~ x * 1e12: endpoints bracket it
+    assert(r.map(_._2).min > (0.4e12).toLong)
+    assert(r.map(_._2).max < (1.5e12).toLong)
+  }
+
+  test("power iteration is deterministic and fails loudly on zero input") {
+    val pts = (1 to 8).map(i =>
+      (i.toLong, Seq(i * 0.1f, 0.3f - i * 0.05f, 0.02f * (i % 3))))
+      .toDF("vec_id", "embedding")
+    val a = graft.sim.Pca.powerIteration(pts, col("vec_id"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val b = graft.sim.Pca.powerIteration(pts, col("vec_id"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+    val zeros = (1 to 4).map(i => (i.toLong, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.sim.Pca.powerIteration(zeros, col("vec_id"), col("embedding")).collect()
+    }
+    assert(ex.getMessage.contains("degenerate") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("degenerate"))
+  }
 }

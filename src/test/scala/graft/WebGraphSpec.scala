@@ -324,4 +324,47 @@ class WebGraphSpec extends AnyFunSuite {
     // with budget it converges to the triangle
     assert(LinkGraph.kCore(e, k = 2, maxRounds = 8).collect().length === 3)
   }
+
+  test("hostGraph rolls page edges up to host pairs with distinct-src counts") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 4L))
+      .toDF("src", "dst")
+    val pages = Seq((1L, "a.com"), (2L, "a.com"), (3L, "b.org"), (4L, "b.org"))
+      .toDF("page_id", "host")
+    val r = LinkGraph.hostGraph(edges, pages).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    // a->a: 1->2 (1 link, 1 src, intra); a->b: 1->3, 2->3 (2 links, 2 srcs)
+    // b->a: 3->1; b->b: 4->4 (intra)
+    assert(r(("a.com", "a.com")) === ((1L, 1L, true)))
+    assert(r(("a.com", "b.org")) === ((2L, 2L, false)))
+    assert(r(("b.org", "a.com")) === ((1L, 1L, false)))
+    assert(r(("b.org", "b.org")) === ((1L, 1L, true)))
+  }
+
+  test("resolveRedirects: exact chain hops; cycles and feeders unresolved") {
+    // 0->1->2->3 (terminal), 10->11 (terminal), 61->62<->63 (cycle + feeder)
+    val r = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (61L, 62L), (62L, 63L), (63L, 62L)).toDF("src", "dst")
+    val out = LinkGraph.resolveRedirects(r, doublings = 4).collect()
+      .map(x => x.getLong(0) -> ((
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)),
+        x.getString(3)))).toMap
+    assert(out(0L) === ((Some(3L), Some(3L), "resolved")))
+    assert(out(1L) === ((Some(3L), Some(2L), "resolved")))
+    assert(out(2L) === ((Some(3L), Some(1L), "resolved")))
+    assert(out(10L) === ((Some(11L), Some(1L), "resolved")))
+    assert(out(61L) === ((None, None, "unresolved")))
+    assert(out(62L) === ((None, None, "unresolved")))
+    assert(out(63L) === ((None, None, "unresolved")))
+  }
+
+  test("resolveRedirects handles chains up to 2^doublings in log rounds") {
+    // a 14-hop chain resolves with doublings=4 (2^4 = 16 >= 14)
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = LinkGraph.resolveRedirects(chain, doublings = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(out(0L) === ((14L, 14L)))
+    assert(out(13L) === ((14L, 1L)))
+  }
 }
