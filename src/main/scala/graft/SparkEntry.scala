@@ -2189,6 +2189,23 @@ object SparkEntry {
     "emb_pca_power" -> ((s, dir) =>
       graft.sim.Pca.powerIteration(embs(s, dir), col("vec_id"),
         col("embedding"), rounds = 3)),
+    // PC1 removal (whitening) over the common denominator v.v — residuals
+    // are exact rationals, orthogonal to the direction by INTEGER identity
+    "emb_whiten" -> ((s, dir) =>
+      graft.sim.Pca.removeDominant(embs(s, dir), col("vec_id"),
+        col("embedding"), rounds = 3)),
+    // signed random projection (JL transform, +-1 Achlioptas matrix derived
+    // from the portable sha60 — never stored): 16 map-only literal-array
+    // dots, zero shuffle; the oracle recomputes it explode-join-group
+    "emb_srp" -> ((s, dir) =>
+      graft.sim.RandomProjection.project(embs(s, dir), col("vec_id"),
+        col("embedding"), outDims = 16)),
+    // feature hashing ("the hashing trick"): fixed-width signed-count
+    // embedding with NO vocabulary pass — bucket and sign from the portable
+    // sha60, one explode + one combinable (doc, bucket) aggregation
+    "doc_hash_embed" -> ((s, dir) =>
+      graft.text.TextAnalysis.hashEmbed(docs(s, dir), col("doc_id"),
+        col("text"), dims = 32)),
     // cluster-balanced diversity sampling: k-means assignment -> up to 16
     // members per cluster by a deterministic sha60 priority (the
     // capPerStratum bounded window) — the "sample evenly across semantic
@@ -3040,7 +3057,7 @@ object SparkEntry {
     * (HUGEINT products summed, cast BIGINT), the per-dimension matvec, the
     * sign-split 1e-12 compression, and the infinity-norm renormalization —
     * all integral, unrolled one CTE block per round like kmeansSql. */
-  private def pcaSql(rounds: Int): String = {
+  private def pcaCtes(rounds: Int): String = {
     val base =
       """e AS (SELECT vec_id,
         |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
@@ -3063,13 +3080,33 @@ object SparkEntry {
          |    * ((abs(u) * 1000000) // m) AS v FROM u$i CROSS JOIN m$i)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $base,\n$steps
+    s"$base,\n$steps"
+  }
+
+  private def pcaSql(rounds: Int): String =
+    s"""WITH ${pcaCtes(rounds)}
        |SELECT e.vec_id,
        |  CAST(sum(CAST(e.x AS HUGEINT) * vv.v) AS BIGINT) AS pc1_scaled,
        |  CAST(m.m AS BIGINT) AS eig_u
        |FROM e JOIN v$rounds vv ON vv.pos = e.pos CROSS JOIN m$rounds m
        |GROUP BY 1, 3""".stripMargin
-  }
+
+  /** PC1 removal over the common denominator den = v·v: the residual
+    * numerator is pure HUGEINT arithmetic, cast to the same DECIMAL(38,0)
+    * the engine's decimal chain emits. */
+  private def whitenSql(rounds: Int): String =
+    s"""WITH ${pcaCtes(rounds)},
+       |dfin AS (SELECT e.vec_id,
+       |    CAST(sum(CAST(e.x AS HUGEINT) * vv.v) AS BIGINT) AS dot
+       |  FROM e JOIN v$rounds vv ON vv.pos = e.pos GROUP BY 1),
+       |dn AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS den
+       |  FROM v$rounds)
+       |SELECT e.vec_id, e.pos,
+       |  CAST(CAST(e.x AS HUGEINT) * dn.den
+       |    - CAST(vv.v AS HUGEINT) * d.dot AS DECIMAL(38,0)) AS resid_num,
+       |  dn.den AS den
+       |FROM e JOIN v$rounds vv ON vv.pos = e.pos
+       |JOIN dfin d ON d.vec_id = e.vec_id CROSS JOIN dn""".stripMargin
 
   /** Country-metadata lookup as a SQL CASE over the SAME Format.countries map
     * the engine folds into its plan — built programmatically so the oracle
@@ -5477,6 +5514,35 @@ FROM fin GROUP BY doc_id"""
     // Lloyd k-means replay: 3 unrolled rounds + final assignment
     "emb_kmeans" -> kmeansSql(8, 3),
     "emb_pca_power" -> pcaSql(3),
+    "emb_whiten" -> whitenSql(3),
+    // the +-1 matrix re-derived from each (k, i) sha60 and applied the
+    // OPPOSITE way (explode x sign-join x group vs the engine's map-only
+    // literal dots) — two algorithms, one exact result
+    "emb_srp" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS x
+         |  FROM embeddings),
+         |ks AS (SELECT CAST(unnest(range(16)) AS INT) AS k),
+         |ds AS (SELECT DISTINCT pos AS i FROM e),
+         |signs AS (SELECT ks.k, ds.i, CASE WHEN ${sha60Sql(
+            "'srp:' || CAST(ks.k AS VARCHAR) || ':' || CAST(ds.i AS VARCHAR)")}
+         |      % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM ks CROSS JOIN ds)
+         |SELECT e.vec_id, signs.k,
+         |  CAST(sum(e.x * signs.s) AS BIGINT) AS y_scaled
+         |FROM e JOIN signs ON signs.i = e.pos GROUP BY 1, 2""".stripMargin,
+    "doc_hash_embed" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'),
+         |    x -> length(x) > 0) AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         |h AS (SELECT doc_id, ${sha60Sql("'fh:' || token")} AS h FROM ex),
+         |t AS (SELECT doc_id, CAST(h % 32 AS INT) AS k,
+         |    CASE WHEN ((h >> 1) & 1) = 0 THEN 1 ELSE -1 END AS s FROM h)
+         |SELECT doc_id AS doc_key, k, CAST(sum(s) AS BIGINT) AS weight
+         |FROM t GROUP BY 1, 2""".stripMargin,
     // cluster-balanced sampling: the kmeans replay + the same sha60
     // priority and per-cluster rank rule
     "emb_cluster_sample" ->

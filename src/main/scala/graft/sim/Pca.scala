@@ -51,9 +51,55 @@ object Pca {
    */
   def powerIteration(emb: DataFrame, idCol: Column, vecCol: Column,
                      rounds: Int = 3): DataFrame = {
+    val sv = scaled(emb, idCol, vecCol).persist()
+    val (v, eig) = fit(sv, rounds)
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    sv.select(col("vec_id"),
+        TextFunctions.longDot(col("sv"), vLit).as("pc1_scaled"))
+      .withColumn("eig_u", lit(eig))
+  }
+
+  /**
+   * PC1 REMOVAL (the whitening step that uses [[powerIteration]]'s output):
+   * each vector's component along the dominant direction is projected out,
+   * in EXACT integer arithmetic over the common denominator `den = v·v` —
+   * `resid_num_ij = x_ij · den − v_j · (x_i·v)`, so the residual is the
+   * rational `resid_num / den` with no rounding anywhere. The defining
+   * invariant Σ_j resid_num_ij · v_j = 0 holds EXACTLY (integer zero, not
+   * epsilon), which the spec and the DuckDB oracle both exploit.
+   *
+   * Scale shape: the direction and denominator ride the plan as literals,
+   * the per-vector dot is one codegen longDot, and the explode emits the
+   * (vec_id, pos) residual rows any per-dimension consumer needs anyway —
+   * map-only, zero shuffle.
+   *
+   * @return (vec_id, pos, resid_num: decimal(38,0), den: long)
+   */
+  def removeDominant(emb: DataFrame, idCol: Column, vecCol: Column,
+                     rounds: Int = 3): DataFrame = {
+    val sv = scaled(emb, idCol, vecCol).persist()
+    val (v, _) = fit(sv, rounds)
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    val den = v.map(x => x * x).sum
+    sv.select(col("vec_id"),
+        TextFunctions.longDot(col("sv"), vLit).as("dot"), col("sv"))
+      .select(col("vec_id"), col("dot"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        (col("x").cast("decimal(19,0)") * lit(den).cast("decimal(19,0)") -
+          element_at(vLit, col("pos") + 1).cast("decimal(19,0)") *
+            col("dot").cast("decimal(19,0)")).as("resid_num"),
+        lit(den).as("den"))
+  }
+
+  private def scaled(emb: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    emb.select(idCol.cast("long").as("vec_id"),
+      TextFunctions.scaleLongs(vecCol, lit(Scale.toDouble)).as("sv"))
+
+  /** The shared power-iteration driver loop: returns the final direction at
+    * fixed-point scale and the last round's un-normalized infinity norm. */
+  private def fit(sv: DataFrame, rounds: Int): (Array[Long], Long) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sv = emb.select(idCol.cast("long").as("vec_id"),
-      TextFunctions.scaleLongs(vecCol, lit(Scale.toDouble)).as("sv")).persist()
     val dim = sv.select(size(col("sv"))).head().getInt(0)
     // deterministic start: the all-ones direction at unit fixed-point scale
     var v = Array.fill(dim)(Scale)
@@ -76,9 +122,6 @@ object Pca {
       v = uArr.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) * Scale / m))
       eig = m
     }
-    val vLit = array(v.toIndexedSeq.map(lit): _*)
-    sv.select(col("vec_id"),
-        TextFunctions.longDot(col("sv"), vLit).as("pc1_scaled"))
-      .withColumn("eig_u", lit(eig))
+    (v, eig)
   }
 }

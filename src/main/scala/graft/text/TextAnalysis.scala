@@ -454,6 +454,34 @@ object TextAnalysis {
   }
 
   /**
+   * FEATURE HASHING ("the hashing trick", Weinberger et al. 2009): each
+   * token lands in bucket `sha60("fh:"+token) mod dims` with a ±1 sign from
+   * the next hash bit, summing to a fixed-width integer embedding with no
+   * vocabulary pass at all — the fastText-style representation a quality
+   * classifier trains on when a 10^9-type vocabulary table is off the
+   * table. The hash is the portable sha60 family, so an external engine
+   * re-derives every bucket and sign.
+   *
+   * Scale shape: one explode + ONE combinable (doc, bucket) count — the
+   * same two-level-agg shape as every other text gate; absent (doc, bucket)
+   * pairs are implicit zeros by contract.
+   *
+   * @return (doc_key, k: int — bucket, weight: long — signed count)
+   */
+  def hashEmbed(docs: DataFrame, key: Column, text: Column,
+                dims: Int = 32): DataFrame = {
+    require(dims >= 2 && dims <= 4096, s"dims must be in [2,4096], got $dims")
+    docs.select(key.as("doc_key"), explode(tokens(text)).as("token"))
+      .select(col("doc_key"), graft.functions.TextFunctions.sha60(
+        concat(lit("fh:"), col("token"))).as("h"))
+      .select(col("doc_key"),
+        pmod(col("h"), lit(dims.toLong)).cast("int").as("k"),
+        when(expr("shiftright(h, 1) & 1") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy("doc_key", "k").agg(sum(col("s")).as("weight"))
+  }
+
+  /**
    * Interpolated KNESER-NEY bigram LM score — the smoothing family KenLM
    * (and therefore the original CCNet pipeline) actually uses, where
    * [[bigramLmScore]] is plain Jelinek-Mercer interpolation. All model

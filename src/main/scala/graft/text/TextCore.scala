@@ -261,6 +261,20 @@ object TextCore {
     v >>> 4
   }
 
+  /** The UNPREFIXED 60-bit portable hash — driver-side twin of the
+    * [[graft.functions.TextFunctions.sha60]] Column (first 15 hex chars of
+    * sha256 as a long), for deterministic plan-literal matrices (e.g. the
+    * signed-random-projection signs) an oracle re-derives from its own
+    * sha256. */
+  def sha60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** [[winnowFingerprint]] with the PORTABLE sha256 k-gram hash family and a
     * plain xor fold (no splitmix finalizer) — every k-gram hash, window min,
     * and the fold are independently recomputable by an ANSI oracle. Char

@@ -72,6 +72,66 @@ class KMeansSpec extends AnyFunSuite {
     assert(r.map(_._2).max < (1.5e12).toLong)
   }
 
+  test("removeDominant: residuals EXACTLY orthogonal to the direction") {
+    val pts = (1 to 20).map(i =>
+      (i.toLong, Seq(0.5f + i * 0.02f, (i % 5) * 0.01f, 0.3f - i * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val resid = graft.sim.Pca.removeDominant(pts, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDecimal(2).toBigInteger, r.getLong(3)))
+    assert(resid.length === 60)
+    assert(resid.map(_._4).distinct.length === 1 && resid.head._4 > 0L)
+    // recover the direction from pc1: resid_num = x*den - v*dot, so for a
+    // fixed vector, sum_j resid_num_j * v_j must be EXACT integer zero.
+    // v is not exposed directly; verify via the whiten identity against the
+    // projection output instead: x*den - resid_num = v*dot, so the ratio
+    // (x*den - resid)/dot is the same v_j for every vector where dot != 0.
+    val pc = graft.sim.Pca.powerIteration(pts, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val den = BigInt(resid.head._4)
+    val sv = pts.select(col("vec_id"),
+        graft.functions.TextFunctions.scaleLongs(col("embedding"),
+          lit(graft.sim.Pca.Scale.toDouble)).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // orthogonality: sum_j resid_j * v_j == 0 exactly, with v_j recovered
+    // per vector as (x_j*den - resid_j) / dot (exact division by identity)
+    resid.groupBy(_._1).foreach { case (id, rows) =>
+      val dot = BigInt(pc(id))
+      if (dot != 0) {
+        val v = rows.sortBy(_._2).map { case (_, j, rn, _) =>
+          val num = BigInt(sv(id)(j)) * den - BigInt(rn)
+          assert(num % dot === BigInt(0), s"v recovery not exact for $id/$j")
+          num / dot
+        }
+        val orth = rows.sortBy(_._2).map(_._3).zip(v)
+          .map { case (rn, vj) => BigInt(rn) * vj }.sum
+        assert(orth === BigInt(0), s"residual not orthogonal for vec $id")
+      }
+    }
+  }
+
+  test("signed random projection: exact, deterministic, JL-reasonable") {
+    val pts = (1 to 30).map(i =>
+      (i.toLong, (0 until 8).map(j => ((i * 7 + j * 13) % 19) * 0.05f - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val a = graft.sim.RandomProjection.project(pts, col("vec_id"),
+      col("embedding"), outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val b = graft.sim.RandomProjection.project(pts, col("vec_id"),
+      col("embedding"), outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 120)
+    // hand-check one coordinate against the sign matrix definition
+    val x = pts.select(col("vec_id"),
+        graft.functions.TextFunctions.scaleLongs(col("embedding"),
+          lit(graft.sim.RandomProjection.Scale.toDouble)).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val expect = (0 until 8).map(i =>
+      x(1L)(i) * graft.sim.RandomProjection.sign(2, i)).sum
+    assert(a.find(t => t._1 == 1L && t._2 == 2).get._3 === expect)
+  }
+
   test("power iteration is deterministic and fails loudly on zero input") {
     val pts = (1 to 8).map(i =>
       (i.toLong, Seq(i * 0.1f, 0.3f - i * 0.05f, 0.02f * (i % 3))))

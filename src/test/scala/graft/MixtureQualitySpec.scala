@@ -150,6 +150,23 @@ class MixtureQualitySpec extends AnyFunSuite {
     assert(nlls("middle").max <= nlls("tail").min)
   }
 
+  // ---- hashEmbed -------------------------------------------------------------
+
+  test("hashEmbed: sha60-derived buckets and signs, empty doc emits nothing") {
+    val d = Seq((1L, "a b a"), (2L, "   "), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(d, col("doc_id"), col("text"), dims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def h(t: String) = graft.text.TextCore.sha60("fh:" + t)
+    def k(t: String) = (h(t) % 8).toInt
+    def s(t: String) = if (((h(t) >> 1) & 1) == 0L) 1L else -1L
+    val expect = Seq("a", "b", "a").map(t => (k(t), s(t)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got1 = out.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    assert(got1 === expect)
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, k("c"), s("c"))))
+  }
+
   // ---- nfcNorm ---------------------------------------------------------------
 
   test("nfcNorm composes combining marks and is identity on ASCII") {
