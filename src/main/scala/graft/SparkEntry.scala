@@ -1953,6 +1953,20 @@ object SparkEntry {
           pmod(col("doc_id") * 17 + 29, lit(64L))).as("dst"))
       graft.web.LinkGraph.hostGraph(edges, pages)
     }),
+    // mirror-host detection: hosts pairing through shared content digests
+    // (2/3 of docs share block content, 1/3 unique so Jaccard < 1);
+    // ubiquitous digests excluded up front by the per-digest host cap
+    "web_mirrors" -> ((s, dir) => {
+      val d = col("doc_id")
+      val hosts = docsWithUrls(s, dir).select(
+        graft.etl.UrlOps.urlHost(col("url")).as("host"),
+        sha2(when(pmod(d, lit(3L)) === 0,
+            concat(lit("u"), d.cast("string")))
+          .otherwise(concat(lit("c"), pmod(d, lit(50L)).cast("string"))), 256)
+          .as("digest"))
+      graft.web.Mirrors.mirrorPairs(hosts, col("host"), col("digest"),
+        minShared = 2, maxHostsPerDigest = 16)
+    }),
     // redirect-chain resolution by pointer doubling (log L rounds, not L):
     // deterministic chains 8k+0->1->2->3 plus a seeded 62<->63 cycle and a
     // 61->cycle feeder; cycles surface as status=unresolved with NULLs,
@@ -5334,6 +5348,26 @@ FROM fin GROUP BY doc_id"""
          |  CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
          |  src_host = dst_host AS intra_host
          |FROM j GROUP BY 1, 2""".stripMargin,
+    "web_mirrors" ->
+      s"""WITH $urlCanonCtes,
+         |hd AS (SELECT DISTINCT c.host,
+         |    sha256(CASE WHEN doc_id % 3 = 0 THEN 'u' || CAST(doc_id AS VARCHAR)
+         |                ELSE 'c' || CAST(doc_id % 50 AS VARCHAR) END) AS digest
+         |  FROM c),
+         |sizes AS (SELECT host, count(*) AS nd FROM hd GROUP BY 1),
+         |fan AS (SELECT digest FROM (SELECT digest, count(*) AS nh
+         |    FROM hd GROUP BY 1) WHERE nh <= 16),
+         |kept AS (SELECT hd.* FROM hd JOIN fan USING (digest)),
+         |p AS (SELECT x.host AS host_a, y.host AS host_b,
+         |    count(*) AS n_shared
+         |  FROM kept x JOIN kept y ON x.digest = y.digest AND x.host < y.host
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.host_a, p.host_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+         |  CAST(sa.nd AS BIGINT) AS na, CAST(sb.nd AS BIGINT) AS nb,
+         |  (CAST(p.n_shared AS BIGINT) * 1000000)
+         |    // (sa.nd + sb.nd - p.n_shared) AS jaccard_ppm
+         |FROM p JOIN sizes sa ON sa.host = p.host_a
+         |JOIN sizes sb ON sb.host = p.host_b""".stripMargin,
     // the oracle walks chains LINEARLY with a recursive CTE (a different
     // algorithm from the engine's pointer doubling); a src is resolved iff
     // its walk reaches a non-source node — cycles exhaust the hop guard

@@ -35,6 +35,9 @@ import graft.geo.{CellIndex, Geo}
  *   graft_lv03_e(lon, lat) / graft_lv03_n(lon, lat) -> DOUBLE Swiss LV03 (C3)
  *   graft_dms(value, is_lat)             -> STRING degrees-minutes-seconds
  *   graft_simhash(text)                  -> BIGINT 64-bit simhash
+ *   graft_nfc(text)                      -> STRING Unicode NFC normalization
+ *   graft_long_dot(a, b)                 -> BIGINT exact scaled-integer dot
+ *   graft_html_text(html)                -> STRING visible text from HTML bytes
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -127,5 +130,15 @@ object GraftExtensions {
     },
     fn("graft_simhash", Seq(StringType), "64-bit simhash of text") { a =>
       StaticInvoke(textCls, LongType, "simhash", a, returnNullable = false)
+    },
+    fn("graft_nfc", Seq(StringType), "Unicode NFC normalization (UAX #15)") { a =>
+      StaticInvoke(textCls, StringType, "nfc", a, returnNullable = false)
+    },
+    fn("graft_long_dot", Seq(ArrayType(LongType), ArrayType(LongType)),
+        "exact dot product of two scaled-integer vectors") { a =>
+      StaticInvoke(textCls, LongType, "longDot", a, returnNullable = false)
+    },
+    fn("graft_html_text", Seq(BinaryType), "HTML bytes -> visible text") { a =>
+      StaticInvoke(textCls, StringType, "htmlText", a, returnNullable = false)
     })
 }

@@ -74,6 +74,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(optimized.contains(CellIndex.encode(2.0, 41.0, 13).toString), optimized)
   }
 
+  test("text-family SQL functions: nfc, long_dot, html_text") {
+    val r = ext.sql(
+      // decomposed e + combining acute via Scala source escape — Spark's
+      // chr() wraps at 256 so chr(769) cannot produce it
+      "SELECT graft_nfc('cafe\u0301') AS n, " +
+      "graft_long_dot(array(2L, 3L), array(5L, 7L)) AS d, " +
+      "graft_html_text(CAST('<p>Hi &amp; bye</p>' AS BINARY)) AS t").head()
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getLong(1) === 31L)
+    assert(r.getString(2).trim === "Hi & bye")
+  }
+
   test("wrong arity is rejected at analysis") {
     val e = intercept[Exception](ext.sql("SELECT graft_cell_id(1.0D)").collect())
     assert(e.getMessage.contains("graft_cell_id"), e.getMessage)

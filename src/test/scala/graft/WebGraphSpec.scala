@@ -359,6 +359,22 @@ class WebGraphSpec extends AnyFunSuite {
     assert(out(63L) === ((None, None, "unresolved")))
   }
 
+  test("mirrorPairs: shared counts, exact Jaccard, boilerplate cap") {
+    // a/b mirror 3 of 4 docs; boilerplate digest "bp" on ALL hosts; host c
+    // shares only the boilerplate (must vanish under the cap)
+    val rows = Seq(
+      ("a", "d1"), ("a", "d2"), ("a", "d3"), ("a", "onlyA"), ("a", "bp"),
+      ("b", "d1"), ("b", "d2"), ("b", "d3"), ("b", "onlyB"), ("b", "bp"),
+      ("c", "bp"), ("c", "onlyC")).toDF("host", "digest")
+    val r = graft.web.Mirrors.mirrorPairs(rows, col("host"), col("digest"),
+        minShared = 2, maxHostsPerDigest = 2).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // only (a, b) survives: 3 shared of 5/5 digests -> jaccard 3/7
+    assert(r.keySet === Set(("a", "b")))
+    assert(r(("a", "b")) === ((3L, 5L, 5L, 3L * 1000000L / 7L)))
+  }
+
   test("resolveRedirects handles chains up to 2^doublings in log rounds") {
     // a 14-hop chain resolves with doublings=4 (2^4 = 16 >= 14)
     val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
