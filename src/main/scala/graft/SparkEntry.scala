@@ -1761,6 +1761,51 @@ object SparkEntry {
         .select(col("query_id"), col("place_id"),
           round(col("dist_m"), 0).cast("long").as("dist_m_round"))
     }),
+    // bbox-overlap spatial join (PBSM grid + reference-point dedup): page
+    // viewport boxes (orders-derived, 0.25-degree lattice so every bound and
+    // overlap corner is an exact double) against admin-extent boxes
+    // (nation-derived); the oracle is a plain inequality join — a different
+    // algorithm that must agree pair-for-pair AND corner-for-corner
+    "geo_bbox_join" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val a = s.read.parquet(s"$dir/orders.parquet")
+        .filter(k % 37 === 0)
+        .select(k.as("a_id"),
+          (lit(-20.0) + (k * 7 % 16) * 2.5).as("a_min_lon"),
+          (lit(-10.0) + (k * 11 % 12) * 2.25).as("a_min_lat"),
+          ((k % 3) * 0.75).as("__w"))
+        .withColumn("a_max_lon", col("a_min_lon") + lit(2.0) + col("__w"))
+        .withColumn("a_max_lat", col("a_min_lat") + lit(2.5))
+        .drop("__w")
+      val n = col("n_nationkey").cast("long")
+      val b = s.read.parquet(s"$dir/nation.parquet")
+        .select(n.as("b_id"),
+          (lit(-18.5) + (n % 6) * 6.5).as("b_min_lon"),
+          (lit(-8.25) + floor(n / 6).cast("long") * 5.5).as("b_min_lat"))
+        .withColumn("b_max_lon", col("b_min_lon") + lit(5.75))
+        .withColumn("b_max_lat", col("b_min_lat") + lit(4.5))
+      BboxJoin.overlapJoin(a, b, gridDeg = 3.0)
+    }),
+    // GeoIP-style interval-dictionary lookup (RangeJoin.broadcastLookup):
+    // each document's synthetic server IP (portable sha60 -> 32-bit) maps to
+    // a nation-derived disjoint IPv4 range table, left-outer so unassigned
+    // address space survives; the oracle joins by plain BETWEEN
+    "geo_ip_lookup" -> ((s, dir) => {
+      val probes = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          pmod(graft.functions.TextFunctions.sha60(
+            concat(lit("ip:"), col("doc_id").cast("string"))),
+            lit(4294967296L)).as("ip"))
+      val n = col("n_nationkey").cast("long")
+      val ranges = s.read.parquet(s"$dir/nation.parquet").select(
+        (n * 134217728L).as("ip_lo"),
+        (n * 134217728L + 99999999L).as("ip_hi"),
+        col("n_name").as("country"))
+      RangeJoin.broadcastLookup(probes, ranges, "ip", "ip_lo", "ip_hi",
+          bandSize = 16777216L)
+        .select(col("doc_id"), col("ip"),
+          coalesce(col("country"), lit("unassigned")).as("country"))
+    }),
     "geo_reverse_bbox" -> ((s, dir) => {
       val (pts, polys, cells) = bboxWorld(s, dir, compact = false)
       Reverse.reverse(pts, polys, cells, ReverseParams())
@@ -4840,6 +4885,44 @@ FROM fin GROUP BY doc_id"""
         |  FROM d0)
         |SELECT query_id, place_id, CAST(round(dist_m, 0) AS BIGINT) AS dist_m_round
         |FROM d WHERE dist_m <= CAST(15000.0 AS DOUBLE)""".stripMargin,
+    // plain inequality join (no grid, no reference point) — a DIFFERENT
+    // algorithm from the engine's PBSM cover join; every bound is a multiple
+    // of 0.25 so the overlap corners are exact doubles in both engines
+    "geo_bbox_join" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+        |    CAST(-20.0 AS DOUBLE) + (o_orderkey * 7 % 16) * CAST(2.5 AS DOUBLE) AS a_min_lon,
+        |    CAST(-10.0 AS DOUBLE) + (o_orderkey * 11 % 12) * CAST(2.25 AS DOUBLE) AS a_min_lat,
+        |    (o_orderkey % 3) * CAST(0.75 AS DOUBLE) AS w
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |ab AS (SELECT a_id, a_min_lon, a_min_lat,
+        |    a_min_lon + CAST(2.0 AS DOUBLE) + w AS a_max_lon,
+        |    a_min_lat + CAST(2.5 AS DOUBLE) AS a_max_lat FROM a),
+        |b AS (SELECT CAST(n_nationkey AS BIGINT) AS b_id,
+        |    CAST(-18.5 AS DOUBLE) + (n_nationkey % 6) * CAST(6.5 AS DOUBLE) AS b_min_lon,
+        |    CAST(-8.25 AS DOUBLE) + (n_nationkey // 6) * CAST(5.5 AS DOUBLE) AS b_min_lat
+        |  FROM nation),
+        |bb AS (SELECT b_id, b_min_lon, b_min_lat,
+        |    b_min_lon + CAST(5.75 AS DOUBLE) AS b_max_lon,
+        |    b_min_lat + CAST(4.5 AS DOUBLE) AS b_max_lat FROM b)
+        |SELECT a_id, b_id,
+        |  greatest(a_min_lon, b_min_lon) AS ov_min_lon,
+        |  greatest(a_min_lat, b_min_lat) AS ov_min_lat,
+        |  least(a_max_lon, b_max_lon) AS ov_max_lon,
+        |  least(a_max_lat, b_max_lat) AS ov_max_lat
+        |FROM ab JOIN bb ON a_min_lon <= b_max_lon AND b_min_lon <= a_max_lon
+        |  AND a_min_lat <= b_max_lat AND b_min_lat <= a_max_lat""".stripMargin,
+    // plain BETWEEN left join — the engine's banded broadcast probe must
+    // agree row-for-row including the unassigned (NULL-payload) space
+    "geo_ip_lookup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    ${sha60Sql("'ip:' || CAST(doc_id AS VARCHAR)")} % 4294967296 AS ip
+         |  FROM documents),
+         |r AS (SELECT CAST(n_nationkey AS BIGINT) * 134217728 AS lo,
+         |    CAST(n_nationkey AS BIGINT) * 134217728 + 99999999 AS hi,
+         |    n_name FROM nation)
+         |SELECT p.doc_id, CAST(p.ip AS BIGINT) AS ip,
+         |  coalesce(r.n_name, 'unassigned') AS country
+         |FROM p LEFT JOIN r ON p.ip >= r.lo AND p.ip <= r.hi""".stripMargin,
     "geo_reverse_bbox" -> reverseBboxSql,
     // the compact-index path answers the SAME question -> same oracle; a
     // disagreement would mean the mixed-level cover broke coverage

@@ -53,4 +53,45 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__band")
   }
+
+  /**
+   * Broadcast DICTIONARY variant of the range join — the GeoIP / tariff-table
+   * / threshold-schedule shape: the interval table is a small-to-medium
+   * lookup dimension (an IPv4 geolocation table is a few million rows), the
+   * probe side is the 100 TB fact table, and every probe row must SURVIVE
+   * (left-outer: an unmatched value carries NULL payload — a lookup that
+   * silently drops rows corrupts the corpus it annotates).
+   *
+   * Plan shape: the banded dimension is broadcast, each probe row computes
+   * its single band and hash-probes once — the probe side is MAP-ONLY with
+   * zero exchanges, which is what makes this the right variant whenever the
+   * dimension fits the broadcast budget ([[rangeJoin]] is the symmetric
+   * shuffle variant for when it doesn't). Banding keeps the broadcast build
+   * side small under wide intervals: for DISJOINT intervals the banded row
+   * count is <= domain/bandSize + n REGARDLESS of individual interval widths
+   * (each band is entered by at most one interval plus its tail), e.g. any
+   * disjoint IPv4 table at bandSize 2^16 is <= 65536 + n rows.
+   *
+   * Overlapping intervals emit one output row per containing interval —
+   * callers wanting at-most-one match keep the dictionary disjoint (the
+   * GeoIP contract) or pick their winner downstream.
+   */
+  def broadcastLookup(probes: DataFrame, ranges: DataFrame, vCol: String,
+                      loCol: String, hiCol: String, bandSize: Long,
+                      maxBands: Int = 65536): DataFrame = {
+    require(bandSize > 0, "bandSize must be positive")
+    val p = probes.withColumn("__pband", floorDiv(col(vCol), bandSize))
+    val loB = floorDiv(col(loCol), bandSize)
+    val hiB = floorDiv(col(hiCol), bandSize)
+    val hiGuarded = when(hiB - loB >= maxBands.toLong,
+      raise_error(concat(
+        lit(s"broadcastLookup: interval wider than maxBands=$maxBands bands ("),
+        col(loCol), lit(".."), col(hiCol), lit(")"))).cast("long"))
+      .otherwise(hiB)
+    val iv = ranges.withColumn("__rband", explode(sequence(loB, hiGuarded)))
+    p.join(broadcast(iv),
+        col("__pband") === col("__rband") &&
+          col(vCol) >= col(loCol) && col(vCol) <= col(hiCol), "left")
+      .drop("__pband", "__rband")
+  }
 }
