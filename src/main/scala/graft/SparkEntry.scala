@@ -737,6 +737,60 @@ object SparkEntry {
           graft.functions.TextFunctions.htmlText(html.cast("binary")).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")).cast("int"))
     }),
+    // HTML outlink extraction + RFC 3986 resolution — the pages -> edges
+    // feeder of the link graph. Extraction is Spark's NATIVE codegen
+    // regexp_extract_all (no custom expression); only dot-segment
+    // resolution is a shim (Links.resolveUrl). One href of every form per
+    // doc: absolute, protocol-relative, root-relative, dot-relative,
+    // plain relative + query, fragment-only.
+    "web_extract_links" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = concat(lit("https://host"), pmod(d, lit(5L)).cast("string"),
+        lit(".example/a/b/p"), pmod(d, lit(7L)).cast("string"), lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"http://ext"), pmod(d, lit(7L)).cast("string"),
+        lit(".example/abs\">Abs Link</a> <a href=\"//cdn"), pmod(d, lit(3L)).cast("string"),
+        lit(".example/x\">Cdn</a><p><a href=\"/r/"), pmod(d, lit(5L)).cast("string"),
+        lit("\">Root</a></p><a href=\"../q"), pmod(d, lit(3L)).cast("string"),
+        lit(".html\">Up One</a><a href=\"c"), pmod(d, lit(2L)).cast("string"),
+        lit(".html?z=1\">Rel</a><a href=\"#top\">Frag</a></body></html>"))
+      docs(s, dir).select(d, base.as("base_url"), html.as("html"))
+        .select(col("doc_id"), col("base_url"), posexplode(arrays_zip(
+          regexp_extract_all(col("html"),
+            lit("<a href=\"([^\"]*)\">"), lit(1)).as("href"),
+          regexp_extract_all(col("html"),
+            lit("<a href=\"[^\"]*\">([^<]*)</a>"), lit(1)).as("anchor"))))
+        .select(col("doc_id"), col("pos").cast("int").as("link_pos"),
+          col("col.href").as("href"), col("col.anchor").as("anchor"),
+          graft.functions.TextFunctions.resolveUrl(
+            col("base_url"), col("col.href")).as("resolved_url"))
+    }),
+    // rel=canonical collapse — the URL-level dedup signal pages declare
+    // about THEMSELVES: extract the canonical link (absent on some docs ->
+    // self-canonical), resolve it, and group docs under their canonical
+    // target with a deterministic representative (min doc_id)
+    "web_rel_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = concat(lit("https://host"), pmod(d, lit(5L)).cast("string"),
+        lit(".example/a/b/p"), pmod(d, lit(7L)).cast("string"), lit(".html"))
+      val href = when(pmod(d, lit(3L)) === 0,
+          concat(lit("https://canon.example/c"), pmod(d, lit(11L)).cast("string")))
+        .otherwise(concat(lit("/canon/p"), pmod(d, lit(11L)).cast("string")))
+      val html = when(pmod(d, lit(5L)) === 4, lit("<html><head></head></html>"))
+        .otherwise(concat(lit("<html><head><link rel=\"canonical\" href=\""),
+          href, lit("\"></head></html>")))
+      val t = docs(s, dir).select(d, base.as("base_url"), html.as("html"))
+        .withColumn("c_href", regexp_extract(col("html"),
+          "<link rel=\"canonical\" href=\"([^\"]*)\">", 1))
+        .withColumn("canonical_url",
+          when(col("c_href") === "", col("base_url"))
+            .otherwise(graft.functions.TextFunctions.resolveUrl(
+              col("base_url"), col("c_href"))))
+      val w = Window.partitionBy(col("canonical_url"))
+      t.select(col("doc_id"), col("canonical_url"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("is_rep"),
+        count(lit(1)).over(w).as("n_in_group"))
+    }),
     "web_bloom" -> ((s, dir) => {
       val canon = docsWithUrls(s, dir)
         .select(col("doc_id"), graft.etl.UrlOps.canonicalUrl(col("url")).as("canon_url"))
@@ -1287,6 +1341,31 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.bruteForceKnn(e.filter(col("vec_id") < 8), e, k = 5)
         .withColumn("cos", round(col("cos"), 6))
+    }),
+    // MMR diversified top-4 over the brute top-10 shortlist (Carbonell &
+    // Goldstein 1998): relevance and pairwise sims enter as ppm BIGINTs
+    // (one round() from the validated cosine chain), every greedy pick is
+    // exact integer argmax with min-id ties; shortlist + pair tables
+    // persisted — they are read once per round. DuckDB unrolls all four
+    // greedy rounds as CTEs.
+    "emb_mmr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cand = Similarity.bruteForceKnn(e.filter(col("vec_id") < 4), e, k = 10)
+        .select(col("query_id"), col("item_id"),
+          round(col("cos") * 1000000).cast("long").as("rel_ppm"))
+        .persist()
+      val cvec = e.select(col("vec_id").as("item_id"), col("embedding").as("v"))
+      val cw = cand.select("query_id", "item_id").join(cvec, "item_id")
+      val pairs = cw
+        .select(col("query_id"), col("item_id").as("a_id"), col("v").as("av"))
+        .join(cw.select(col("query_id"), col("item_id").as("b_id"),
+          col("v").as("bv")), "query_id")
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          round(graft.functions.TextFunctions.cosine(col("av"), col("bv"))
+            * 1000000).cast("long").as("sim_ppm"))
+        .persist()
+      graft.sim.Mmr.mmrSelect(cand, pairs, k = 4)
     }),
     "emb_knn_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -2715,6 +2794,70 @@ object SparkEntry {
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
 
+  /** MMR oracle: brute top-10 shortlist + candidate pair cosines (the
+    * EmbKnnBruteSql IEEE chain) reduced to ppm BIGINTs, then all four
+    * greedy rounds unrolled as CTEs — anti-join of picked, max-sim
+    * penalty, 7*rel - 3*pen integer scores, argmax with min-id ties. */
+  private def mmrSql(k: Int): String = {
+    def cosChain(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 4),
+         |c0 AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+         |s0 AS (SELECT query_id, item_id,
+         |    ${cosChain("qv", "cv")} AS cos
+         |  FROM q, c0 WHERE item_id <> query_id),
+         |r0 AS (SELECT query_id, item_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s0),
+         |cand AS (SELECT query_id, item_id,
+         |    CAST(round(cos * 1000000) AS BIGINT) AS rel_ppm
+         |  FROM r0 WHERE rn <= 10),
+         |cvx AS (SELECT cand.query_id, cand.item_id, e.embedding AS v
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.item_id),
+         |pr AS (SELECT x.query_id, x.item_id AS a_id, y.item_id AS b_id,
+         |    CAST(round((${cosChain("x.v", "y.v")}) * 1000000) AS BIGINT)
+         |      AS sim_ppm
+         |  FROM cvx x JOIN cvx y
+         |    ON x.query_id = y.query_id AND x.item_id <> y.item_id),
+         |pk1 AS (SELECT query_id, item_id, 7 * rel_ppm AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 7 * rel_ppm DESC, item_id) AS rn FROM cand),
+         |s1 AS (SELECT query_id, item_id, score FROM pk1 WHERE rn = 1),
+         |a1 AS (SELECT * FROM s1)""".stripMargin)
+    for (r <- 2 to k) sb.append(
+      s""",
+         |c$r AS (SELECT cand.* FROM cand WHERE NOT EXISTS (
+         |    SELECT 1 FROM a${r - 1} s WHERE s.query_id = cand.query_id
+         |      AND s.item_id = cand.item_id)),
+         |pen$r AS (SELECT pr.query_id, pr.a_id AS item_id,
+         |    max(pr.sim_ppm) AS pen
+         |  FROM pr JOIN a${r - 1} s
+         |    ON s.query_id = pr.query_id AND s.item_id = pr.b_id
+         |  GROUP BY 1, 2),
+         |sc$r AS (SELECT c.query_id, c.item_id,
+         |    7 * c.rel_ppm - 3 * COALESCE(p.pen, 0) AS score
+         |  FROM c$r c LEFT JOIN pen$r p
+         |    ON p.query_id = c.query_id AND p.item_id = c.item_id),
+         |pk$r AS (SELECT query_id, item_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+         |  FROM sc$r),
+         |s$r AS (SELECT query_id, item_id, score FROM pk$r WHERE rn = 1),
+         |a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT query_id, CAST(rk AS INT) AS mmr_rank, item_id,
+         |  score AS score_scaled
+         |FROM (${(1 to k).map(r =>
+             s"SELECT query_id, $r AS rk, item_id, score FROM s$r")
+             .mkString(" UNION ALL ")})""".stripMargin)
+    sb.toString
+  }
+
   /** Bitext-mining oracle: both brute-kNN directions (k=3) over the
     * even/odd vec_id split, 7dp-DECIMAL neighborhood sums, the engine's
     * exact fixed-order margin chain, best-margin pick, 6dp gate at 1.02,
@@ -3492,6 +3635,62 @@ FROM fin GROUP BY doc_id"""
     // the same fixed HtmlText rule chain, replayed rule by rule: block
     // strips with (?is) lazy regexes, tag strip, the ordered entity chain
     // (&amp; LAST), whitespace collapse + trim
+    // the oracle re-extracts with its own regex engine (RE2) and resolves
+    // each href form by an explicit CASE + a single dot-segment collapse —
+    // a different resolution algorithm that must agree on every form
+    "web_extract_links" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/b/p'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.html' AS base_url,
+        |    '<html><body><a href="http://ext' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example/abs">Abs Link</a> <a href="//cdn'
+        |      || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.example/x">Cdn</a><p><a href="/r/'
+        |      || CAST(doc_id % 5 AS VARCHAR)
+        |      || '">Root</a></p><a href="../q' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.html">Up One</a><a href="c' || CAST(doc_id % 2 AS VARCHAR)
+        |      || '.html?z=1">Rel</a><a href="#top">Frag</a></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, base_url,
+        |    unnest(regexp_extract_all(html, '<a href="([^"]*)">', 1)) AS href,
+        |    unnest(regexp_extract_all(html,
+        |      '<a href="[^"]*">([^<]*)</a>', 1)) AS anchor,
+        |    unnest(generate_series(0,
+        |      len(regexp_extract_all(html, '<a href="([^"]*)">', 1)) - 1))
+        |      AS link_pos
+        |  FROM d),
+        |o AS (SELECT doc_id, base_url, href, anchor, link_pos,
+        |    'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+        |      AS origin FROM x)
+        |SELECT doc_id, CAST(link_pos AS INT) AS link_pos, href, anchor,
+        |  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+        |       WHEN href LIKE '//%' THEN 'https:' || href
+        |       WHEN substr(href, 1, 1) = '/' THEN origin || href
+        |       WHEN substr(href, 1, 1) = '#' THEN base_url || href
+        |       ELSE origin
+        |         || regexp_replace('/a/b/' || href, '/[^/]+/\.\./', '/')
+        |  END AS resolved_url
+        |FROM o""".stripMargin,
+    // oracle recomputes the canonical target straight from the generator
+    // CASE (no-tag -> self, absolute, root-relative resolved) and replays
+    // the grouping — the engine must get there via regexp + resolveUrl
+    "web_rel_canonical" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/b/p'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.html' AS base_url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN base_url
+        |         WHEN doc_id % 3 = 0
+        |           THEN 'https://canon.example/c' || CAST(doc_id % 11 AS VARCHAR)
+        |         ELSE 'https://host' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example/canon/p' || CAST(doc_id % 11 AS VARCHAR)
+        |    END AS canonical_url FROM d)
+        |SELECT doc_id, canonical_url,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_rep,
+        |  count(*) OVER (PARTITION BY canonical_url) AS n_in_group
+        |FROM c""".stripMargin,
     "web_html_extract" ->
       """WITH h AS (SELECT doc_id,
         |  '<HTML><head><SCRIPT type="a">var x = 1 < 2 && y > 0;</script>'
@@ -5042,6 +5241,7 @@ FROM fin GROUP BY doc_id"""
     // accumulates left-to-right like VecCore.dot, so the cosine is
     // bit-identical (validated empirically) and rank order matches exactly
     "emb_knn_brute" -> EmbKnnBruteSql,
+    "emb_mmr" -> mmrSql(4),
     // SQ8 replay: codes (ties-away round of x*127/maxAbs), exact integer
     // dots, descaled scores, ranks — all re-derived from the raw floats
     "emb_knn_int8" ->

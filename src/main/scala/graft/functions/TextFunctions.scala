@@ -40,6 +40,10 @@ object TextInternal {
   def htmlText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(graft.etl.HtmlText.extractBytes(html))
 
+  def resolveUrl(base: UTF8String, href: UTF8String): UTF8String =
+    UTF8String.fromString(graft.etl.Links.resolveUrl(
+      base.toString, if (href == null) "" else href.toString))
+
   def spacePairs(seq: UTF8String): ArrayData = {
     val pairs = TextCore.spacePairs(if (seq == null) "" else seq.toString)
     new GenericArrayData(pairs.map(UTF8String.fromString(_)))
@@ -214,6 +218,9 @@ object TextFunctions {
   def bpeCharSeq(w: Column): Column = invoke(StringType, "bpeCharSeq", w)
   /** HTML (binary, UTF-8) -> clean text via the fixed HtmlText rule chain. */
   def htmlText(html: Column): Column = invoke(StringType, "htmlText", html)
+  /** RFC 3986 reference resolution of href against an absolute base URL. */
+  def resolveUrl(base: Column, href: Column): Column =
+    invoke(StringType, "resolveUrl", base, href)
   def spacePairs(seq: Column): Column =
     invoke(ArrayType(StringType, containsNull = false), "spacePairs", seq)
   def hamming(a: Column, b: Column): Column = invoke(IntegerType, "hamming", a, b)

@@ -135,4 +135,53 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("resolveUrl: RFC 3986 reference resolution, every href form") {
+    import graft.etl.Links.resolveUrl
+    val base = "https://h.example/a/b/p.html?q=1#frag"
+    // absolute and scheme-carrying refs pass through
+    assert(resolveUrl(base, "http://x.example/y") === "http://x.example/y")
+    assert(resolveUrl(base, "mailto:a@b.c") === "mailto:a@b.c")
+    // protocol-relative picks up the base scheme
+    assert(resolveUrl(base, "//cdn.example/l.js") === "https://cdn.example/l.js")
+    // root-relative replaces the whole path
+    assert(resolveUrl(base, "/r/x") === "https://h.example/r/x")
+    // query-only keeps the base path, fragment-only drops the base fragment
+    assert(resolveUrl(base, "?z=2") === "https://h.example/a/b/p.html?z=2")
+    assert(resolveUrl(base, "#top") === "https://h.example/a/b/p.html?q=1#top")
+    assert(resolveUrl(base, "") === "https://h.example/a/b/p.html?q=1")
+    // relative merges onto the base directory
+    assert(resolveUrl(base, "c.html") === "https://h.example/a/b/c.html")
+    assert(resolveUrl(base, "c.html?z=1#s") === "https://h.example/a/b/c.html?z=1#s")
+    // dot segments: ./ drops, ../ pops, past-root clamps at the root
+    assert(resolveUrl(base, "./c") === "https://h.example/a/b/c")
+    assert(resolveUrl(base, "../q.html") === "https://h.example/a/q.html")
+    assert(resolveUrl(base, "../../../../deep") === "https://h.example/deep")
+    // trailing slash / trailing dot segments keep the directory form
+    assert(resolveUrl(base, "sub/") === "https://h.example/a/b/sub/")
+    assert(resolveUrl(base, "..") === "https://h.example/a/")
+    // authority-only base acts as path "/"
+    assert(resolveUrl("https://h.example", "x") === "https://h.example/x")
+  }
+
+  test("removeDotSegments: stack semantics and directory preservation") {
+    import graft.etl.Links.removeDotSegments
+    assert(removeDotSegments("/a/b/../c") === "/a/c")
+    assert(removeDotSegments("/a/./b/./") === "/a/b/")
+    assert(removeDotSegments("/../../x") === "/x")
+    assert(removeDotSegments("/a//b") === "/a/b")
+    assert(removeDotSegments("/") === "/")
+    assert(removeDotSegments("/a/b/..") === "/a/")
+  }
+
+  test("resolveUrl column shim stays inside codegen (no SerDe wrapper)") {
+    // range source so ConvertToLocalRelation can't pre-evaluate the shim
+    val df = spark.range(2).select(graft.functions.TextFunctions.resolveUrl(
+      concat(lit("https://h.example/a/p"), $"id", lit(".html")),
+      lit("../x")).as("r"))
+    assert(df.head().getString(0) === "https://h.example/x")
+    // "*(1)" is the WholeStageCodegen marker in the executed-plan rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
