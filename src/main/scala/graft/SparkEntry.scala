@@ -1493,6 +1493,17 @@ object SparkEntry {
     // and the ordered-fold norm recomputed bit-for-bit by the oracle; input
     // subset by the deterministic url index (17 sha256 per row adds up at
     // larger sf — the full-corpus shape is covered by mm_binary_meta)
+    // frame-sampling plumbing: N evenly spaced byte-range slices per payload
+    // (the video-frame partition/batch shape with the codec swapped for
+    // substring slicing); offsets, slice lengths, and full-slice content
+    // (as a sha60 over the hex) all re-derived by the oracle from its own
+    // hex() of the same bytes — UTF-8-safe (no byte slice is ever decoded)
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(oraclePages(s, dir), frames = 4)
+        .select(col("url"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          graft.functions.TextFunctions.sha60(hex(col("frame")))
+            .as("frame_sha60"))),
     "mm_features_portable" -> ((s, dir) =>
       Multimodal.withPortableFeatures(
         oraclePages(s, dir)
@@ -4019,6 +4030,21 @@ FROM fin GROUP BY doc_id"""
          |    ELSE 'application/octet-stream' END AS mime,
          |  sha256(decode(html)) AS content_hash
          |FROM read_parquet('$OracleDir/pages/*.parquet')""".stripMargin,
+    // frame slicing replayed over DuckDB's own hex(): byte offset off =
+    // floor(idx*olen/4)+1 (both engines truncate the positive double), byte
+    // slice [off, flen] = hex slice [(off-1)*2+1, flen*2], content checked
+    // by the portable sha60 over the hex string
+    "mm_frame_sample" ->
+      s"""WITH p AS (SELECT url, hex(html) AS hx, octet_length(html) AS olen
+         |  FROM read_parquet('$OracleDir/pages/*.parquet')),
+         |f AS (SELECT url, unnest([0, 1, 2, 3]) AS frame_idx, hx, olen FROM p),
+         |g AS (SELECT url, frame_idx, olen, hx,
+         |    CAST(floor((frame_idx * olen) / 4.0) AS INT) + 1 AS off,
+         |    greatest(olen // 4, 1) AS flen FROM f)
+         |SELECT url, CAST(frame_idx AS INT) AS frame_idx,
+         |  CAST(least(flen, greatest(olen - off + 1, 0)) AS BIGINT) AS frame_len,
+         |  ${sha60Sql("substr(hx, (off - 1) * 2 + 1, flen * 2)")} AS frame_sha60
+         |FROM g""".stripMargin,
     // portable multimodal features: base = sha256 hex of the payload (same
     // bytes both engines — mm_binary_meta's validated decode() equivalence);
     // f_i parsed from sha256(base ':' i); norm is an ordered left fold
