@@ -1437,6 +1437,30 @@ object SparkEntry {
           dim = 64, bits = 8, tables = 4)
         .withColumn("cos", round(col("cos"), 6))
     }),
+    // recall@5 audit of the portable-LSH path against exact brute force —
+    // the "no silent caps" observability row: a banded/bucketed ANN path
+    // must REPORT its recall, never imply completeness. Integral ppm so the
+    // figure is engine-independent; left joins so a query whose LSH probe
+    // found nothing still reports recall 0.
+    "emb_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val brute = Similarity.bruteForceKnn(e.filter(col("vec_id") < 8), e, k = 5)
+        .select(col("query_id"), col("item_id")).persist()
+      val lsh = Similarity.portableLshKnn(e.filter(col("vec_id") < 8), e,
+          k = 5, dim = 64, bits = 8, tables = 4)
+        .select(col("query_id"), col("item_id")).persist()
+      val hits = brute.join(lsh, Seq("query_id", "item_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val nl = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
+        .join(nl, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_ppm",
+          expr("(n_hits * 1000000) div n_brute"))
+    }),
     // the world-scale IVF layout under the contract: posting lists persisted
     // as a list-bucketed table (write amortizes like the packed polygon
     // index), queries bucket-prune the scan via a driver-resolved IN filter;
@@ -2803,6 +2827,51 @@ object SparkEntry {
         |r AS (SELECT query_id, item_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM s)
         |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id, round(cos, 6) AS cos
+        |FROM r WHERE rn <= 5""".stripMargin
+
+  /** Portable LSH-kNN oracle (named so emb_ann_recall can compose it with
+    * the brute chain): sha256-derived hyperplanes, corpus/query bucket
+    * keys, 1-bit multi-probe, candidate set, exact cosine, rank. */
+  private val EmbKnnLshPortableSql =
+    """WITH pl AS (SELECT t, j, list_transform(range(64), d -> CASE WHEN
+        |    (list_reduce(list_transform(range(15), kk -> CAST(
+        |      strpos('0123456789abcdef', substr(sha256(
+        |        'hp:' || t || ':' || j || ':' || d), kk+1, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) & 1) = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
+        |  FROM range(4) tt(t), range(8) jj(j)),
+        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |cd AS (SELECT item_id, t, j, list_sum(list_transform(range(64),
+        |    d -> CAST(cv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
+        |  FROM c, pl),
+        |ck AS (SELECT item_id, t, CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
+        |  FROM cd GROUP BY 1, 2),
+        |qd AS (SELECT query_id, t, j, list_sum(list_transform(range(64),
+        |    d -> CAST(qv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
+        |  FROM q, pl),
+        |qk AS (SELECT query_id, t, CAST(sum(CASE WHEN dot > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
+        |  FROM qd GROUP BY 1, 2),
+        |pr AS (SELECT query_id, t, CASE WHEN pp = 0 THEN bk
+        |    ELSE xor(bk, (CAST(1 AS BIGINT) << CAST(pp - 1 AS INT))) END AS bucket
+        |  FROM qk, range(9) zz(pp)),
+        |cand AS (SELECT DISTINCT p2.query_id, k2.item_id
+        |  FROM pr p2 JOIN ck k2 ON k2.t = p2.t AND k2.bk = p2.bucket
+        |  WHERE k2.item_id <> p2.query_id),
+        |cs AS (SELECT c2.query_id, c2.item_id,
+        |  list_sum(list_transform(list_zip(q.qv, c.cv),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand c2 JOIN q ON q.query_id = c2.query_id
+        |    JOIN c ON c.item_id = c2.item_id),
+        |r AS (SELECT query_id, item_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM cs)
+        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id,
+        |  round(cos, 6) AS cos
         |FROM r WHERE rn <= 5""".stripMargin
 
   /** MMR oracle: brute top-10 shortlist + candidate pair cosines (the
@@ -5337,48 +5406,26 @@ FROM fin GROUP BY doc_id"""
     // ordered-fold projections, per-table bucket keys, multi-probe = key
     // plus all 1-bit flips, distinct collision candidates, exact cosine,
     // rank — bit-for-bit the engine's portableLshKnn
-    "emb_knn_lsh_portable" ->
-      """WITH pl AS (SELECT t, j, list_transform(range(64), d -> CASE WHEN
-        |    (list_reduce(list_transform(range(15), kk -> CAST(
-        |      strpos('0123456789abcdef', substr(sha256(
-        |        'hp:' || t || ':' || j || ':' || d), kk+1, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) & 1) = 0
-        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
-        |  FROM range(4) tt(t), range(8) jj(j)),
-        |c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id < 8),
-        |cd AS (SELECT item_id, t, j, list_sum(list_transform(range(64),
-        |    d -> CAST(cv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
-        |  FROM c, pl),
-        |ck AS (SELECT item_id, t, CAST(sum(CASE WHEN dot > 0
-        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
-        |  FROM cd GROUP BY 1, 2),
-        |qd AS (SELECT query_id, t, j, list_sum(list_transform(range(64),
-        |    d -> CAST(qv[CAST(d AS INT)+1] AS DOUBLE) * p[CAST(d AS INT)+1])) AS dot
-        |  FROM q, pl),
-        |qk AS (SELECT query_id, t, CAST(sum(CASE WHEN dot > 0
-        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bk
-        |  FROM qd GROUP BY 1, 2),
-        |pr AS (SELECT query_id, t, CASE WHEN pp = 0 THEN bk
-        |    ELSE xor(bk, (CAST(1 AS BIGINT) << CAST(pp - 1 AS INT))) END AS bucket
-        |  FROM qk, range(9) zz(pp)),
-        |cand AS (SELECT DISTINCT p2.query_id, k2.item_id
-        |  FROM pr p2 JOIN ck k2 ON k2.t = p2.t AND k2.bk = p2.bucket
-        |  WHERE k2.item_id <> p2.query_id),
-        |cs AS (SELECT c2.query_id, c2.item_id,
-        |  list_sum(list_transform(list_zip(q.qv, c.cv),
-        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        |  / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |   * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM cand c2 JOIN q ON q.query_id = c2.query_id
-        |    JOIN c ON c.item_id = c2.item_id),
-        |r AS (SELECT query_id, item_id, cos, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cos DESC, item_id) AS rn FROM cs)
-        |SELECT query_id, CAST(rn AS INT) AS knn_rank, item_id,
-        |  round(cos, 6) AS cos
-        |FROM r WHERE rn <= 5""".stripMargin,
-        "q11_sessionize" ->
+    "emb_knn_lsh_portable" -> EmbKnnLshPortableSql,
+    // recall@5 audit of the portable LSH path against exact brute force —
+    // the "no silent caps" observability row: a capped/banded ANN path must
+    // REPORT its recall, not imply completeness. Both sides are themselves
+    // oracle-backed rows; the oracle recomputes both chains and the join.
+    "emb_ann_recall" ->
+      s"""WITH b AS (SELECT query_id, item_id FROM ($EmbKnnBruteSql) zb),
+         |l AS (SELECT query_id, item_id FROM ($EmbKnnLshPortableSql) zl),
+         |bc AS (SELECT query_id, count(*) AS n_brute FROM b GROUP BY 1),
+         |lc AS (SELECT query_id, count(*) AS n_lsh FROM l GROUP BY 1),
+         |h AS (SELECT b.query_id, count(*) AS n_hits
+         |  FROM b JOIN l USING (query_id, item_id) GROUP BY 1)
+         |SELECT bc.query_id, bc.n_brute,
+         |  CAST(COALESCE(lc.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000) // bc.n_brute
+         |    AS recall_ppm
+         |FROM bc LEFT JOIN lc ON lc.query_id = bc.query_id
+         |LEFT JOIN h ON h.query_id = bc.query_id""".stripMargin,
+    "q11_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000

@@ -38,6 +38,7 @@ import graft.geo.{CellIndex, Geo}
  *   graft_nfc(text)                      -> STRING Unicode NFC normalization
  *   graft_long_dot(a, b)                 -> BIGINT exact scaled-integer dot
  *   graft_html_text(html)                -> STRING visible text from HTML bytes
+ *   graft_resolve_url(base, href)        -> STRING RFC 3986 reference resolution
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -140,5 +141,9 @@ object GraftExtensions {
     },
     fn("graft_html_text", Seq(BinaryType), "HTML bytes -> visible text") { a =>
       StaticInvoke(textCls, StringType, "htmlText", a, returnNullable = false)
+    },
+    fn("graft_resolve_url", Seq(StringType, StringType),
+        "RFC 3986 reference resolution of href against an absolute base") { a =>
+      StaticInvoke(textCls, StringType, "resolveUrl", a, returnNullable = false)
     })
 }

@@ -74,6 +74,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(optimized.contains(CellIndex.encode(2.0, 41.0, 13).toString), optimized)
   }
 
+  test("graft_resolve_url resolves dot segments from SQL") {
+    val r = ext.sql("SELECT graft_resolve_url('https://h.example/a/b/p.html', " +
+      "'../x?z=1') AS u").head()
+    assert(r.getString(0) === "https://h.example/a/x?z=1")
+  }
+
   test("text-family SQL functions: nfc, long_dot, html_text") {
     val r = ext.sql(
       // decomposed e + combining acute via Scala source escape — Spark's
