@@ -5710,10 +5710,10 @@ FROM fin GROUP BY doc_id"""
          |    sha256(CASE WHEN doc_id % 3 = 0 THEN 'u' || CAST(doc_id AS VARCHAR)
          |                ELSE 'c' || CAST(doc_id % 50 AS VARCHAR) END) AS digest
          |  FROM c),
-         |sizes AS (SELECT host, count(*) AS nd FROM hd GROUP BY 1),
          |fan AS (SELECT digest FROM (SELECT digest, count(*) AS nh
          |    FROM hd GROUP BY 1) WHERE nh <= 16),
          |kept AS (SELECT hd.* FROM hd JOIN fan USING (digest)),
+         |sizes AS (SELECT host, count(*) AS nd FROM kept GROUP BY 1),
          |p AS (SELECT x.host AS host_a, y.host AS host_b,
          |    count(*) AS n_shared
          |  FROM kept x JOIN kept y ON x.digest = y.digest AND x.host < y.host

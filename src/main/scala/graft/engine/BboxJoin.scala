@@ -54,13 +54,11 @@ object BboxJoin {
     val hiC = cellOf(hi, gridDeg)
     val hiGuarded = when(hiC - loC >= maxCells.toLong,
       raise_error(concat(
-        lit(s"BboxJoin: box spans more than $maxCellsPerAxisMsg ("),
+        lit(s"BboxJoin: box spans more than maxCellsPerBox=$maxCells cells on one axis ("),
         lo, lit(".."), hi, lit(s") at gridDeg=$gridDeg"))).cast("long"))
       .otherwise(hiC)
     sequence(loC, hiGuarded)
   }
-
-  private val maxCellsPerAxisMsg = "maxCellsPerBox cells on one axis"
 
   /**
    * a: (a_id, a_min_lon, a_min_lat, a_max_lon, a_max_lat);

@@ -1,7 +1,5 @@
 package graft.etl
 
-import scala.collection.mutable.ArrayBuffer
-
 /**
  * Outlink URL resolution — RFC 3986 §5 reference resolution for the href
  * forms a crawler meets on real pages: absolute, protocol-relative
@@ -21,25 +19,36 @@ import scala.collection.mutable.ArrayBuffer
  */
 object Links {
 
-  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path: `..` pops,
-    * `.` and empty segments drop, a trailing `.`/`..`/`/` keeps the result
-    * a directory. `..` past the root is clamped at the root (the RFC's
-    * behavior — never a leading `..` in the output). */
+  /** RFC 3986 §5.2.4 remove_dot_segments, implemented as the RFC's own
+    * input/output buffer walk: `..` pops the last output segment, `.`
+    * drops, trailing `.`/`..` keep the directory form, and `..` past the
+    * root clamps at the root. EMPTY segments are PRESERVED (`/a//b` stays
+    * `/a//b`) — they are distinct resources to every server and crawler
+    * peer, and collapsing them would merge different link-graph node ids. */
   def removeDotSegments(path: String): String = {
-    val segs = path.split("/", -1)
-    val stack = new ArrayBuffer[String]()
-    var i = 0
-    while (i < segs.length) {
-      segs(i) match {
-        case "" | "."          => ()
-        case ".."              => if (stack.nonEmpty) stack.remove(stack.length - 1)
-        case s                 => stack += s
+    val out = new java.lang.StringBuilder(path.length)
+    var in = path
+    while (!in.isEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); popSegment(out) }
+      else if (in == "/..") { in = "/"; popSegment(out) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.charAt(0) == '/') 1 else 0
+        val next = in.indexOf('/', start)
+        if (next < 0) { out.append(in); in = "" }
+        else { out.append(in, 0, next); in = in.substring(next) }
       }
-      i += 1
     }
-    val last = if (segs.isEmpty) "" else segs(segs.length - 1)
-    val dir = path.endsWith("/") || last == "." || last == ".."
-    "/" + stack.mkString("/") + (if (dir && stack.nonEmpty) "/" else "")
+    out.toString
+  }
+
+  private def popSegment(sb: java.lang.StringBuilder): Unit = {
+    val i = sb.lastIndexOf("/")
+    sb.setLength(if (i < 0) 0 else i)
   }
 
   /** (scheme://authority, path-query-fragment) of an absolute base URL. */
@@ -66,12 +75,14 @@ object Links {
   }
 
   /** Resolve `href` against absolute `base` (RFC 3986 §5.3 minus the
-    * base-fragment carry: an empty href returns the base sans fragment). */
+    * base-fragment carry: an empty href returns the base sans fragment).
+    * A scheme-carrying href passes through BEFORE the base is parsed, so a
+    * malformed base row cannot abort resolutions that never need it. */
   def resolveUrl(base: String, href: String): String = {
+    if (href != null && hasScheme(href)) return href
     val (origin, pqf) = splitBase(base)
     val scheme = origin.substring(0, origin.indexOf("://"))
     if (href == null || href.isEmpty) return stripFragment(base)
-    if (hasScheme(href)) return href
     if (href.startsWith("//")) return scheme + ":" + href
     if (href.startsWith("#")) return stripFragment(base) + href
     // base path without query/fragment; empty authority-only base -> "/"

@@ -41,8 +41,11 @@ object TextInternal {
     UTF8String.fromString(graft.etl.HtmlText.extractBytes(html))
 
   def resolveUrl(base: UTF8String, href: UTF8String): UTF8String =
+    // StaticInvoke propagates null inputs, so these guards are defensive
+    // symmetry for any future non-propagating call path
     UTF8String.fromString(graft.etl.Links.resolveUrl(
-      base.toString, if (href == null) "" else href.toString))
+      if (base == null) "" else base.toString,
+      if (href == null) "" else href.toString))
 
   def spacePairs(seq: UTF8String): ArrayData = {
     val pairs = TextCore.spacePairs(if (seq == null) "" else seq.toString)

@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
  * fan-out per digest is ≤ (cap choose 2), so candidate volume is linear in
  * distinct digests.
  *
+ * Intersection AND set sizes are both measured over the CAPPED universe
+ * (post-exclusion digests): boilerplate carries no mirror signal, so it
+ * must neither generate pairs nor dilute the Jaccard denominator — a true
+ * mirror pair rich in shared boilerplate keeps its full score.
+ *
  * @param minShared pairs sharing fewer digests are dropped (noise floor)
- * @return (host_a, host_b — canonical a < b, n_shared, na, nb,
- *         jaccard_ppm — exact integral |A∩B|·10^6 div |A∪B|)
+ * @return (host_a, host_b — canonical a < b, n_shared, na, nb — capped-set
+ *         sizes, jaccard_ppm — exact integral |A∩B|·10^6 div |A∪B| over
+ *         the capped sets)
  */
 object Mirrors {
 
@@ -32,11 +38,11 @@ object Mirrors {
     require(maxHostsPerDigest >= 2,
       s"maxHostsPerDigest must be >= 2, got $maxHostsPerDigest")
     val hd = docs.select(hostCol.as("host"), digestCol.as("digest")).distinct()
-    val sizes = hd.groupBy("host").agg(count(lit(1)).as("n_digests"))
     val fan = hd.groupBy("digest").agg(count(lit(1)).as("n_hosts"))
       .filter(col("n_hosts") <= maxHostsPerDigest)
       .select("digest")
     val kept = hd.join(fan, "digest")
+    val sizes = kept.groupBy("host").agg(count(lit(1)).as("n_digests"))
     val pairs = kept.select(col("digest"), col("host").as("host_a"))
       .join(kept.select(col("digest"), col("host").as("host_b")), "digest")
       .filter(col("host_a") < col("host_b"))

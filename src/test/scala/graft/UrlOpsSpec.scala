@@ -164,14 +164,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(resolveUrl("https://h.example", "x") === "https://h.example/x")
   }
 
-  test("removeDotSegments: stack semantics and directory preservation") {
+  test("removeDotSegments: RFC 5.2.4 buffer walk, directory preservation") {
     import graft.etl.Links.removeDotSegments
     assert(removeDotSegments("/a/b/../c") === "/a/c")
     assert(removeDotSegments("/a/./b/./") === "/a/b/")
     assert(removeDotSegments("/../../x") === "/x")
-    assert(removeDotSegments("/a//b") === "/a/b")
+    // empty segments are DISTINCT resources (RFC preserves them) — a
+    // crawler that collapses // merges different link-graph node ids
+    assert(removeDotSegments("/a//b") === "/a//b")
+    assert(removeDotSegments("/a//../b") === "/a/b")
     assert(removeDotSegments("/") === "/")
     assert(removeDotSegments("/a/b/..") === "/a/")
+  }
+
+  test("resolveUrl: absolute href survives a malformed (scheme-less) base") {
+    // the passthrough must not require base parsing — one dirty base row
+    // cannot abort resolutions that never need it
+    assert(graft.etl.Links.resolveUrl("example.com/p", "https://x.example/y")
+      === "https://x.example/y")
+    // root-relative double slash preserved end-to-end
+    assert(graft.etl.Links.resolveUrl("https://h.example/a/p.html", "/r//x")
+      === "https://h.example/r//x")
   }
 
   test("resolveUrl column shim stays inside codegen (no SerDe wrapper)") {

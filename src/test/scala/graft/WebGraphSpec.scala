@@ -370,9 +370,10 @@ class WebGraphSpec extends AnyFunSuite {
         minShared = 2, maxHostsPerDigest = 2).collect()
       .map(x => (x.getString(0), x.getString(1)) ->
         ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
-    // only (a, b) survives: 3 shared of 5/5 digests -> jaccard 3/7
+    // only (a, b) survives; sizes are CAPPED-set sizes (bp excluded from
+    // numerator AND denominator): 3 shared of 4/4 -> jaccard 3/5
     assert(r.keySet === Set(("a", "b")))
-    assert(r(("a", "b")) === ((3L, 5L, 5L, 3L * 1000000L / 7L)))
+    assert(r(("a", "b")) === ((3L, 4L, 4L, 600000L)))
   }
 
   test("resolveRedirects handles chains up to 2^doublings in log rounds") {
