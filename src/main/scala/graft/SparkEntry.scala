@@ -2460,6 +2460,22 @@ object SparkEntry {
             .as("lat"))
       graft.engine.Tiler.heatmap(pts, z = 8)
     }),
+    // RASTER -> VECTOR: marching-squares iso-contours of the geo_heatmap
+    // density raster at its mean heat (16*n/65536, integer div — scale-
+    // factor-independent by construction). The single driver-side count is
+    // the bounded threshold-statistic collect (the BPE-argmax role); DuckDB
+    // replays corner-bit contributions, case indices, the 16-case segment
+    // table, and every half-unit endpoint.
+    "geo_contours" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .select(((col("o_orderkey") * 7919 % 360000) / lit(1000.0) - 180.0)
+            .as("lon"),
+          ((col("o_orderkey") * 104729 % 170000) / lit(1000.0) - 85.0)
+            .as("lat"))
+      val threshold = 16L * pts.count() / 65536L
+      graft.engine.Tiler.contours(
+        graft.engine.Tiler.heatmap(pts, z = 8), threshold)
+    }),
     // Morton/Z-order locality codes over the clustered synthetic point set:
     // the layout key for engine.ZOrder; DuckDB recomputes the interleave as
     // an explicit per-bit shift sum (a different construction than the
@@ -6030,6 +6046,47 @@ FROM fin GROUP BY doc_id"""
         |  FROM t CROSS JOIN k WHERE t.ty + k.dy >= 0 AND t.ty + k.dy < 256)
         |SELECT tile_x, tile_y, CAST(sum(w) AS BIGINT) AS heat
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // marching squares replayed from scratch: the heatmap chain, the mean
+    // threshold, corner-bit contributions to the four touching blocks, the
+    // 4-bit case index, and the fixed 16-case segment table (saddles 5/10
+    // emit the standard pair) — exact integer half-unit endpoints
+    "geo_contours" ->
+      """WITH pts AS (SELECT
+        |  (o_orderkey * 7919 % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+        |  (o_orderkey * 104729 % 170000) / CAST(1000.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS lat
+        |  FROM orders),
+        |t AS (SELECT
+        |  CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * 256) AS BIGINT) AS tx,
+        |  CAST(floor((CAST(1.0 AS DOUBLE) - ln(tan(radians(lat)) + CAST(1.0 AS DOUBLE) / cos(radians(lat))) / pi())
+        |    / CAST(2.0 AS DOUBLE) * 256) AS BIGINT) AS ty
+        |  FROM pts),
+        |k AS (SELECT a.dx, b.dy, CAST(4 AS BIGINT) >> (abs(a.dx) + abs(b.dy)) AS w
+        |  FROM range(-1, 2) a(dx), range(-1, 2) b(dy)),
+        |e AS (SELECT (t.tx + k.dx + 256) % 256 AS tile_x, t.ty + k.dy AS tile_y, k.w
+        |  FROM t CROSS JOIN k WHERE t.ty + k.dy >= 0 AND t.ty + k.dy < 256),
+        |h AS (SELECT tile_x, tile_y, CAST(sum(w) AS BIGINT) AS heat
+        |  FROM e GROUP BY 1, 2),
+        |np AS (SELECT count(*) AS n FROM pts),
+        |d AS (SELECT tile_x AS x, tile_y AS y FROM h, np
+        |  WHERE heat >= (16 * np.n) // 65536),
+        |cb AS (SELECT d.x + c.dxb AS bx, d.y + c.dyb AS by, c.bit
+        |  FROM d CROSS JOIN (VALUES (0, 0, 1), (-1, 0, 2), (-1, -1, 4),
+        |    (0, -1, 8)) c(dxb, dyb, bit)),
+        |cs AS (SELECT bx, by, CAST(sum(bit) AS BIGINT) AS case_idx
+        |  FROM cb GROUP BY 1, 2),
+        |sg AS (SELECT * FROM (VALUES (1,0,0,1,1,0), (2,0,1,0,2,1),
+        |    (3,0,0,1,2,1), (4,0,2,1,1,2), (5,0,0,1,1,0), (5,1,2,1,1,2),
+        |    (6,0,1,0,1,2), (7,0,0,1,1,2), (8,0,1,2,0,1), (9,0,1,0,1,2),
+        |    (10,0,1,0,2,1), (10,1,1,2,0,1), (11,0,2,1,1,2), (12,0,2,1,0,1),
+        |    (13,0,1,0,2,1), (14,0,0,1,1,0))
+        |    v(case_idx, seg_idx, d1x, d1y, d2x, d2y))
+        |SELECT cs.bx, cs.by, cs.case_idx, CAST(sg.seg_idx AS INT) AS seg_idx,
+        |  CAST(cs.bx * 2 + sg.d1x AS BIGINT) AS x1h,
+        |  CAST(cs.by * 2 + sg.d1y AS BIGINT) AS y1h,
+        |  CAST(cs.bx * 2 + sg.d2x AS BIGINT) AS x2h,
+        |  CAST(cs.by * 2 + sg.d2y AS BIGINT) AS y2h
+        |FROM cs JOIN sg ON sg.case_idx = cs.case_idx
+        |WHERE cs.case_idx < 15""".stripMargin,
     "geo_zorder" ->
       s"""WITH $clusteredTilesCte
         |SELECT o_orderkey, tile_x, tile_y,

@@ -69,6 +69,71 @@ object Tiler {
       .groupBy("tile_x", "tile_y").agg(sum("w").as("heat"))
   }
 
+  /**
+   * RASTER -> VECTOR: binary marching squares over a density grid — the
+   * iso-contour of `grid` at `threshold` as line segments, the step that
+   * turns the tiler's raster back into drawable vector geometry (density
+   * outlines of where a crawl's geocoded output concentrates).
+   *
+   * Formulation: grid cells are the SAMPLE POINTS (corners of 2x2 blocks).
+   * Each dense cell (value >= threshold) contributes its corner bit to the
+   * four blocks that touch it (TL=1, TR=2, BR=4, BL=8) — one 4-way explode
+   * and ONE map-side-combinable sum, never a self-join of shifted grids —
+   * and the per-block 4-bit case index picks segments from a broadcast
+   * 16-case lookup. Saddle cases (5, 10) use the fixed standard resolution
+   * (two segments each), so output is deterministic with no ambiguity rule
+   * hidden in data order. Segment endpoints are EDGE MIDPOINTS in integer
+   * half-units (block (bx,by) spans half-coords [2bx, 2bx+2]) — exact
+   * integers end to end, no interpolation float in the contract.
+   *
+   * Scale shape: work after the density aggregation is proportional to the
+   * number of blocks touching dense cells, and emitted segments scale with
+   * contour BOUNDARY length, not dense area (interior case-15 blocks are
+   * dropped) — the compact-index argument applied to rasters. The x wrap at
+   * the antimeridian is the raster's concern ([[heatmap]] wraps); seam
+   * blocks appear once per side, unwrapped.
+   */
+  def contours(grid: DataFrame, threshold: Long,
+               xCol: String = "tile_x", yCol: String = "tile_y",
+               vCol: String = "heat"): DataFrame = {
+    val dense = grid.filter(col(vCol) >= threshold)
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val contrib = dense.select(explode(array(
+        struct(col("x").as("bx"), col("y").as("by"), lit(1L).as("bit")),
+        struct((col("x") - 1).as("bx"), col("y").as("by"), lit(2L).as("bit")),
+        struct((col("x") - 1).as("bx"), (col("y") - 1).as("by"), lit(4L).as("bit")),
+        struct(col("x").as("bx"), (col("y") - 1).as("by"), lit(8L).as("bit"))))
+        .as("c"))
+      .select(col("c.bx").as("bx"), col("c.by").as("by"), col("c.bit").as("bit"))
+    val cases = contrib.groupBy("bx", "by").agg(sum("bit").as("case_idx"))
+      .filter(col("case_idx") < 15)
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val segs = broadcast(MarchingSquaresSegments
+      .toDF("case_idx", "seg_idx", "d1x", "d1y", "d2x", "d2y"))
+    cases.join(segs, Seq("case_idx"))
+      .select(col("bx"), col("by"), col("case_idx"), col("seg_idx"),
+        (col("bx") * 2 + col("d1x")).as("x1h"),
+        (col("by") * 2 + col("d1y")).as("y1h"),
+        (col("bx") * 2 + col("d2x")).as("x2h"),
+        (col("by") * 2 + col("d2y")).as("y2h"))
+  }
+
+  /** The 16-case marching-squares segment table over edge midpoints
+    * T=(1,0) R=(2,1) B=(1,2) L=(0,1) in block-local half-units; saddles
+    * (5, 10) emit the fixed standard pair. */
+  private val MarchingSquaresSegments: Seq[(Long, Int, Long, Long, Long, Long)] = {
+    val T = (1L, 0L); val R = (2L, 1L); val B = (1L, 2L); val L = (0L, 1L)
+    val byCase: Seq[(Int, Seq[((Long, Long), (Long, Long))])] = Seq(
+      1 -> Seq((L, T)), 2 -> Seq((T, R)), 3 -> Seq((L, R)), 4 -> Seq((R, B)),
+      5 -> Seq((L, T), (R, B)), 6 -> Seq((T, B)), 7 -> Seq((L, B)),
+      8 -> Seq((B, L)), 9 -> Seq((T, B)), 10 -> Seq((T, R), (B, L)),
+      11 -> Seq((R, B)), 12 -> Seq((R, L)), 13 -> Seq((T, R)),
+      14 -> Seq((L, T)))
+    for ((c, ss) <- byCase; (((x1, y1), (x2, y2)), i) <- ss.zipWithIndex)
+      yield (c.toLong, i, x1, y1, x2, y2)
+  }
+
   /** Vector side: decode tile ids back to their lon/lat bounding box
     * (raster->vector direction). Inverse of the assignment math. */
   def tileBounds(tiles: DataFrame): DataFrame = {

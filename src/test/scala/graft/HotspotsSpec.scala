@@ -89,4 +89,50 @@ class HotspotsSpec extends AnyFunSuite {
     assert(out.size == 6) // the three y=-1 contributions dropped
     assert(out.values.sum == 4 + 2 + 2 + 2 + 1 + 1)
   }
+
+  private def runContours(cells: Seq[(Long, Long)], threshold: Long = 1) = {
+    val grid = cells.map { case (x, y) => (x, y, 5L) }
+      .toDF("tile_x", "tile_y", "heat")
+    Tiler.contours(grid, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        (r.getLong(4), r.getLong(5)), (r.getLong(6), r.getLong(7))))
+  }
+
+  test("contours: an isolated dense cell vectorizes to a closed diamond") {
+    val segs = runContours(Seq((5L, 7L)))
+    // 4 blocks, one segment each; endpoints form the closed 4-cycle around
+    // the sample point (10, 14) in half-units
+    assert(segs.length === 4)
+    val undirected = segs.map { case (_, _, _, _, a, b) => Set(a, b) }.toSet
+    assert(undirected === Set(
+      Set((10L, 15L), (11L, 14L)), Set((9L, 14L), (10L, 15L)),
+      Set((10L, 13L), (9L, 14L)), Set((11L, 14L), (10L, 13L))))
+  }
+
+  test("contours: interior case-15 blocks are dropped (boundary not area)") {
+    val segs = runContours(Seq((2L, 2L), (3L, 2L), (2L, 3L), (3L, 3L)))
+    // center block (2,2) is all-inside -> no segments from it
+    assert(!segs.exists { case (bx, by, _, _, _, _) => bx == 2 && by == 2 })
+    assert(segs.forall { case (_, _, c, _, _, _) => c > 0 && c < 15 })
+    // outline of a 2x2 point square: 8 boundary blocks, one segment each
+    assert(segs.length === 8)
+  }
+
+  test("contours: diagonal saddle emits the fixed two-segment pair") {
+    val segs = runContours(Seq((0L, 0L), (1L, 1L)))
+    val saddle = segs.filter { case (bx, by, c, _, _, _) =>
+      bx == 0 && by == 0 && c == 5 }
+    assert(saddle.map(_._4).sorted.toSeq === Seq(0, 1))
+    // block (0,0): L-T then R-B in half-units
+    val byIdx = saddle.map(s => s._4 -> ((s._5, s._6))).toMap
+    assert(byIdx(0) === (((0L, 1L), (1L, 0L))))
+    assert(byIdx(1) === (((2L, 1L), (1L, 2L))))
+  }
+
+  test("contours: threshold is inclusive and sub-threshold cells vanish") {
+    val grid = Seq((4L, 4L, 7L), (9L, 9L, 6L)).toDF("tile_x", "tile_y", "heat")
+    val segs = Tiler.contours(grid, threshold = 7).collect()
+    assert(segs.length === 4) // only the heat=7 cell survives
+    assert(segs.forall(r => math.abs(r.getLong(0) - 4) <= 1))
+  }
 }
