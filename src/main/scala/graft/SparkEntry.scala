@@ -2269,6 +2269,19 @@ object SparkEntry {
       val seeds = s.range(3).select(col("id").as("node"))
       graft.web.LinkGraph.crawlFrontier(edges, seeds, maxHops = 4)
     }),
+    // cost-weighted link distance (Bellman-Ford, 4 relax rounds = exact
+    // min-cost over walks of <= 4 edges): the weighted sibling of the
+    // frontier BFS; the oracle enumerates bounded weighted walks via a
+    // recursive CTE — a different algorithm that must agree on every node
+    "web_linkdist" -> ((s, dir) => {
+      val edges = docs(s, dir).selectExpr(
+        "pmod(doc_id, 64) AS src",
+        "pmod(pmod(doc_id, 64) * 17 + 29 + pmod(doc_id div 64, 3), 64) AS dst",
+        "1 + pmod(doc_id, 5) AS w")
+      val seeds = s.range(8).select(col("id").as("node"))
+        .filter(col("node").isin(0L, 7L))
+      graft.web.LinkGraph.linkDistance(edges, seeds, maxRounds = 4)
+    }),
     // robots-exclusion politeness gate (RFC 9309 longest-match, Allow wins
     // ties): per-host rule arrays broadcast, URL side map-only — one
     // BroadcastHashJoin + codegen fold. Deterministic rules: every host
@@ -5867,6 +5880,25 @@ FROM fin GROUP BY doc_id"""
          |  SELECT e.dst, CAST(r.hop + 1 AS INT)
          |  FROM reach r JOIN e ON e.src = r.node WHERE r.hop < 4)
          |SELECT node, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY node""".stripMargin,
+    // bounded weighted-walk enumeration: every walk of <= 4 edges from a
+    // seed (hop guard terminates cycles; UNION dedups identical triples),
+    // then min cost per node — must equal 4 Bellman-Ford relax rounds
+    "web_linkdist" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT doc_id % 64 AS src,
+         |    ((doc_id % 64) * 17 + 29 + ((doc_id // 64) % 3)) % 64 AS dst,
+         |    1 + doc_id % 5 AS w
+         |  FROM documents),
+         |e AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+         |  FROM e0 GROUP BY 1, 2),
+         |walk(node, dist, hops) AS (
+         |  SELECT CAST(v.node AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+         |    0 AS hops
+         |  FROM (VALUES (0), (7)) v(node)
+         |  UNION
+         |  SELECT e.dst, w.dist + e.w, w.hops + 1
+         |  FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 4)
+         |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin,
     // same bit-exact replay; resumed_stages gates that the rerun served
     // every previously-completed block (i0, i1, i2) from checkpoint
     "web_pagerank_resume" ->

@@ -536,6 +536,52 @@ object LinkGraph {
   }
 
   /**
+   * Cost-weighted link distance from a seed set — synchronous Bellman-Ford
+   * relaxation over `edges` (src, dst, w): after `maxRounds` rounds the
+   * result is EXACTLY min-cost over walks of at most `maxRounds` edges from
+   * any seed (the Bellman-Ford invariant), so when `maxRounds` >= the
+   * weighted-shortest-path hop diameter it is the true SSSP. The weighted
+   * sibling of [[crawlFrontier]] (hop counts) — crawl scheduling weights
+   * link hops by politeness/priority cost rather than counting them.
+   *
+   * Scale shape: parallel edges collapse to their cheapest ONCE up front;
+   * each round is ONE equi-join of the edge table against the distance
+   * vector plus ONE combinable min-agg over narrow (node, long) rows —
+   * map-side partials absorb supernode fan-in — and the vector re-enters
+   * the plan as a LogicalRDD leaf (O(1) plan per round, the iterative-op
+   * discipline). The self-union keeps distances monotone, so rounds past
+   * convergence are no-ops, never oscillation.
+   */
+  def linkDistance(edges: DataFrame, seeds: DataFrame,
+                   maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w")).persist()
+    var distCached = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).persist()
+    distCached.count()
+    var dist = cut(distCached)
+    var r = 0
+    while (r < maxRounds) {
+      r += 1
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      val nextCached = dist.select(col("node"), col("dist").as("cand"))
+        .unionByName(relaxed)
+        .groupBy("node").agg(min("cand").as("dist")).persist()
+      nextCached.count()
+      distCached.unpersist()
+      distCached = nextCached
+      dist = cut(nextCached)
+    }
+    val out = dist.persist()
+    out.count()
+    distCached.unpersist(); e.unpersist()
+    out
+  }
+
+  /**
    * Triangle count + local clustering coefficient per node, over the
    * UNDIRECTED simple graph induced by `edges` (self-loops dropped,
    * direction and duplicates collapsed).

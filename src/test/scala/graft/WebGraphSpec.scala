@@ -376,6 +376,40 @@ class WebGraphSpec extends AnyFunSuite {
     assert(r(("a", "b")) === ((3L, 4L, 4L, 600000L)))
   }
 
+  test("linkDistance: Bellman-Ford hand-derived, cheap-path beats short-path") {
+    // 0 -> 1 costs 10 direct, but 0 -> 2 -> 1 costs 1+2=3; parallel edge
+    // 0 -> 2 at cost 5 must collapse to the cheaper 1
+    val edges = Seq(
+      (0L, 1L, 10L), (0L, 2L, 1L), (0L, 2L, 5L), (2L, 1L, 2L),
+      (1L, 3L, 1L), (9L, 0L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val out = graft.web.LinkGraph.linkDistance(edges, seeds, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9 only points INTO the seed -> unreachable, absent
+    assert(out === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 3L -> 4L))
+  }
+
+  test("linkDistance: round budget bounds walk length exactly") {
+    val chain = (0L until 5L).map(i => (i, i + 1, 2L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val r2 = graft.web.LinkGraph.linkDistance(chain, seeds, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(0L -> 0L, 1L -> 2L, 2L -> 4L)) // <= 2 edges only
+    val r5 = graft.web.LinkGraph.linkDistance(chain, seeds, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5(5L) === 10L)
+  }
+
+  test("linkDistance: cycles stay monotone, multi-seed takes the nearer") {
+    val edges = Seq((0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L), (7L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L, 7L).toDF("node")
+    val out = graft.web.LinkGraph.linkDistance(edges, seeds, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 0<->1 cycle never lowers dist below the true shortest
+    assert(out === Map(0L -> 0L, 7L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("resolveRedirects handles chains up to 2^doublings in log rounds") {
     // a 14-hop chain resolves with doublings=4 (2^4 = 16 >= 14)
     val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
