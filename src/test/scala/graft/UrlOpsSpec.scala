@@ -177,6 +177,30 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(removeDotSegments("/a/b/..") === "/a/")
   }
 
+  test("resolveUrl agrees with java.net.URI.resolve across the form grid") {
+    // independent cross-check: java.net.URI implements the same reference-
+    // resolution algorithm. Excluded by construction: past-root ".."
+    // (URI keeps the RFC 2396 leading "../", RFC 3986 clamps), the empty
+    // href (URI returns the base verbatim incl. fragment), and query-only
+    // refs ("?y") — RFC 3986 §5.3 keeps the FULL base path ("?y" against
+    // "http://a/b/c/d;p?q" is "http://a/b/c/d;p?y" in the RFC's own
+    // examples) while java.net.URI applies RFC 2396 relative-merge and
+    // drops the last segment; the dedicated test above pins the 3986 form.
+    val bases = Seq(
+      "https://h.example/a/b/p.html",
+      "https://h.example/a/b/p.html?q=1",
+      "http://h.example:8080/a/",
+      "https://h.example/")
+    val hrefs = Seq(
+      "http://x.example/y", "//cdn.example/l.js", "/r/x", "/r//x",
+      "c.html", "c.html?z=1", "./c", "d/e.html", "sub/",
+      "a/../b.html", "./a/./b")
+    for (b <- bases; h <- hrefs) {
+      val expect = java.net.URI.create(b).resolve(h).toString
+      assert(graft.etl.Links.resolveUrl(b, h) === expect, s"base=$b href=$h")
+    }
+  }
+
   test("resolveUrl: absolute href survives a malformed (scheme-less) base") {
     // the passthrough must not require base parsing — one dirty base row
     // cannot abort resolutions that never need it
