@@ -67,6 +67,19 @@ class BboxJoinSpec extends AnyFunSuite {
     assert(got(9L) === ((2.0, 2.0)))            // degenerate zero-width overlap
   }
 
+  test("degenerate zero-area boxes behave as points (containment + edge)") {
+    val a = Seq(
+      (1L, 1.5, 1.5, 1.5, 1.5),   // point strictly inside b=9
+      (2L, 4.0, 1.0, 4.0, 1.0),   // point exactly on b=9's max-lon edge
+      (3L, 9.0, 9.0, 9.0, 9.0)    // point outside everything
+    ).toDF("a_id", "a_min_lon", "a_min_lat", "a_max_lon", "a_max_lat")
+    val b = Seq((9L, 0.0, 0.0, 4.0, 3.0)).toDF(
+      "b_id", "b_min_lon", "b_min_lat", "b_max_lon", "b_max_lat")
+    val got = BboxJoin.overlapJoin(a, b, 2.0).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(1L -> ((1.5, 1.5)), 2L -> ((4.0, 1.0))))
+  }
+
   test("a box wider than the per-axis fan-out cap fails loudly") {
     val a = Seq((1L, -180.0, 0.0, 180.0, 1.0)).toDF(
       "a_id", "a_min_lon", "a_min_lat", "a_max_lon", "a_max_lat")

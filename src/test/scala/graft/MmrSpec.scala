@@ -54,6 +54,24 @@ class MmrSpec extends AnyFunSuite {
     assert(out === Map(1 -> 4L, 2 -> 9L))
   }
 
+  test("penalty reads the candidate->selected direction of pairSims only") {
+    // asymmetric sims: (2 -> 1) is high, (1 -> 2) is low; after picking 1,
+    // candidate 2's penalty must use a_id=2, b_id=1 (the high one)
+    val c = Seq((0L, 1L, 900000L), (0L, 2L, 890000L), (0L, 3L, 600000L))
+      .toDF("query_id", "item_id", "rel_ppm")
+    val p = Seq(
+      (0L, 1L, 2L, 10000L), (0L, 2L, 1L, 950000L),
+      (0L, 1L, 3L, 10000L), (0L, 3L, 1L, 10000L),
+      (0L, 2L, 3L, 10000L), (0L, 3L, 2L, 10000L))
+      .toDF("query_id", "a_id", "b_id", "sim_ppm")
+    val out = Mmr.mmrSelect(c, p, 2).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((1L, 6300000L)))
+    // item 2: 7*890000 - 3*950000 = 3380000; item 3: 7*600000 - 3*10000 =
+    // 4170000 -> diversity promotes 3 BECAUSE the 2->1 direction was read
+    assert(out(2) === ((3L, 4170000L)))
+  }
+
   test("queries are isolated; k past the shortlist just exhausts it") {
     val c = Seq((0L, 1L, 900000L), (0L, 2L, 800000L), (5L, 7L, 600000L))
       .toDF("query_id", "item_id", "rel_ppm")

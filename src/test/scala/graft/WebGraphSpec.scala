@@ -376,6 +376,14 @@ class WebGraphSpec extends AnyFunSuite {
     assert(r(("a", "b")) === ((3L, 4L, 4L, 600000L)))
   }
 
+  test("linkDistance: zero rounds returns exactly the seed set at 0") {
+    val edges = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L, 5L).toDF("node")
+    val out = graft.web.LinkGraph.linkDistance(edges, seeds, maxRounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 5L -> 0L))
+  }
+
   test("linkDistance: Bellman-Ford hand-derived, cheap-path beats short-path") {
     // 0 -> 1 costs 10 direct, but 0 -> 2 -> 1 costs 1+2=3; parallel edge
     // 0 -> 2 at cost 5 must collapse to the cheaper 1
