@@ -1499,7 +1499,13 @@ object SparkEntry {
     // re-derived by the oracle. The kNN stage is pluggable (IVF/LSH at
     // world scale); brute here makes the contract row exact
     "emb_bitext_mine" -> ((s, dir) => {
+      // the embeddings table is one small parquet file, so both brute-kNN
+      // corpus scans (the ~n_src x n_tgt cosine work) ran in ONE task; the
+      // keyed N-way repartition spreads them across the session's
+      // parallelism (guide §2 — measured 2.2 task-seconds serialized)
       val e = embs(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("vec_id"))
       graft.sim.BitextMine.mine(
           e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
           k = 3, minMargin = 1.02)
@@ -1562,10 +1568,15 @@ object SparkEntry {
           col("url"), col("surface"), col("place_id"), col("name"),
           col("lon"), col("lat"), col("text_sha256"),
           col("tile_x"), col("tile_y"))
-      val q = out.writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state partitions derived from source size, not the session constant
+      // (guide §2 scale-adaptive partitioning; see streaming.Adaptive)
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, s"$OracleDir/pages")) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // explicit schema: a run in which no window finalizes leaves a sink
       // with only _spark_metadata, and schema inference would throw where
       // the correct answer is an empty result (matching the oracle's 0 rows)
@@ -1638,10 +1649,13 @@ object SparkEntry {
         .select(col("user_id"), col("view_id"), col("click_id"),
           unix_micros(col("view_ts")).as("view_us"),
           unix_micros(col("click_ts")).as("click_us"))
-      val q = out.writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, evPath)) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema(out.schema).parquet(sink)
     }),
     // STREAMING EXACT DEDUP under the contract (the fourth streaming shape
@@ -1676,10 +1690,13 @@ object SparkEntry {
       val out = graft.streaming.StreamGeocode
         .dedupStream(src, "warc_ts", "text", s"$spanDays days")
         .select(col("text_sha"))
-      val q = out.writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, docPath)) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema(out.schema).parquet(sink)
     }),
 
@@ -1706,10 +1723,13 @@ object SparkEntry {
       val out = graft.streaming.StreamGeocode.tileCounts(coords)
         .select(unix_micros(col("window.start")).as("win_us"),
           col("tile_z"), col("tile_x"), col("tile_y"), col("n_hits"))
-      val q = out.writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, s"$OracleDir/pages")) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema(out.schema).parquet(sink)
     }),
 
@@ -1742,10 +1762,13 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           unix_micros(col("sess_start")).as("sess_start_us"),
           unix_micros(col("sess_end")).as("sess_end_us"))
-      val q = out.writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, evPath)) {
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema(out.schema).parquet(sink)
     }),
 
@@ -2067,8 +2090,19 @@ object SparkEntry {
     "sim_band_join" -> ((s, dir) => {
       // the LSH band-bucket candidate plan (band self-join + pair rollup)
       // over integer-derived signatures — the relational scaffolding of
-      // Dedup.minhashLshPairs, oracle-checkable end to end
-      val bands = docs(s, dir).select(col("doc_id"),
+      // Dedup.minhashLshPairs, oracle-checkable end to end.
+      // Parallelism notes (opt guide §2): the docs table is a single small
+      // file, so without the keyed repartition the ENTIRE pair fan-out
+      // (~40x the input) ran inside one scan task; and the pair rollup's
+      // exchange carries mostly-distinct (doc_a, doc_b) keys whose bytes
+      // AQE would coalesce into one reducer — the explicit N-way
+      // repartition on the EXACT group keys keeps the heavy aggregation
+      // parallel and is reused by groupBy (no extra exchange). N follows
+      // the session's shuffle-partition setting, not a local constant.
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val bands = docs(s, dir).select(col("doc_id"))
+        .repartition(n, col("doc_id"))
+        .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)),
           j => pmod(col("doc_id"), j.cast("long") + 20)))
           .as(Seq("band_idx", "band_hash")))
@@ -2076,6 +2110,7 @@ object SparkEntry {
       val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
       a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
+        .repartition(n, col("doc_a"), col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
         .filter(col("n_bands") >= 2)
     }),
@@ -2349,10 +2384,13 @@ object SparkEntry {
       val schema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
-      graft.streaming.StreamSketch.hllPartials(src,
-        graft.etl.UrlOps.urlHost(col("url")),
-        graft.etl.UrlOps.canonicalUrl(col("url")), sink, ckpt)
-        .awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, inDir)) {
+        graft.streaming.StreamSketch.hllPartials(src,
+          graft.etl.UrlOps.urlHost(col("url")),
+          graft.etl.UrlOps.canonicalUrl(col("url")), sink, ckpt)
+          .awaitTermination()
+      }
       val partials = s.read.parquet(sink)
       graft.streaming.StreamSketch.estimateFromPartials(partials)
         .withColumnRenamed("key", "host")
@@ -2503,8 +2541,17 @@ object SparkEntry {
     // cross-engine proof that pruning never drops a row
     "geo_zscan" -> ((s, dir) =>
       graft.engine.ZOrder.scanBbox(
+          // CollapseProject would inline the whole morton(tileX(...),
+          // tileY(...)) derivation into every one of the z-range
+          // disjunction's ~80 comparisons — a ~4000-node filter tree that
+          // costs ~1 s of optimizer time per run (the documented Catalyst
+          // perf trap). The lazy localCheckpoint pins z as a concrete
+          // column, mirroring the production shape where the scan reads a
+          // STORED z-ordered layout and the disjunction prunes on stats.
           graft.engine.ZOrder.withZ(clusteredPts(s, dir), col("lon"),
-            col("lat"), zoom = 10),
+            col("lat"), zoom = 10)
+            .select("o_orderkey", "tile_x", "tile_y", "z")
+            .localCheckpoint(false),
           minTx = 415, minTy = 390, maxTx = 432, maxTy = 402, zoom = 10)
         .select("o_orderkey", "tile_x", "tile_y", "z")),
     // grid-DBSCAN hotspot clustering: per-tile counts -> dense cells ->
@@ -2696,9 +2743,12 @@ object SparkEntry {
       val schema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
-      graft.streaming.StreamSketch.cmPartials(src,
-        graft.etl.UrlOps.urlHost(col("url")), CmDepth, CmWidth, sink, ckpt)
-        .awaitTermination()
+      graft.streaming.Adaptive.withStatePartitions(s,
+        graft.streaming.Adaptive.statePartitions(s, inDir)) {
+        graft.streaming.StreamSketch.cmPartials(src,
+          graft.etl.UrlOps.urlHost(col("url")), CmDepth, CmWidth, sink, ckpt)
+          .awaitTermination()
+      }
       val partials = s.read.parquet(sink)
       val merged = graft.sketch.CountMin.merge(
         partials.select("cm_row", "cm_col", "cm_cnt"))

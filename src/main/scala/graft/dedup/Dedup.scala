@@ -223,7 +223,8 @@ object Dedup {
     * cluster_id = min doc_id of the component — deterministic regardless of
     * partitioning or round count. */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 25,
+                          pointerJump: Boolean = false): DataFrame = {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
@@ -232,22 +233,40 @@ object Dedup {
     var labels = und.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label")).persist()
     // Each round is deliberately LEAN — one aggregation + one left join, with
-    // the convergence flag computed IN-PLAN (no second join against the old
-    // labels, no pointer-shortcut self-join: duplicate clusters are stars and
+    // the convergence flag computed IN-PLAN: duplicate clusters are stars and
     // short chains, so plain min-label propagation converges in ~2 rounds and
     // every extra per-round stage is pure scheduled-latency at small scale
-    // and an extra shuffle at crawl scale).
+    // and an extra shuffle at crawl scale (measured: an unconditional
+    // pointer-jump join cost the dup-cluster family ~0.8 s/query).
+    // `pointerJump = true` adds label'(v) = label_prev(label_after_prop(v))
+    // composed into the same round — label reach roughly doubles per round,
+    // O(log diameter) rounds on chain/lattice topologies (the hotspot grid)
+    // at one extra join per round. Every label is a node id of the same
+    // component (init and both min-folds only ever pick node ids), so the
+    // jump lands inside the component and the converged fixpoint — min id
+    // per component — is unchanged either way.
     var last: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (col("nbr") < col("label")).as("chg"))
-        .persist()
+      val next = (if (!pointerJump) {
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (col("nbr") < col("label")).as("chg"))
+      } else {
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        val lmap = labels.select(col("id").as("__jid"), col("label").as("__jlabel"))
+        prop.join(lmap, prop("label") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__jlabel"), col("label"))).as("label"),
+            (least(col("label"), coalesce(col("__jlabel"), col("label")))
+              < col("old")).as("chg"))
+      }).persist()
       // full count, not limit(1): materializes EVERY partition of `next`
       // before the predecessor is unpersisted — an incremental limit-scan
       // would cache only the partitions it touched and later rounds would

@@ -44,7 +44,11 @@ object Hotspots {
   def cluster(points: DataFrame, zoom: Int, minPts: Long,
               maxIter: Int = 64): DataFrame =
     clusterImpl(points, zoom, minPts, edges =>
-      Dedup.connectedComponents(edges, "ka", "kb", maxIter))
+      // pointerJump: the dense-tile adjacency is a grid lattice whose
+      // components are chains/blobs with diameter O(cluster span) — the
+      // jump turns O(diameter) min-label rounds into O(log diameter)
+      Dedup.connectedComponents(edges, "ka", "kb", maxIter,
+        pointerJump = true))
 
   /** [[cluster]] with checkpoint-resumable component labelling: each
     * min-label round flows through Checkpoint.stage, so a killed

@@ -66,14 +66,26 @@ object KMeans {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sv = scaled(emb, idCol, vecCol).persist()
     val fp = s"kmeans|k$k|$inputFingerprint"
+    // driver-side memo of centroid matrices computed THIS run: round i's
+    // step re-reads round i-1's state only when that round was served from
+    // checkpoint (the resume boundary) — sequentially-computed rounds skip
+    // the re-collect of the state they just produced (one fewer job per
+    // round; the matrix is k x dim, the same bounded driver state as the
+    // collect it replaces)
+    val memo = scala.collection.mutable.Map.empty[Int, Vector[Array[Long]]]
     val state = graft.engine.Iterate.resumable(
         spark, ckptDir, "kmeans", fp, rounds, every) {
-      toStateDf(spark, initCentroids(sv, k))
-    } { (st, _) =>
-      toStateDf(spark, lloydStep(sv, toMatrix(st, k), k))
+      val c0 = initCentroids(sv, k)
+      memo(0) = c0
+      toStateDf(spark, c0)
+    } { (st, i) =>
+      val next = lloydStep(sv, memo.getOrElse(i - 1, toMatrix(st, k)), k)
+      memo(i) = next
+      toStateDf(spark, next)
     }
-    assign(sv, toMatrix(state, k)).select(col("id").as("vec_id"),
-      col("cluster"), col("dist").as("dist_scaled"))
+    assign(sv, memo.getOrElse(rounds, toMatrix(state, k)))
+      .select(col("id").as("vec_id"),
+        col("cluster"), col("dist").as("dist_scaled"))
   }
 
   private def scaled(emb: DataFrame, idCol: Column, vecCol: Column): DataFrame =

@@ -45,9 +45,18 @@ object Mmr {
     val penW = lambdaDen - lambdaNum
     val ps = pairSims.select(col("query_id"), col("a_id"), col("b_id"),
       col("sim_ppm"))
+    // Each round references the running selection THREE times (anti-join,
+    // penalty join, union) and Catalyst shares no subtrees, so carrying the
+    // raw plan forward re-evaluates every earlier round 2^k-ish times
+    // (measured: 27 jobs / 776 tasks for k=4). A lazy localCheckpoint per
+    // round re-enters the (queries x rank)-sized selection as a LogicalRDD
+    // computed once — plan and work are O(k), fault-tolerance cost is the
+    // standard localCheckpoint caveat, acceptable for a driver-bounded
+    // selection table.
+    def bound(df: DataFrame): DataFrame = df.localCheckpoint(false)
     // round 1: empty picked set, penalty is zero everywhere
-    var sel = pick(candidates.withColumn("score_scaled",
-      col("rel_ppm") * lambdaNum.toLong), rank = 1)
+    var sel = bound(pick(candidates.withColumn("score_scaled",
+      col("rel_ppm") * lambdaNum.toLong), rank = 1))
     var r = 2
     while (r <= k) {
       val remaining = candidates.join(sel.select("query_id", "item_id"),
@@ -62,7 +71,7 @@ object Mmr {
         .withColumn("score_scaled",
           col("rel_ppm") * lambdaNum.toLong -
             coalesce(col("pen_ppm"), lit(0L)) * penW.toLong)
-      sel = sel.unionByName(pick(scored, rank = r))
+      sel = bound(sel.unionByName(pick(scored, rank = r)))
       r += 1
     }
     sel

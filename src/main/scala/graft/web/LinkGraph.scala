@@ -93,19 +93,35 @@ object LinkGraph {
     var hubs = cut(hubsCached)
     var authsCached: DataFrame = null
     var auths: DataFrame = null
-    def l1Normalize(raw: DataFrame, c: String): DataFrame = {
+    // per-iteration lazily-persisted intermediates, released after the
+    // iteration that supersedes them has materialized
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // ZERO-OMITTED intermediate vectors: a node whose contribution sum is 0
+    // contributes nothing to the next half-step's edge join and 0 to the L1
+    // total, so intermediate vectors carry only the nodes the aggregation
+    // produced — the per-half-step `nodes LEFT JOIN` rebase (one broadcast
+    // join per half-step at any scale) is deferred to the single final
+    // projection, where absent means exactly 0.
+    def l1Normalize(raw0: DataFrame, c: String): DataFrame = {
+      // the raw contribution table is read TWICE (L1 total + the normalize
+      // projection): persist it so the broadcast total's pass populates the
+      // cache and the projection probes memory instead of re-running the
+      // edge join
+      val raw = raw0.persist()
+      scratch += raw
       val tot = broadcast(raw.agg(sum(col(c)).as("__t")))
-      nodes.join(raw, Seq("v"), "left").crossJoin(tot)
-        .select(col("v"),
-          expr(s"coalesce($c, CAST(0 AS BIGINT)) * $HitsScale div __t").as(c))
+      raw.crossJoin(tot)
+        .select(col("v"), expr(s"$c * $HitsScale div __t").as(c))
     }
     for (_ <- 1 to iters) {
+      // ONE materialization per iteration: authNext is persisted lazily and
+      // computed (then cached) as a side effect of hubNext's job — its three
+      // readers (hub half-step, L1 total, final join) all hit the cache
       val authNext = l1Normalize(
         e.join(hubs, e("src") === hubs("v"))
           .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")), "a")
         .persist()
-      authNext.count()
-      if (authsCached != null) authsCached.unpersist()
+      val prevAuths = authsCached
       authsCached = authNext
       auths = cut(authNext)
       val hubNext = l1Normalize(
@@ -113,15 +129,18 @@ object LinkGraph {
           .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")), "h")
         .persist()
       hubNext.count()
+      if (prevAuths != null) prevAuths.unpersist()
       hubsCached.unpersist()
       hubsCached = hubNext
       hubs = cut(hubNext)
     }
-    val out = auths.join(hubs, Seq("v"))
-      .select(col("v").as("node"), col("a").as("auth_scaled"),
-        col("h").as("hub_scaled")).persist()
+    val out = nodes.join(auths, Seq("v"), "left").join(hubs, Seq("v"), "left")
+      .select(col("v").as("node"),
+        coalesce(col("a"), lit(0L)).as("auth_scaled"),
+        coalesce(col("h"), lit(0L)).as("hub_scaled")).persist()
     out.count()
     authsCached.unpersist(); hubsCached.unpersist()
+    scratch.foreach(_.unpersist())
     e.unpersist(); nodes.unpersist()
     out
   }
@@ -187,24 +206,30 @@ object LinkGraph {
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct().persist()
     val nDf = broadcast(nodes.agg(count(lit(1)).as("__n")))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // same slimmed per-iteration shape as [[pageRank]]: out-degree folded
+    // onto the edge list once, per-node base row unioned into the single
+    // combinable aggregation (bit-equal arithmetic, one join + one exchange
+    // per round)
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
     val base = expr(s"CAST(${100 - dampingPct} AS BIGINT) * $Scale div (100 * __n)")
+    val baseRows = nodes.crossJoin(nDf)
+      .select(col("v"), lit(0L).as("c"), col("__n")).persist()
     val fp = s"pagerank|d$dampingPct|$inputFingerprint"
     val out = graft.engine.Iterate.resumable(
         spark, ckptDir, "pagerank", fp, iters, every) {
       nodes.crossJoin(nDf)
         .select(col("v"), expr(s"CAST($Scale AS BIGINT) div __n").as("r"))
     } { (ranks, _) =>
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(outdeg, "src")
+      val contrib = ew.join(ranks, ew("src") === ranks("v"))
         .select(col("dst").as("v"),
-          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"))
-        .groupBy("v").agg(sum(col("c")).as("s"))
-      nodes.crossJoin(nDf)
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
+          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"),
+          lit(null).cast("long").as("__n"))
+      contrib.unionByName(baseRows)
+        .groupBy("v").agg(sum(col("c")).as("s"), max(col("__n")).as("__n"))
+        .select(col("v"), (base + col("s")).as("r"))
     }
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    e.unpersist(); nodes.unpersist(); ew.unpersist(); baseRows.unpersist()
     out.select(col("v").as("node"), col("r").as("rank_scaled"))
   }
 
@@ -229,11 +254,18 @@ object LinkGraph {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct().persist()
-    def l1Normalize(raw: DataFrame, c: String): DataFrame = {
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // zero-omitted intermediate normalization (see [[hits]]): a 0-valued
+    // node is equivalent to an absent one in both the next edge join and
+    // the L1 total, so the per-half-step node rebase is deferred to the
+    // block-state projection below
+    def l1Normalize(raw0: DataFrame, c: String): DataFrame = {
+      // persist the twice-read contribution table (see [[hits]])
+      val raw = raw0.persist()
+      scratch += raw
       val tot = broadcast(raw.agg(sum(col(c)).as("__t")))
-      nodes.join(raw, Seq("v"), "left").crossJoin(tot)
-        .select(col("v"),
-          expr(s"coalesce($c, CAST(0 AS BIGINT)) * $HitsScale div __t").as(c))
+      raw.crossJoin(tot)
+        .select(col("v"), expr(s"$c * $HitsScale div __t").as(c))
     }
     val fp = s"hits|$inputFingerprint"
     val out = graft.engine.Iterate.resumable(
@@ -247,8 +279,12 @@ object LinkGraph {
       val hubsNext = l1Normalize(
         e.join(auths, e("dst") === auths("v"))
           .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")), "h")
-      auths.join(hubsNext, Seq("v")).select(col("v"), col("a"), col("h"))
+      // block state stays the FULL (v, a, h) vector — absent means exactly 0
+      nodes.join(auths, Seq("v"), "left").join(hubsNext, Seq("v"), "left")
+        .select(col("v"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("h"), lit(0L)).as("h"))
     }
+    scratch.foreach(_.unpersist())
     e.unpersist(); nodes.unpersist()
     out.select(col("v").as("node"), col("a").as("auth_scaled"),
       col("h").as("hub_scaled"))
@@ -265,22 +301,33 @@ object LinkGraph {
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct().persist()
     val nDf = broadcast(nodes.agg(count(lit(1)).as("__n")))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // out-degree folded onto the edge list ONCE: each iteration then needs a
+    // single equi-join (edges x ranks) instead of re-joining the degree
+    // table every round — one exchange/broadcast-build fewer per iteration
+    // at any scale, same rows, bit-identical arithmetic.
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
     val base = expr(s"CAST(${100 - dampingPct} AS BIGINT) * $Scale div (100 * __n)")
+    // per-node base row carried as a 0-contribution into the SAME
+    // aggregation (union, not a per-round left join): every node emits
+    // base + sum of its in-contributions from ONE combinable long-sum —
+    // integer addition is order-insensitive, so the result is bit-equal to
+    // the join/coalesce formulation it replaces.
+    val baseRows = nodes.crossJoin(nDf)
+      .select(col("v"), lit(0L).as("c"), col("__n")).persist()
     var ranksCached = nodes.crossJoin(nDf)
       .select(col("v"), expr(s"CAST($Scale AS BIGINT) div __n").as("r"))
       .persist()
     ranksCached.count()
     var ranks = cut(ranksCached)
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(outdeg, "src")
+      val contrib = ew.join(ranks, ew("src") === ranks("v"))
         .select(col("dst").as("v"),
-          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"))
-        .groupBy("v").agg(sum(col("c")).as("s"))
-      val next = nodes.crossJoin(nDf)
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
+          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"),
+          lit(null).cast("long").as("__n"))
+      val next = contrib.unionByName(baseRows)
+        .groupBy("v").agg(sum(col("c")).as("s"), max(col("__n")).as("__n"))
+        .select(col("v"), (base + col("s")).as("r"))
         .persist()
       next.count() // materialize every partition before releasing the parent
       ranksCached.unpersist()
@@ -290,7 +337,8 @@ object LinkGraph {
     val out = ranks.select(col("v").as("node"), col("r").as("rank_scaled"))
       .persist()
     out.count()
-    ranksCached.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    ranksCached.unpersist(); e.unpersist(); nodes.unpersist(); ew.unpersist()
+    baseRows.unpersist()
     out
   }
 
@@ -337,9 +385,16 @@ object LinkGraph {
     flagged.count()
     val nsDf = broadcast(flagged.agg(
       sum(col("is_seed")).cast("long").as("__ns")))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // out-degree folded onto the edge list once + per-node teleport row
+    // carried into the SAME per-round aggregation — one equi-join and one
+    // combinable long-sum per iteration (see pageRank for the equivalence
+    // argument; the teleport term here is the seed-gated base).
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
     val base = expr(
       s"CAST(is_seed AS BIGINT) * ${100 - dampingPct} * $Scale div (100 * __ns)")
+    val baseRows = flagged.crossJoin(nsDf)
+      .select(col("v"), lit(0L).as("c"), base.as("__b")).persist()
     var ranksCached = flagged.crossJoin(nsDf)
       .select(col("v"),
         expr(s"CAST(is_seed AS BIGINT) * $Scale div __ns").as("r"))
@@ -347,14 +402,13 @@ object LinkGraph {
     ranksCached.count()
     var ranks = cut(ranksCached)
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(outdeg, "src")
+      val contrib = ew.join(ranks, ew("src") === ranks("v"))
         .select(col("dst").as("v"),
-          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"))
-        .groupBy("v").agg(sum(col("c")).as("s"))
-      val next = flagged.crossJoin(nsDf)
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"), (base + coalesce(col("s"), lit(0L))).as("r"))
+          expr(s"(r * $dampingPct) div (outdeg * 100)").as("c"),
+          lit(null).cast("long").as("__b"))
+      val next = contrib.unionByName(baseRows)
+        .groupBy("v").agg(sum(col("c")).as("s"), max(col("__b")).as("__b"))
+        .select(col("v"), (col("__b") + col("s")).as("r"))
         .persist()
       next.count()
       ranksCached.unpersist()
@@ -365,7 +419,7 @@ object LinkGraph {
       .persist()
     out.count()
     ranksCached.unpersist(); e.unpersist(); flagged.unpersist()
-    outdeg.unpersist()
+    ew.unpersist(); baseRows.unpersist()
     out
   }
 
@@ -499,11 +553,15 @@ object LinkGraph {
                     maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).distinct().persist()
-    var visitedCached = seeds.select(col("node")).distinct()
+    val seedLayer = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("hop")).persist()
-    visitedCached.count()
-    var visited = cut(visitedCached)
-    var frontierCached = visitedCached
+    seedLayer.count()
+    // visited = lazy union of the per-hop PERSISTED layers: each hop's only
+    // job is the new layer's materialization (was two — the visited union
+    // was re-materialized per round, a full copy of the whole visited set
+    // per hop at crawl scale); the anti-join reads the cached layers.
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seedLayer)
+    var visited = cut(seedLayer)
     var frontier = visited
     var hop = 0
     var exhausted = false
@@ -518,20 +576,16 @@ object LinkGraph {
         exhausted = true
         layer.unpersist()
       } else {
-        val nextVisited = visited.unionByName(cut(layer)).persist()
-        nextVisited.count()
-        visitedCached.unpersist()
-        if (frontierCached ne visitedCached) frontierCached.unpersist()
-        visitedCached = nextVisited
-        visited = cut(nextVisited)
-        frontierCached = layer
-        frontier = cut(layer)
+        layers += layer
+        val l = cut(layer)
+        visited = visited.unionByName(l)
+        frontier = l
       }
     }
     val out = visited.persist()
     out.count()
-    if (frontierCached ne visitedCached) frontierCached.unpersist()
-    visitedCached.unpersist(); e.unpersist()
+    layers.foreach(_.unpersist())
+    e.unpersist()
     out
   }
 
@@ -799,23 +853,34 @@ object LinkGraph {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .persist()
-    live.count()
+    var liveCount = live.count()
     var round = 0
     var converged = false
+    // ONE job per peel round (was two): the dropped-node set is only
+    // materialized as a side effect of building the next edge list, and the
+    // fixed-point test rides the same count — the edge count is unchanged
+    // iff NO node was dropped (every node counted by `degrees` has degree
+    // >= 1, so dropping any node removes at least one live edge; and if the
+    // drop set is empty both anti-joins pass everything through).
     while (!converged && round < maxRounds) {
       val drop = degrees(live).filter(col("degree") < k)
         .select("node").persist()
-      if (drop.count() == 0L) {
+      // both anti-joins probe the IDENTICAL broadcast subplan (same
+      // canonical form), so ReuseExchange builds the dropped-node broadcast
+      // once per round instead of twice
+      val next = cut(
+        live.join(drop, live("u") === drop("node"), "left_anti")
+          .join(drop, live("v") === drop("node"), "left_anti")
+          .select("u", "v")).persist()
+      val nextCount = next.count()
+      drop.unpersist()
+      if (nextCount == liveCount) {
         converged = true
-        drop.unpersist()
+        next.unpersist() // identical content; keep the already-warm `live`
       } else {
-        val next = cut(
-          live.join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
-            .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
-            .select("u", "v")).persist()
-        next.count()
-        live.unpersist(); drop.unpersist()
+        live.unpersist()
         live = next
+        liveCount = nextCount
         round += 1
       }
     }
