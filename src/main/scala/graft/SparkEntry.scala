@@ -381,6 +381,16 @@ object SparkEntry {
       |    + least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
       |      * CAST(0.1 AS DOUBLE))), 6) AS quality_score FROM m)""".stripMargin
 
+  /** Scale-out for a single-small-file scan feeding compute-heavy map work
+    * (opt guide §2): keyed N-way repartition at the session's shuffle
+    * parallelism — without it the whole downstream token/regex fan-out runs
+    * inside the one scan task the small file produces. The shuffle moves
+    * only the small table once; at crawl scale the same expression is a
+    * no-op-sized rebalance. */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
   /** Deterministic near-dup candidate set over [[docsWithNearDups]]: the
     * planted (base, tail-appended) pairs plus adjacent-id negatives. */
   private def nearDupCand(d: DataFrame): DataFrame = {
@@ -644,7 +654,8 @@ object SparkEntry {
     // text + a per-doc bounded window, never a global sort
     "doc_substring_dedup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.duplicatedSpans(
-        docsWithNearDups(s, dir), col("doc_id"), col("text"), k = 8)),
+        spread(docsWithNearDups(s, dir), col("doc_id")),
+        col("doc_id"), col("text"), k = 8)),
     // cross-snapshot incremental dedup: classify a new crawl against the
     // base corpus — digest semi join for exact, capped portable-band recall
     // + exact shingle-Jaccard verify for near; delta-sized work throughout
@@ -812,7 +823,8 @@ object SparkEntry {
     // BM25 ranked retrieval: query-term filter BEFORE the postings
     // exchange, 1-row stats + query-sized df broadcast, TakeOrdered top-k
     "doc_bm25" -> ((s, dir) =>
-      graft.text.Search.bm25(docs(s, dir), col("doc_id"), col("text"),
+      graft.text.Search.bm25(spread(docs(s, dir), col("doc_id")),
+        col("doc_id"), col("text"),
         queryTerms = Bm25QueryTerms, topK = 20)),
     // TF-IDF keyword extraction: top-3 characteristic terms per doc with
     // the smooth sklearn idf, 7dp-DECIMAL scores (the bm25 determinism
@@ -902,7 +914,8 @@ object SparkEntry {
     // thresholds are one broadcast row per source; scores rounded to 6
     // digits before BOTH the percentile and the comparison (bit-stable gate)
     "doc_quality_gate" -> ((s, dir) =>
-      graft.text.Corpus.qualityGate(docs(s, dir), col("source"), pct = 0.25)
+      graft.text.Corpus.qualityGate(spread(docs(s, dir), col("doc_id")),
+          col("source"), pct = 0.25)
         .select("doc_id", "source", "quality_score", "quality_thr")),
     // per-source cap (host-level cap): keep the 10 best-quality docs per
     // source, doc_id breaking ties — one hash shuffle + a bounded window
