@@ -93,35 +93,26 @@ object LinkGraph {
     var hubs = cut(hubsCached)
     var authsCached: DataFrame = null
     var auths: DataFrame = null
-    // per-iteration lazily-persisted intermediates, released after the
-    // iteration that supersedes them has materialized
-    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // ZERO-OMITTED intermediate vectors: a node whose contribution sum is 0
-    // contributes nothing to the next half-step's edge join and 0 to the L1
-    // total, so intermediate vectors carry only the nodes the aggregation
-    // produced — the per-half-step `nodes LEFT JOIN` rebase (one broadcast
-    // join per half-step at any scale) is deferred to the single final
-    // projection, where absent means exactly 0.
-    def l1Normalize(raw0: DataFrame, c: String): DataFrame = {
-      // the raw contribution table is read TWICE (L1 total + the normalize
-      // projection): persist it so the broadcast total's pass populates the
-      // cache and the projection probes memory instead of re-running the
-      // edge join
-      val raw = raw0.persist()
-      scratch += raw
+    // NOTE (r6 optimization pass): zero-omitted intermediates + a lazily
+    // persisted contribution table + one materialization per iteration were
+    // all tried here and MEASURED SLOWER on the contract graph (2.07 s ->
+    // 2.39-2.41 s warm) despite halving summed task time — the per-step
+    // broadcast/cache machinery outweighs the saved node-rebase joins at
+    // this vector size. hitsResumable keeps the slimmed shape, where it
+    // measures faster (6.5 s -> ~4.4-5.1 s). Kept as the original.
+    def l1Normalize(raw: DataFrame, c: String): DataFrame = {
       val tot = broadcast(raw.agg(sum(col(c)).as("__t")))
-      raw.crossJoin(tot)
-        .select(col("v"), expr(s"$c * $HitsScale div __t").as(c))
+      nodes.join(raw, Seq("v"), "left").crossJoin(tot)
+        .select(col("v"),
+          expr(s"coalesce($c, CAST(0 AS BIGINT)) * $HitsScale div __t").as(c))
     }
     for (_ <- 1 to iters) {
-      // ONE materialization per iteration: authNext is persisted lazily and
-      // computed (then cached) as a side effect of hubNext's job — its three
-      // readers (hub half-step, L1 total, final join) all hit the cache
       val authNext = l1Normalize(
         e.join(hubs, e("src") === hubs("v"))
           .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")), "a")
         .persist()
-      val prevAuths = authsCached
+      authNext.count()
+      if (authsCached != null) authsCached.unpersist()
       authsCached = authNext
       auths = cut(authNext)
       val hubNext = l1Normalize(
@@ -129,18 +120,15 @@ object LinkGraph {
           .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")), "h")
         .persist()
       hubNext.count()
-      if (prevAuths != null) prevAuths.unpersist()
       hubsCached.unpersist()
       hubsCached = hubNext
       hubs = cut(hubNext)
     }
-    val out = nodes.join(auths, Seq("v"), "left").join(hubs, Seq("v"), "left")
-      .select(col("v").as("node"),
-        coalesce(col("a"), lit(0L)).as("auth_scaled"),
-        coalesce(col("h"), lit(0L)).as("hub_scaled")).persist()
+    val out = auths.join(hubs, Seq("v"))
+      .select(col("v").as("node"), col("a").as("auth_scaled"),
+        col("h").as("hub_scaled")).persist()
     out.count()
     authsCached.unpersist(); hubsCached.unpersist()
-    scratch.foreach(_.unpersist())
     e.unpersist(); nodes.unpersist()
     out
   }
