@@ -65,20 +65,32 @@ object BboxJoin {
    * b: (b_id, b_min_lon, b_min_lat, b_max_lon, b_max_lat).
    * Output: one row per intersecting pair — ids plus the exact overlap
    * rectangle (pure max/min of the inputs, no rounding).
+   *
+   * @param broadcastB force a broadcast hash join with `b` as the build
+   *                   side (the default — right whenever the exploded b
+   *                   side fits an executor, which covers the
+   *                   polygon-catalog shapes this engine joins against).
+   *                   Pass `false` past the broadcast wall: strategy
+   *                   selection then falls to AQE/the planner, and both
+   *                   exploded sides shuffle (or read bucketed) on the
+   *                   (__cx, __cy) cell key — the PBSM partition join —
+   *                   instead of OOMing the driver on the forced build.
    */
   def overlapJoin(a: DataFrame, b: DataFrame, gridDeg: Double,
-                  maxCellsPerBox: Int = 4096): DataFrame = {
+                  maxCellsPerBox: Int = 4096,
+                  broadcastB: Boolean = true): DataFrame = {
     require(gridDeg > 0, s"gridDeg must be positive, got $gridDeg")
     val ac = a
       .withColumn("__cx", explode(axisCells(
         col("a_min_lon"), col("a_max_lon"), gridDeg, maxCellsPerBox)))
       .withColumn("__cy", explode(axisCells(
         col("a_min_lat"), col("a_max_lat"), gridDeg, maxCellsPerBox)))
-    val bc = broadcast(b
+    val bPlain = b
       .withColumn("__cx", explode(axisCells(
         col("b_min_lon"), col("b_max_lon"), gridDeg, maxCellsPerBox)))
       .withColumn("__cy", explode(axisCells(
-        col("b_min_lat"), col("b_max_lat"), gridDeg, maxCellsPerBox))))
+        col("b_min_lat"), col("b_max_lat"), gridDeg, maxCellsPerBox)))
+    val bc = if (broadcastB) broadcast(bPlain) else bPlain
     ac.join(bc, Seq("__cx", "__cy"))
       .filter(col("a_min_lon") <= col("b_max_lon") &&
         col("b_min_lon") <= col("a_max_lon") &&

@@ -29,7 +29,13 @@ import graft.functions.TextFunctions
  * bounded-collect role as the k-means centroid matrix. At 1000 executors
  * each round is one scan with map-side partials; nothing scales with n.
  * The DECIMAL(38,0) accumulator leaves ~18 orders of magnitude of headroom
- * over the per-term 6.4e19 bound, so 10^12-row corpora do not overflow.
+ * over the per-term 6.4e19 bound. The re-entry of the compressed matvec
+ * into BIGINT ([[UExpr]]: `abs(w) div 1e12`) is the tighter bound: it
+ * requires `|w| < ~9.2e30`, i.e. ~10^11 rows at the worst-case per-term
+ * magnitude — beyond that the ANSI cast fails LOUDLY (no silent wrap).
+ * Driver-side renormalization is BigInt-exact ([[renorm]]), so the
+ * direction vector cannot be corrupted by a wrapped Long product at any
+ * matvec magnitude the BIGINT re-entry admits.
  */
 object Pca {
 
@@ -119,9 +125,21 @@ object Pca {
       val uArr = Array.tabulate(dim)(j => u.getOrElse(j, 0L))
       val m = uArr.map(math.abs).max
       require(m > 0, "degenerate input: power iteration collapsed to zero")
-      v = uArr.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) * Scale / m))
+      v = renorm(uArr, m)
       eig = m
     }
     (v, eig)
   }
+
+  /** `v_j = sign(u_j) * (|u_j| * Scale / m)` computed through BigInt so the
+    * `|u_j| * Scale` intermediate cannot wrap when `m > Long.MaxValue/Scale`
+    * (~9.2e12, reachable once matvec sums align with the dominant direction
+    * at ~1e7+ vectors). Identical to plain Long arithmetic wherever that
+    * arithmetic does not overflow: both truncate the non-negative quotient,
+    * and the result is bounded by Scale so the final toLong is always safe. */
+  private[graft] def renorm(uArr: Array[Long], m: Long): Array[Long] =
+    uArr.map { x =>
+      val q = (BigInt(math.abs(x)) * Scale / m).toLong
+      if (x < 0) -q else q
+    }
 }

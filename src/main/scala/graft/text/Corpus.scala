@@ -346,6 +346,14 @@ object Corpus {
    * Empty segments (e.g. a trailing terminator) are dropped; `sent_idx`
    * keeps the pre-filter position so downstream joins stay stable.
    *
+   * PRECONDITION: the boundary marker is the in-band sentinel U+0001, so
+   * `text` must not already contain U+0001 — a document that does gains
+   * spurious splits and shifted `sent_idx` values. This holds for any
+   * cleaned corpus (C0 controls are stripped by the upstream text
+   * extraction), and the DuckDB oracle replays the SAME sentinel, so
+   * engine and oracle agree even on hostile input; strip U+0001 first if
+   * feeding raw bytes.
+   *
    * @return (doc_key, sent_idx: int, sentence, n_chars: int)
    */
   def sentences(docs: DataFrame, key: Column, text: Column): DataFrame = {

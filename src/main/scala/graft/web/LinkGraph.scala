@@ -736,33 +736,6 @@ object LinkGraph {
   }
 
   /**
-   * k-core of the undirected simple graph induced by `edges`: the maximal
-   * subgraph in which every node has degree >= k, computed by synchronous
-   * iterative peeling (delete all nodes with degree < k, recompute, repeat
-   * to a fixed point). The k-core is the standard "remove the crawl fringe"
-   * signal — link farms and boilerplate nav pages live in the low-core
-   * shells, the genuinely interlinked content survives.
-   *
-   * Scale shape: each peel round is ONE degree aggregation over the live
-   * edge list (combinable long count, narrow (node, long) shuffle rows —
-   * map-side partials absorb supernodes) plus two anti-joins removing the
-   * dropped endpoints. The dropped set shrinks geometrically after the
-   * first round, so AQE broadcasts it; round one (where most of a web
-   * graph dies) stays a shuffle anti-join on narrow keys. The live edge
-   * list is re-entered as a LogicalRDD each round ([[cut]]) so the plan
-   * stays O(1) in round count — the same discipline as [[pageRank]]. One
-   * driver-side scalar per round (the dropped-node count, needed for the
-   * convergence test) — never a collect of node sets.
-   *
-   * Termination is PROVEN, not assumed: the loop requires a fixed point
-   * within `maxRounds` and fails loudly otherwise, so an under-budgeted
-   * run can never emit a half-peeled subgraph as if it were the core.
-   *
-   * @param edges (src: long, dst: long) — any direction, dups/self-loops ok
-   * @return (node, core_degree) — the surviving nodes with their degree
-   *         INSIDE the k-core (all >= k); empty result if no k-core exists
-   */
-  /**
    * Page-level link graph → HOST-level graph, the rollup behind host-level
    * PageRank/TrustRank and crawl-budget allocation: every (src_page,
    * dst_page) edge maps through the page→host table and aggregates to
@@ -831,6 +804,34 @@ object LinkGraph {
           .otherwise(lit("resolved")).as("status"))
   }
 
+  /**
+   * k-core of the undirected simple graph induced by `edges`: the maximal
+   * subgraph in which every node has degree >= k, computed by synchronous
+   * iterative peeling (delete all nodes with degree < k, recompute, repeat
+   * to a fixed point). The k-core is the standard "remove the crawl fringe"
+   * signal — link farms and boilerplate nav pages live in the low-core
+   * shells, the genuinely interlinked content survives.
+   *
+   * Scale shape: each peel round is ONE job — a degree aggregation over the
+   * live edge list (combinable long count, narrow (node, long) shuffle rows
+   * — map-side partials absorb supernodes) feeding two anti-joins that
+   * remove the dropped endpoints, with the fixed-point test riding the
+   * next-edge-list count (see the in-body proof). The dropped set shrinks
+   * geometrically after the first round, so AQE broadcasts it; round one
+   * (where most of a web graph dies) stays a shuffle anti-join on narrow
+   * keys. The live edge list is re-entered as a LogicalRDD each round
+   * ([[cut]]) so the plan stays O(1) in round count — the same discipline
+   * as [[pageRank]]. One driver-side scalar per round (the live-edge count,
+   * which doubles as the convergence test) — never a collect of node sets.
+   *
+   * Termination is PROVEN, not assumed: the loop requires a fixed point
+   * within `maxRounds` and fails loudly otherwise, so an under-budgeted
+   * run can never emit a half-peeled subgraph as if it were the core.
+   *
+   * @param edges (src: long, dst: long) — any direction, dups/self-loops ok
+   * @return (node, core_degree) — the surviving nodes with their degree
+   *         INSIDE the k-core (all >= k); empty result if no k-core exists
+   */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node"))

@@ -99,6 +99,21 @@ class BboxJoinSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("broadcastB=false: identical pairs, no forced broadcast hint") {
+    val a = boxesA.toDF("a_id", "a_min_lon", "a_min_lat", "a_max_lon", "a_max_lat")
+    val b = boxesB.toDF("b_id", "b_min_lon", "b_min_lat", "b_max_lon", "b_max_lat")
+    val df = BboxJoin.overlapJoin(a, b, 3.0, broadcastB = false)
+    // past-the-broadcast-wall path: the planner (not a forced hint) picks
+    // the strategy — the optimized plan must carry no ResolvedHint
+    assert(!df.queryExecution.optimizedPlan.toString.contains("hint"),
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(got.toMap === brute)
+    assert(got.length === brute.size, "pair emitted twice without the hint")
+  }
+
   // ---- RangeJoin.broadcastLookup (the GeoIP dictionary shape) ----
 
   test("broadcastLookup: containment, left-outer survival, disjoint ranges") {

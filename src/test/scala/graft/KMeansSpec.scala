@@ -149,4 +149,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("degenerate") ||
       ex.getCause != null && ex.getCause.getMessage.contains("degenerate"))
   }
+
+  test("Pca.renorm: no silent wrap when m exceeds Long.MaxValue/Scale") {
+    val S = graft.sim.Pca.Scale
+    // non-overflow regime: identical to the plain Long formula
+    val small = Array(123456789L, -987654321L, 42L, 0L)
+    val mS = small.map(math.abs).max
+    assert(graft.sim.Pca.renorm(small, mS).toSeq ===
+      small.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) * S / mS)).toSeq)
+    // overflow regime: m > Long.MaxValue/Scale would wrap abs(x)*Scale —
+    // the dominant element must renormalize to exactly Scale, others to
+    // their exact BigInt quotient
+    val m = Long.MaxValue / S * 3 // ~2.8e13 > ~9.2e12 bound
+    val big = Array(m, -m / 2, m / 7)
+    val got = graft.sim.Pca.renorm(big, m)
+    assert(got(0) === S, "dominant element must map to exactly Scale")
+    assert(got.toSeq === big.map(x => ((BigInt(math.abs(x)) * S / m).toLong *
+      (if (x < 0) -1L else 1L))).toSeq)
+    // the plain Long formula demonstrably corrupts this input (guards the
+    // test against a future revert to the wrapping arithmetic)
+    assert(math.abs(m) * S / m !== S)
+  }
 }
