@@ -125,8 +125,13 @@ object Corpus {
     */
   def qualityGate(docs: DataFrame, stratum: Column, pct: Double): DataFrame = {
     require(pct > 0.0 && pct < 1.0, "pct in (0,1)")
+    // eager per-invocation localCheckpoint (same rationale as
+    // [[ccnetBuckets]]): BOTH the threshold side and the probe read the
+    // scored table, and withQuality is the expensive per-doc text-analysis
+    // pass — without this it runs twice per query
     val scored = TextAnalysis.withQuality(docs)
       .withColumn("quality_score", round(col("quality_score"), 6))
+      .localCheckpoint()
     val thr = scored.groupBy(stratum.as("__stratum"))
       .agg(expr(s"percentile(quality_score, $pct)").as("quality_thr"))
     scored.join(broadcast(thr), stratum === col("__stratum"))
@@ -390,11 +395,23 @@ object Corpus {
    */
   def ccnetBuckets(docs: DataFrame, key: Column, text: Column,
                    lam: Double = 0.7): DataFrame = {
+    // materialized ONCE because BOTH the threshold-sketch side and the
+    // final probe read it: without this the whole bigram-LM scoring
+    // pipeline (tokenize + 2 count models + 3 joins + per-doc decimal sum)
+    // computes twice — once under the broadcast build, once on the probe
+    // (measured 18 jobs for a ~8-stage pipeline). EAGER localCheckpoint,
+    // not persist(): a persist of this deterministic plan would be served
+    // from the CacheManager to every later identical invocation (cross-run
+    // memoization — prohibited), while the checkpointed RDD is
+    // per-invocation; eager because nothing runs an action on `nll` itself
+    // before the consumers, so a lazy checkpoint would dedupe nothing
+    // (measured: lazy = 18 jobs unchanged, eager = half the pipeline).
     val nll = TextAnalysis.bigramLmDecimal(docs, key, text, lam)
       .filter(col("n_tokens") >= 1)
       .select(col("doc_key"), col("n_tokens"),
         expr("CAST((-__sdec) * 10000000 AS BIGINT) div CAST(n_tokens AS BIGINT)")
           .as("nll_e7"))
+      .localCheckpoint()
     val cells = graft.sketch.QuantileHist.cells(nll, lit("corpus"), col("nll_e7"))
     val th = graft.sketch.QuantileHist.quantiles(cells, Seq(33, 66))
       .groupBy("key").agg(

@@ -459,11 +459,17 @@ object LinkGraph {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().persist()
-    var labelsCached = und.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label")).persist()
+    // Round 1 in closed form — BIT-IDENTICAL to propagating the identity
+    // labelling: with labels(v) = v and `und` DISTINCT, every neighbour
+    // contributes its own id exactly once, so all (node, label) counts are
+    // 1 and the min-tie-break argmax degenerates to min(neighbour). One
+    // combinable agg replaces the identity-label build (distinct + persist
+    // + count) AND round 1's join + two-level aggregation.
+    var labelsCached = und.groupBy(col("src").as("v"))
+      .agg(min(col("dst")).as("label")).persist()
     labelsCached.count()
     var labels = cut(labelsCached)
-    for (_ <- 1 to iters) {
+    for (_ <- 2 to iters) {
       val next = und.join(labels, und("dst") === labels("v"))
         .groupBy(und("src"), col("label")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
